@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Queries execute via the ``noop`` sink so timing covers the full distributed
+plan without driver-side collect.  A warmup run of the first query absorbs
+JVM/codegen startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = str(Path(__file__).resolve().parent)
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from lexam_data_pipeline_spark.plans.registry import build_queries  # noqa: E402
+from lexam_data_pipeline_spark.session import get_spark  # noqa: E402
+
+#: Headline set: every operator family with nontrivial execution cost.
+HEADLINE = [
+    "q_join_3way_agg",
+    "q_join_enrich",
+    "q_semi_exists",
+    "q_anti_dedup",
+    "q_groupby_multi",
+    "q_pivot_status",
+    "q_count_distinct",
+    "q_agg_stats",
+    "q_histogram_bins",
+    "q_top_n",
+    "q_min_per_group",
+    "q_sort_paginate",
+    "q_conditional_agg",
+    "q_wordcount_stats",
+    "q_regex_extract",
+    "q_events_tumbling",
+    "q_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="lexam-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = build_queries()
+    names = [n for n in HEADLINE if n in queries]
+    # optional extension headliners, present once ml/ lands
+    for extra in ("q_dedup_ngram_jaccard", "q_knn_bruteforce", "q_minhash_lsh_pairs"):
+        if extra in queries and extra not in names:
+            names.append(extra)
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run(names[0])  # warmup: JVM + codegen + parquet footer cache
+    timings = {name: round(run(name), 4) for name in names}
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

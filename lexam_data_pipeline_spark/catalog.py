@@ -1,0 +1,69 @@
+"""Table catalog: loading the fixture star schema and the LEXam model.
+
+Scans are plain ``spark.read.parquet`` so Catalyst gets predicate pushdown,
+column pruning and partition pruning natively (reference analog: Postgres
+B-tree indexes, SURVEY.md §4). The one normalization done here is the
+``events.ts`` column: the fixture stores parquet ``timestamp[ns]`` which
+Spark cannot read natively, so the session enables
+``spark.sql.legacy.parquet.nanosAsLong`` and this module converts the raw
+nanos ``long`` into a microsecond-precision timestamp — the same truncation
+DuckDB applies, so oracle comparisons agree to the microsecond.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables that should always be broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing types where needed."""
+    # Engine-wide UTC semantics: fixture timestamps are TZ-naive and every
+    # consumer (including the DuckDB oracle) treats them as wall-clock.  A
+    # caller-provided session in a non-UTC zone would otherwise shift
+    # year()/date_trunc() results.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # Set at runtime too: a caller-provided session (e.g. the driver's)
+        # won't have the session factory's config, and without it Spark
+        # rejects the nanos timestamp column outright.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos → micros truncation (identical to DuckDB's parquet reader).
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = FIXTURE_TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view for ``spark.sql`` use."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

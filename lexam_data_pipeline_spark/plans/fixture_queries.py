@@ -1,0 +1,458 @@
+"""The declared query contract (SURVEY.md §2.11) on the fixture tables.
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names and types line up exactly with the DuckDB oracle SQL in
+:mod:`lexam_data_pipeline_spark.plans.oracles` — the driver hash-compares
+the two at sf0.01.
+
+Numeric-parity rules used throughout (engine-portable determinism):
+
+* Sums of 2-decimal money columns go through ``DECIMAL(18,2)`` so the sum
+  is exact, then cast to double (exactly representable) — bit-identical
+  across engines regardless of summation order.
+* Averages of integers divide an exact integer sum by an exact count.
+* Ratios divide exact integers.  Floating division of identical doubles is
+  IEEE-deterministic, so results match bit-for-bit.
+* Any per-row float reduction over arrays is a *sequential left fold* on
+  both engines (``F.aggregate`` here, ``list_reduce`` in DuckDB).
+* Every query feeding a LIMIT carries a unique-key tiebreak.
+
+Scale notes are inline: broadcast hints on dimension sides, aggregate
+pushdown shapes, and the documented approx-variant switches for 100 TB.
+
+Reference citations (``/root/reference``) identify the operator family each
+query realizes; see SURVEY.md §2 for the full mapping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from lexam_data_pipeline_spark.catalog import load_table
+
+
+def _dec_sum(col: str) -> F.Column:
+    """Exact sum of a 2-decimal money column, returned as double.
+
+    ``sum(decimal)`` is exact on both Spark and DuckDB; the final cast to
+    double is lossless for totals below 2**53 cents.  This sidesteps
+    float-summation-order divergence between engines (and between cluster
+    runs, where partition count changes the reduction tree).
+    """
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+
+
+# --------------------------------------------------------------------------
+# Scans / projections / filters  (SURVEY §2.1-2.2; ref main.py:72-132)
+# --------------------------------------------------------------------------
+
+
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+P1: projected table scan (ref main.py:342-344 with_entities)."""
+    return load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P3: conjunctive IN-list + comparison filter (ref main.py:72-99).
+
+    Both predicates push down to the parquet scan (check PushedFilters).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_returnflag").isin("A", "R") & (F.col("l_quantity") > 30)
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+def q_search_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/F1: case-insensitive substring search (ref main.py:102-114 ILIKE)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.lower(F.col("p_name")).contains("red")).select("p_partkey", "p_name")
+
+
+# --------------------------------------------------------------------------
+# Joins  (SURVEY §2.3; ref main.py:107-112, services/judging.py:42-52)
+# --------------------------------------------------------------------------
+
+
+def q_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J6: EXISTS → left-semi join (ref main.py:107-112).
+
+    The semi side only needs the key column, so the scan is pruned to one
+    column; at scale the semi join shuffles only distinct keys.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(
+        big_orders, cust.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_anti_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: anti-join (ref services/judging.py:42-52 skip-already-judged).
+
+    Customers with no high-value order — filtered probe side keeps the
+    result non-empty at every scale factor."""
+    cust = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return cust.join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J7: set-based enrichment join replacing the reference's N+1
+    point lookups (ref routers/generation.py:46-48).  Customer is the
+    dimension side → broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+def q_join_3way_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7→set-based + A3: the flagship 3-way join + aggregate
+    (ref experiment_stats.py:228-259 answers⋈variants⋈questions rollup).
+
+    Shape: fact ⋈ fact shuffles on the join key; the customer dimension is
+    broadcast so only one shuffle survives.  Aggregation is partial
+    (map-side) before the final shuffle on c_mktsegment.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            _dec_sum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations  (SURVEY §2.4; ref main.py:225-441, experiment_stats.py)
+# --------------------------------------------------------------------------
+
+
+def q_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: single-key group-count (ref main.py:227-241 by_config)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: multi-key group-count (ref main.py:369-371 year×area)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: pivot/cross-tab (ref main.py:373-379 year→area counts).
+
+    Expressed as conditional aggregation (equivalent to
+    ``groupBy().pivot()`` with a fixed value list, but keeps full control
+    of output column names for the oracle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
+    ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
+    return joined.groupBy("n_name").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).cast("bigint").alias("status_o"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("bigint").alias("status_f"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).cast("bigint").alias("status_p"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: exact COUNT(DISTINCT) per group (ref main.py:382-384).
+
+    100 TB path: switch to ``approx_count_distinct`` (HLL) — documented,
+    not used here, because the oracle needs exact."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )
+
+
+def q_distinct_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+P6: faceting — distinct values after applying other filters
+    (ref main.py:117-132 _viable_values)."""
+    cust = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_semi")
+        .select("c_mktsegment")
+        .distinct()
+    )
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: mean/median/min/max stats (ref main.py:431-441).
+
+    Exact interpolated median via ``percentile`` for oracle parity; the
+    100 TB variant is ``percentile_approx`` with a documented error bound.
+    The mean divides an exact decimal sum by the count (see _dec_sum).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.round(_dec_sum("l_extendedprice") / F.count("*"), 4).alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        # Median over integer cents: interpolating between integers is exact
+        # in double on every engine, so Spark and DuckDB agree bit-for-bit
+        # (interpolating raw doubles differs by 1 ulp and can flip rounding).
+        F.round(
+            F.percentile(F.round(F.col("l_extendedprice") * 100).cast("bigint"), F.lit(0.5))
+            / 100,
+            2,
+        ).alias("median_price"),
+    )
+
+
+def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: fixed-bin histogram (ref main.py:419-429 word-count bins).
+
+    The CASE chain evaluates JVM-side inside whole-stage codegen; empty
+    bins simply don't appear (the reference densifies client-side — the
+    oracle matches this sparse shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_col = (
+        F.when(F.col("l_quantity") < 10, "00-09")
+        .when(F.col("l_quantity") < 20, "10-19")
+        .when(F.col("l_quantity") < 30, "20-29")
+        .when(F.col("l_quantity") < 40, "30-39")
+        .when(F.col("l_quantity") < 50, "40-49")
+        .otherwise("50+")
+    )
+    return (
+        li.withColumn("qty_bin", bin_col)
+        .groupBy("qty_bin")
+        .agg(F.count("*").alias("n_items"))
+    )
+
+
+def q_top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: top-k groups by count with deterministic tiebreak
+    (ref main.py:538-543 top-10 courses).  Spark turns sort+limit into
+    TakeOrderedAndProject — no global sort materialization."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy(F.desc("n_parts"), F.asc("p_brand"))
+        .limit(10)
+    )
+
+
+def q_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/W1: scalar-subquery-as-sort-key → group-min joined back
+    (ref main.py:137-148 min(config) per question)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    first = orders.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_order_date"))
+    return first.join(F.broadcast(cust), first.o_custkey == cust.c_custkey, "inner").select(
+        "c_custkey", "c_name", "first_order_date"
+    )
+
+
+def q_unanimity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: self-consistency unanimity (ref experiment_stats.py:262-284:
+    all N answers per variant identical).  Realized on orders: among
+    customers with ≥2 orders, the share whose orders all have one status.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("o_orderstatus").alias("d"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    return per_cust.agg(
+        F.count("*").alias("total_customers"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("bigint").alias("unanimous_customers"),
+        F.round(
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0)) / F.count("*"), 4
+        ).alias("unanimity_rate"),
+    )
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/A12: filtered aggregation + ratio (ref main.py:347-354 per-course
+    language counts; experiment_stats.py:31-35 accuracy)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = F.sum(F.when(F.col("o_orderpriority").like("1-%"), 1).otherwise(0))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            urgent.cast("bigint").alias("urgent_orders"),
+            F.round(urgent / F.count("*"), 4).alias("urgent_ratio"),
+        )
+    )
+
+
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15/W2: share-of-total percentages (ref main.py:385 split pct).
+
+    Uses an empty-frame window sum; at scale this is a 2-stage agg with a
+    scalar broadcast, which AQE handles (group cardinality is tiny)."""
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    total = F.sum("n_orders").over(Window.partitionBy())
+    return counts.withColumn("share", F.round(F.col("n_orders") / total, 4))
+
+
+# --------------------------------------------------------------------------
+# Sorts / pagination / set ops  (SURVEY §2.6-2.7; ref main.py:195-200)
+# --------------------------------------------------------------------------
+
+
+def q_sort_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2/W3: deterministic sort + offset/limit pagination
+    (ref main.py:195-200: user sort, id tiebreak, offset/limit).
+
+    ``offset().limit()`` compiles to a single-partition tail only for the
+    final page assembly; page depth is capped in the serving layer exactly
+    like the reference caps limit ≤ 200 (main.py:174)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(20)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_union_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2: union + distinct (ref seed.py:68-131 config union;
+    main.py:293 set-union cardinality)."""
+    cust_nk = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp_nk = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust_nk.unionByName(supp_nk).distinct()
+
+
+# --------------------------------------------------------------------------
+# Scalar-function queries  (SURVEY §2.8; ref services/letter_extract.py)
+# --------------------------------------------------------------------------
+
+
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5: regex extraction + cast (ref services/letter_extract.py:9-53)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cls = F.nullif(F.regexp_extract(F.col("o_orderpriority"), r"^(\d)", 1), F.lit("")).cast("int")
+    return (
+        orders.withColumn("priority_class", cls)
+        .groupBy("priority_class")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_wordcount_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2+A7: whitespace word count stats (ref main.py:422-441).
+
+    Matches Python ``str.split()`` semantics: any-whitespace split, empty
+    string → 0 words.  Integer sums keep the averages engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = F.when(F.trim(F.col("text")) == "", 0).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    return (
+        docs.withColumn("wc", wc)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("wc") / F.count("*"), 4).alias("avg_words"),
+            F.min("wc").cast("int").alias("min_words"),
+            F.max("wc").cast("int").alias("max_words"),
+        )
+    )
+
+
+def q_substr_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: substring + cast derived column (ref seed.py:90-94 year from
+    string prefix)."""
+    orders = load_table(spark, sf_dir, "orders")
+    year = F.substring(F.col("o_orderdate").cast("date").cast("string"), 1, 4).cast("int")
+    return (
+        orders.withColumn("year", year)
+        .groupBy("year")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Events / streaming-shaped  (SURVEY §2.9 extension; events fixture)
+# --------------------------------------------------------------------------
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate in batch form (SURVEY §7.7).
+
+    The streaming twin (readStream + window + watermark) lives in
+    :mod:`lexam_data_pipeline_spark.streaming.events`; this batch shape is
+    what the oracle can check."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour_ts", F.date_trunc("hour", F.col("ts")))
+        .groupBy("hour_ts", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dec_sum("value").alias("total_value"),
+        )
+    )
+
+
+def q_events_sessionless_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 analog: per-user activity stats (ref progress.py:50-55 rate
+    math).  Span computed in integer microseconds for engine parity."""
+    ev = load_table(spark, sf_dir, "events")
+    span_us = F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        # explicit floor: DuckDB's double→bigint cast rounds, Spark's truncates
+        F.floor(span_us / F.lit(1000000)).cast("bigint").alias("span_seconds"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via lag + cumulative flag (the batch
+    equivalent of ``F.session_window``; 30-minute gap).
+
+    At scale this is one shuffle on user_id with an in-partition sort —
+    the same cost profile as the streaming state-store variant."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us > 1800 * 1000000, 1).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg((F.lit(1) + F.sum("is_new")).cast("bigint").alias("n_sessions"))
+    )

@@ -1,0 +1,197 @@
+"""DuckDB oracle SQL, one statement per declared query key.
+
+Each statement is the ANSI-SQL twin of the Spark plan in
+:mod:`lexam_data_pipeline_spark.plans.fixture_queries` — identical column
+names, aligned types, and the same engine-portable numeric tactics
+(decimal-exact sums, integer-exact averages, sequential list folds).
+"""
+
+from __future__ import annotations
+
+CORE_ORACLES: dict[str, str] = {
+    "q_scan_project": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+    """,
+    "q_filter_in": """
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_returnflag IN ('A', 'R') AND l_quantity > 30
+    """,
+    "q_search_contains": """
+        SELECT p_partkey, p_name FROM part WHERE lower(p_name) LIKE '%red%'
+    """,
+    "q_semi_exists": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 400000
+        )
+    """,
+    "q_anti_dedup": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 450000
+        )
+    """,
+    "q_join_enrich": """
+        SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "q_join_3way_agg": """
+        SELECT c_mktsegment,
+               count(*) AS n_rows,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "q_groupby_count": """
+        SELECT o_orderstatus, count(*) AS n_orders FROM orders GROUP BY o_orderstatus
+    """,
+    "q_groupby_multi": """
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1, 2
+    """,
+    "q_pivot_status": """
+        SELECT n_name,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "q_count_distinct": """
+        SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "q_distinct_facet": """
+        SELECT DISTINCT c_mktsegment FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 400000
+        )
+    """,
+    "q_agg_stats": """
+        SELECT l_returnflag,
+               count(*) AS n_items,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price,
+               round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) / 100, 2) AS median_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_histogram_bins": """
+        SELECT CASE WHEN l_quantity < 10 THEN '00-09'
+                    WHEN l_quantity < 20 THEN '10-19'
+                    WHEN l_quantity < 30 THEN '20-29'
+                    WHEN l_quantity < 40 THEN '30-39'
+                    WHEN l_quantity < 50 THEN '40-49'
+                    ELSE '50+' END AS qty_bin,
+               count(*) AS n_items
+        FROM lineitem GROUP BY 1
+    """,
+    "q_top_n": """
+        SELECT p_brand, count(*) AS n_parts
+        FROM part GROUP BY p_brand
+        ORDER BY n_parts DESC, p_brand ASC
+        LIMIT 10
+    """,
+    "q_min_per_group": """
+        SELECT c_custkey, c_name, first_order_date
+        FROM (
+            SELECT o_custkey, min(o_orderdate) AS first_order_date
+            FROM orders GROUP BY o_custkey
+        ) fo
+        JOIN customer ON fo.o_custkey = c_custkey
+    """,
+    "q_unanimity": """
+        WITH per_cust AS (
+            SELECT o_custkey, count(*) AS n, count(DISTINCT o_orderstatus) AS d
+            FROM orders GROUP BY o_custkey
+            HAVING count(*) >= 2
+        )
+        SELECT count(*) AS total_customers,
+               CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS unanimous_customers,
+               round(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) / count(*), 4) AS unanimity_rate
+        FROM per_cust
+    """,
+    "q_conditional_agg": """
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               CAST(sum(CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_orders,
+               round(sum(CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END) / count(*), 4) AS urgent_ratio
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "q_share_of_total": """
+        SELECT o_orderstatus, n_orders,
+               round(n_orders / sum(n_orders) OVER (), 4) AS share
+        FROM (SELECT o_orderstatus, count(*) AS n_orders FROM orders GROUP BY o_orderstatus) t
+    """,
+    "q_sort_paginate": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10 OFFSET 20
+    """,
+    "q_union_sets": """
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+    "q_regex_extract": """
+        SELECT CAST(nullif(regexp_extract(o_orderpriority, '^(\\d)', 1), '') AS INT) AS priority_class,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    """,
+    "q_wordcount_stats": """
+        WITH wc_t AS (
+            SELECT lang,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+                   END AS wc
+            FROM documents
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               round(sum(wc) / count(*), 4) AS avg_words,
+               CAST(min(wc) AS INT) AS min_words,
+               CAST(max(wc) AS INT) AS max_words
+        FROM wc_t GROUP BY lang
+    """,
+    "q_substr_year": """
+        SELECT CAST(substr(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 1, 4) AS INT) AS year,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    """,
+    "q_events_tumbling": """
+        SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q_events_sessionless_rate": """
+        SELECT user_id,
+               count(*) AS n_events,
+               count(DISTINCT event_type) AS n_types,
+               CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000) AS BIGINT) AS span_seconds
+        FROM events GROUP BY user_id
+    """,
+    "q_sessionize": """
+        WITH flagged AS (
+            SELECT user_id,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                             > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        )
+        SELECT user_id, CAST(1 + sum(is_new) AS BIGINT) AS n_sessions
+        FROM flagged GROUP BY user_id
+    """,
+}
