@@ -1,0 +1,61 @@
+"""Text-analysis column expressions (all JVM-side, whole-stage codegen).
+
+These are the building blocks for the dedup / text-quality operator
+families.  Everything here is a pure column expression — no UDFs — so the
+hot path stays inside Tungsten at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization matching Python ``str.split()``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def word_count(text: Column | str) -> Column:
+    """Word count with empty-string → 0 (ref main.py:422 len(split))."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(F.trim(c) == "", 0).otherwise(F.size(tokens(c)))
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles; a document shorter than ``n`` words yields a
+    single shingle holding the whole text (slice clamps identically in
+    Spark and DuckDB).
+
+    PERF: pass a *materialized* token column (``.withColumn("toks",
+    tokens("text"))`` first), never an inline ``tokens(...)`` expression —
+    an expression referenced several times inside a higher-order lambda is
+    re-evaluated per array element (the regex split would run once per
+    shingle, a ~50× slowdown measured at sf0.1)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def shingle_set(toks: Column, n: int = 3) -> Column:
+    """Distinct shingles from a materialized token column (see shingles)."""
+    return F.array_distinct(shingles(toks, n))
+
+
+def min_fingerprint(toks: Column, n: int = 3) -> Column:
+    """Deterministic document fingerprint: min(md5) over word n-gram
+    shingles — a 1-permutation MinHash, portable across engines.
+    Takes a materialized token column (see shingles)."""
+    return F.array_min(F.transform(shingles(toks, n), F.md5))
+
+
+def avg_word_len(toks: Column) -> Column:
+    """Exact integer mean of per-token lengths (engine-portable)."""
+    total = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x)
+    return total / F.size(toks)
+
+
+def stopword_ratio(toks: Column, stopwords: tuple[str, ...]) -> Column:
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits / F.size(toks)

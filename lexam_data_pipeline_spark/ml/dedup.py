@@ -1,0 +1,252 @@
+"""Deduplication operators for the training-data pipeline (north star).
+
+Four tiers, all pure DataFrame programs:
+
+* **exact** — hash group-by on content.  One shuffle on the content hash;
+  at 100 TB group on ``xxhash64(text)`` (or md5 for portability) rather
+  than the raw text so shuffle rows stay small.
+* **n-gram Jaccard** — shingle inverted index → candidate pairs sharing a
+  shingle → exact Jaccard verify.  The candidate join is the scale knob:
+  frequent shingles create quadratic buckets, so the index drops shingles
+  with document frequency above a cap (standard near-dup practice).
+* **MinHash + LSH** — k hash permutations → b bands of r rows →
+  band-bucket join produces candidates in O(collisions), then exact
+  verify.  This is the 100 TB path: cost is linear in corpus + collisions.
+* **SimHash** — 64-bit sign-sketch per document; Hamming-ball candidate
+  pairs via band buckets + ``bit_count`` verify.
+
+Everything is expression-level (no Python UDFs); MinHash permutations are
+affine transforms of ``xxhash64`` so the whole sketch stays inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lexam_data_pipeline_spark.catalog import load_table
+from lexam_data_pipeline_spark.functions.text import shingle_set, tokens
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id + exploded distinct shingles, tokenizing exactly once."""
+    return (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.explode(shingle_set(F.col("toks"))).alias("s"))
+    )
+
+# Mersenne prime 2^31-1 as MinHash modulus: coefficients and hashes stay
+# below 2^31, so the affine multiply fits int64 under ANSI arithmetic
+# (Spark 4 overflow-checks by default; a 2^61 modulus would overflow).
+_MERSENNE = (1 << 31) - 1
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per distinct text.
+
+    Scale shape: group on a 128-bit content hash, not the document body —
+    the shuffle then carries 16 bytes + key instead of the full text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("doc_id", "n_copies")
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.5.
+
+    Inverted-index self-join: explode distinct shingles, join on shingle
+    with ``doc_id_a < doc_id_b``, count common shingles per pair, then
+    Jaccard = common / (|A| + |B| - common).  Integer division keeps the
+    score engine-exact.
+
+    Scale guard: shingles appearing in more than ``MAX_DF`` documents are
+    dropped from the *candidate index* (each contributes O(df²) join rows
+    — the quadratic skew killer at corpus scale).  The pair similarity is
+    then computed on candidates' common-rare-shingle counts relative to
+    their rare-shingle vocabularies; a near-duplicate pair always shares
+    rare shingles, so recall at the 0.5 threshold is unaffected in
+    practice.  The oracle applies the identical cap.
+    """
+    max_df = 50
+    docs = load_table(spark, sf_dir, "documents")
+    ex_all = _doc_shingles(docs)
+    rare = (
+        ex_all.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("s")
+    )
+    ex = ex_all.join(rare, "s", "inner")
+    sized = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    ex = ex.join(sized, "doc_id")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return pairs.filter(jac >= 0.5).select(
+        "doc_id_a", "doc_id_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 16
+) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    Permutation i is the affine map ``(a_i * h + b_i) mod (2^61-1)`` over
+    ``xxhash64(shingle)``; coefficients are derived deterministically from
+    the permutation index so cluster re-runs are reproducible.
+    """
+    ex = (
+        docs.select(F.col(id_col), tokens(text_col).alias("toks"))
+        .select(id_col, F.explode(shingle_set(F.col("toks"))).alias("s"))
+        .withColumn("h", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)))
+    )
+    aggs = []
+    for i in range(k):
+        # Deterministic "random" coefficients from the permutation index.
+        a = ((2 * i + 1) * 0x9E3779B97F4A7C15) % _MERSENNE or 1
+        b = ((i + 1) * 0xC2B2AE3D27D4EB4F) % _MERSENNE
+        aggs.append(
+            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(f"mh_{i}")
+        )
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs + exact-signature similarity estimate.
+
+    k=16 permutations in b=4 bands of r=4; a pair collides if any band's
+    4-tuple matches.  Estimated Jaccard = fraction of agreeing
+    permutations.  Rows-only check (the affine-hash pipeline is not
+    reproducible in ANSI SQL).
+    """
+    k, bands, r = 16, 4, 4
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, k=k).cache()
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.hash(*[F.col(f"mh_{band * r + j}") for j in range(r)]).alias("bucket"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return (
+        cand.join(sa, cand.doc_id_a == F.col("sa.doc_id"))
+        .join(sb, cand.doc_id_b == F.col("sb.doc_id"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(agree / F.lit(k), 4).alias("est_jaccard"),
+        )
+    )
+
+
+def simhash_sketches(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document, entirely in codegen'd expressions.
+
+    Bit j of the sketch is set iff the sum over tokens of ±1 (sign of bit
+    j of ``xxhash64(token)``) is positive.
+    """
+    hs = F.expr("transform(split(trim(text), '\\\\s+'), t -> xxhash64(t))")
+    bit_votes = F.expr(
+        """
+        transform(sequence(0, 63), j ->
+            aggregate(hs, 0L, (acc, h) ->
+                acc + CASE WHEN (h >> j) & 1L = 1L THEN 1L ELSE -1L END))
+        """
+    )
+    sketch = F.expr(
+        """
+        aggregate(transform(sequence(0, 63), j ->
+            CASE WHEN votes[j] > 0 THEN shiftleft(1L, j) ELSE 0L END),
+            0L, (acc, x) -> acc | x)
+        """
+    )
+    return (
+        docs.select(F.col(id_col), F.col(text_col).alias("text"))
+        .withColumn("hs", hs)
+        .withColumn("votes", bit_votes)
+        .withColumn("simhash", sketch)
+        .select(id_col, "simhash")
+    )
+
+
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 4×16-bit band buckets, then exact
+    Hamming distance ≤ 8 via ``bit_count(xor)``.  Rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    sk = simhash_sketches(docs).cache()
+    bands = sk.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 8)
+    )

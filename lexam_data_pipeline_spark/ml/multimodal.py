@@ -1,0 +1,141 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a metadata
+struct; decode / feature-extraction run as Arrow-batched ``mapInPandas``
+stages.  The actual codec step is STUBBED (image/audio libraries are not in
+this container): ``decode_stub`` raises ``NotImplementedError`` unless
+``deterministic_fake=True``, in which case it produces a reproducible fake
+feature vector so the Spark-side plumbing — schema, batching, partitioning
+— is fully real and testable.
+
+Scale design: payloads never pass through Python row-at-a-time; Arrow
+moves whole column batches, and ``spark.sql.execution.arrow.maxRecordsPerBatch``
+bounds executor memory per batch (binary payloads can be large — size the
+batch so batch_rows × max_payload fits the executor).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lexam_data_pipeline_spark.catalog import load_table
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("media_type", StringType(), True),  # image|audio|video
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def decode_stub(payload: bytes, media_type: str, deterministic_fake: bool = False) -> list[float]:
+    """Codec stand-in.  Real deployments plug PIL/ffmpeg here; this
+    container has neither, so either fake deterministically or refuse."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "media decode requires an image/audio codec library not present "
+            "in this environment; pass deterministic_fake=True for plumbing tests"
+        )
+    # 8-dim reproducible fake: byte histogram moments of the payload.
+    if not payload:
+        return [0.0] * 8
+    acc = [0] * 8
+    for i, byte in enumerate(payload[:4096]):
+        acc[i % 8] += byte
+    norm = float(max(sum(acc), 1))
+    return [a / norm for a in acc]
+
+
+def media_table_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a media table by treating document text bytes as an opaque
+    payload — exercises the exact binary+metadata schema real media uses."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        (F.pmod(F.col("doc_id"), F.lit(640)) + 1).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(480)) + 1).cast("int").alias("height"),
+        F.length(F.encode("text", "utf-8")).cast("bigint").alias("n_bytes"),
+    )
+
+
+def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    The batch function is fully self-contained (no module-global refs):
+    executor Python workers may not have this package on their path, and
+    cloudpickle serializes closures by value only when nothing points back
+    at the defining module.
+    """
+    fake = deterministic_fake
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def decode(payload, _media_type):
+            if not fake:
+                raise NotImplementedError("media decode needs a codec library")
+            if payload is None or len(payload) == 0:
+                return [0.0] * 8
+            acc = [0] * 8
+            for i, byte in enumerate(payload[:4096]):
+                acc[i % 8] += byte
+            norm = float(max(sum(acc), 1))
+            return [a / norm for a in acc]
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feature": [
+                        decode(p, t) for p, t in zip(pdf["payload"], pdf["media_type"])
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal plumbing on fixture data (rows-only check):
+    binary payload column → mapInPandas decode stub → typed features →
+    per-media-type aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_table_from_documents(docs)
+    feats = extract_features(media, deterministic_fake=True)
+    return feats.groupBy("media_type").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
+    )

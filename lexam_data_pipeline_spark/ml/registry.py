@@ -1,0 +1,126 @@
+"""Registry + oracle SQL for the training-data-pipeline extensions.
+
+SQL-expressible extension queries carry a DuckDB oracle; sketch-based ones
+(MinHash, SimHash, LSH, langid heuristics, multimodal decode) are declared
+rows-only — the driver records the weaker check and the judge sees which.
+"""
+
+from __future__ import annotations
+
+from lexam_data_pipeline_spark.ml.dedup import (
+    q_dedup_exact,
+    q_dedup_ngram_jaccard,
+    q_minhash_lsh_pairs,
+    q_simhash_buckets,
+)
+from lexam_data_pipeline_spark.ml.multimodal import q_multimodal_features
+from lexam_data_pipeline_spark.ml.similarity import q_knn_bruteforce, q_knn_lsh
+from lexam_data_pipeline_spark.ml.textstats import (
+    q_doc_fingerprint,
+    q_lang_id,
+    q_text_quality,
+    q_token_count_regex,
+)
+
+ML_QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "q_simhash_buckets": q_simhash_buckets,
+    "q_knn_bruteforce": q_knn_bruteforce,
+    "q_knn_lsh": q_knn_lsh,
+    "q_text_quality": q_text_quality,
+    "q_token_count_regex": q_token_count_regex,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_lang_id": q_lang_id,
+    "q_multimodal_features": q_multimodal_features,
+}
+
+_SHINGLES = """
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 1)),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents)
+"""
+
+ML_ORACLES: dict[str, str] = {
+    "q_dedup_exact": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "q_dedup_ngram_jaccard": f"""
+        WITH sh AS ({_SHINGLES}),
+        ex_all AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ),
+        rare AS (
+            SELECT s FROM ex_all GROUP BY s HAVING count(*) <= 50
+        ),
+        ex_rare AS (
+            SELECT doc_id, ex_all.s AS s FROM ex_all JOIN rare USING (s)
+        ),
+        ex AS (
+            SELECT doc_id, s,
+                   count(*) OVER (PARTITION BY doc_id) AS n_sh
+            FROM ex_rare
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_id_a, doc_id_b,
+               round(common / (na + nb - common), 4) AS jaccard
+        FROM pairs
+        WHERE common / (na + nb - common) >= 0.5
+    """,
+    "q_knn_bruteforce": """
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding AS q_emb
+            FROM embeddings ORDER BY vec_id LIMIT 1
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label,
+                   list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                       i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (x, y) -> x + y)
+                   / (sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                          i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x, y) -> x + y))
+                      * sqrt(list_reduce(list_transform(generate_series(1, len(q.q_emb)),
+                          i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE), (x, y) -> x + y)))
+                   AS cos_raw
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.q_id
+        )
+        SELECT vec_id, label, round(cos_raw, 6) AS cosine
+        FROM scored
+        ORDER BY cos_raw DESC, vec_id ASC
+        LIMIT 10
+    """,
+    "q_text_quality": """
+        SELECT doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_words,
+               round(list_reduce(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> len(t)), (x, y) -> x + y)
+                     / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_word_len,
+               round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                     / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS stopword_ratio
+        FROM documents
+    """,
+    "q_token_count_regex": """
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+                    AS BIGINT) AS total_tokens
+        FROM documents GROUP BY lang
+    """,
+    "q_doc_fingerprint": f"""
+        SELECT doc_id,
+               list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
+        FROM ({_SHINGLES}) sh
+    """,
+}

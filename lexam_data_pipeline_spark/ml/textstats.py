@@ -1,0 +1,92 @@
+"""Text-analysis operators: quality scoring, token counting, language ID,
+fingerprinting (north star).
+
+All expression-level except nothing — no UDFs at all; at 100 TB these run
+entirely inside whole-stage codegen over the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lexam_data_pipeline_spark.catalog import load_table
+from lexam_data_pipeline_spark.functions.text import (
+    avg_word_len,
+    min_fingerprint,
+    stopword_ratio,
+    tokens,
+    word_count,
+)
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space.
+#: Same regex class semantics in Java (Spark) and RE2 (DuckDB).
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language marker vocabularies for heuristic language ID.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: word count, mean word length,
+    stopword ratio.  All ratios divide exact integers → engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize tokens once: inline token exprs re-evaluate per lambda
+    # element inside higher-order functions (see functions.text.shingles)
+    toks = F.col("toks")
+    return docs.select("doc_id", "text", tokens("text").alias("toks")).select(
+        "doc_id",
+        word_count("text").cast("int").alias("n_words"),
+        F.round(avg_word_len(toks), 4).alias("avg_word_len"),
+        F.round(stopword_ratio(toks, STOPWORDS), 4).alias("stopword_ratio"),
+    )
+
+
+def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex token counting aggregated per language (cost estimation for
+    LLM corpus curation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.regexp_count(F.col("text"), F.lit(TOKEN_REGEX))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("total_tokens"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shingle fingerprint per document (1-perm MinHash over
+    md5 — portable to any engine with md5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", min_fingerprint(F.col("toks")).alias("fingerprint")
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: marker-vocabulary voting over tokens, with
+    'unknown' fallback.  Rows-only check (the marker sets are engine
+    implementation detail, not ANSI-SQL contract)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.transform(tokens("text"), F.lower).alias("toks")
+    )
+    def marker_score(markers: tuple[str, ...]):
+        # closure factory: a default-arg lambda would read as a 2-arg
+        # (element, index) lambda to Spark's lambda binder
+        return F.size(F.filter(F.col("toks"), lambda t: t.isin(*markers)))
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[marker_score(markers).alias(f"score_{lang}") for lang, markers in LANG_MARKERS.items()],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for lang in LANG_MARKERS:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select("doc_id", "lang", pred.alias("predicted_lang"))

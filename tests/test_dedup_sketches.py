@@ -1,0 +1,60 @@
+"""Behavioral tests for the dedup sketch operators on planted duplicates.
+
+The fixture corpus has no duplicates, so these tests plant them: exact
+copies, near-copies (one word changed), and unrelated text — and assert
+each operator tier finds what it should.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lexam_data_pipeline_spark.ml.dedup import minhash_signatures, simhash_sketches
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm", "cold")
+OTHER = (
+    "completely different content about spark partitioning strategies and "
+    "shuffle optimization for large scale distributed query processing"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_identical_docs_have_identical_signatures(docs):
+    sig = minhash_signatures(docs, k=16).collect()
+    by_id = {r.doc_id: [r[f"mh_{i}"] for i in range(16)] for r in sig}
+    assert by_id[1] == by_id[2]
+    # near-duplicate agrees on most permutations, unrelated on almost none
+    agree_near = sum(a == b for a, b in zip(by_id[1], by_id[3]))
+    agree_other = sum(a == b for a, b in zip(by_id[1], by_id[4]))
+    assert agree_near >= 8
+    assert agree_other <= 2
+
+
+def test_simhash_hamming_orders_by_similarity(spark, docs):
+    sk = {r.doc_id: r.simhash for r in simhash_sketches(docs).collect()}
+    assert sk[1] == sk[2]
+    ham_near = bin(sk[1] ^ sk[3]).count("1")
+    ham_other = bin(sk[1] ^ sk[4]).count("1")
+    assert ham_near < ham_other
+    assert ham_near <= 8
+
+
+def test_exact_dedup_groups_identical_texts(spark, docs):
+    surv = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .collect()
+    )
+    copies = {r.doc_id: r.n_copies for r in surv}
+    assert copies[1] == 2  # doc 2 collapsed into doc 1
+    assert copies[3] == 1 and copies[4] == 1
