@@ -1,0 +1,164 @@
+"""Unit tests for the extraction cascade — behavior-matched against the
+reference semantics (letter_extract.py), including its edge cases.
+
+The tests also run the *reference algorithm re-implemented in pure Python*
+side-by-side on a corpus of tricky strings, so any divergence between the
+Spark expressions and the Python regex semantics is caught exactly.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from lexam_data_pipeline_spark.functions.extract import (
+    extract_letter,
+    extract_score,
+    format_choices,
+    gold_to_letter,
+    mcq_correct,
+    strip_thinking,
+    template_format,
+)
+
+
+# -- reference behavior, independently re-implemented (not imported) --------
+def ref_extract_letter(text):
+    if not text:
+        return None
+    m = re.search(r"###\s*([A-Z])\s*###", text)
+    if m:
+        return m.group(1)
+    m = re.search(r"(?:answer|Answer)\s*(?:is|:)\s*\(?([A-Z])\)?", text)
+    if m:
+        return m.group(1)
+    m = re.findall(r"(?:^|\s)\(?([A-Z])\)?[\.\s]*$", text, re.MULTILINE)
+    if m:
+        return m[-1]
+    m = re.search(r"correct\s+(?:answer|option|choice)\s+is\s+\(?([A-Z])\)?", text, re.IGNORECASE)
+    if m:
+        return m.group(1).upper()
+    return None
+
+
+def ref_extract_score(text):
+    if not text:
+        return None
+    m = re.search(r"\[\[(\d+\.?\d*)\]\]", text)
+    if m:
+        return max(0.0, min(1.0, float(m.group(1))))
+    return None
+
+
+CORPUS = [
+    None,
+    "",
+    "### A ###",
+    "###B###",
+    "bla ### C### trailing",
+    "The answer is B",
+    "Answer: (C)",
+    "answer is (D) because",
+    "final line ends\nwith D.",
+    "multi\nE\nlines\nF",
+    "paren (G)",
+    "the correct answer is (h)",
+    "The CORRECT OPTION IS X obviously",
+    "Answer:Z",
+    "noise with no letter here",
+    "lowercase only answer is x",
+    "###A### but also Answer: B",
+    "Answer is B\nbut line ends with C",
+    "tab\tseparated D  ",
+    "A",
+    "ends with space A ",
+    "Répondez: Ü non",
+    "answer is 7",
+]
+
+SCORE_CORPUS = [
+    None,
+    "",
+    "[[0.5]]",
+    "Score: [[0.85]] good",
+    "[[1.5]] clamps",
+    "[[0]] zero",
+    "[[12.]] trailing dot",
+    "[[.5]] leading dot no digits",
+    "no score",
+    "[0.5] single brackets",
+    "<think>[[0.9]]</think>[[0.3]]",
+]
+
+
+def test_extract_letter_matches_reference(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], ["i", "t"])
+    got = {r.i: r.letter for r in df.select("i", extract_letter(F.col("t")).alias("letter")).collect()}
+    for i, t in enumerate(CORPUS):
+        assert got[i] == ref_extract_letter(t), f"case {i}: {t!r}: spark={got[i]} ref={ref_extract_letter(t)}"
+
+
+def test_extract_score_matches_reference(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(SCORE_CORPUS)], ["i", "t"])
+    got = {r.i: r.score for r in df.select("i", extract_score(F.col("t")).alias("score")).collect()}
+    for i, t in enumerate(SCORE_CORPUS):
+        assert got[i] == ref_extract_score(t), f"case {i}: {t!r}: spark={got[i]} ref={ref_extract_score(t)}"
+
+
+def test_strip_thinking(spark):
+    cases = [
+        ("<think>reasoning</think>answer", "answer"),
+        ("<think>multi\nline</think>  answer  ", "answer"),
+        ("a<think>x</think>b<think>y</think>c", "abc"),
+        ("no think block", "no think block"),
+        ("<think>unclosed", "<think>unclosed"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(cases)], ["i", "t"])
+    got = {r.i: r.s for r in df.select("i", strip_thinking(F.col("t")).alias("s")).collect()}
+    for i, (t, want) in enumerate(cases):
+        assert got[i] == want, f"{t!r} -> {got[i]!r}, want {want!r}"
+
+
+def test_gold_letter_and_correctness(spark):
+    df = spark.createDataFrame(
+        [(0, "A"), (1, "B"), (2, None), (25, "Z"), (3, "A")], ["gold", "letter"]
+    )
+    rows = df.select(
+        gold_to_letter(F.col("gold")).alias("gl"),
+        mcq_correct(F.col("letter"), F.col("gold")).alias("ok"),
+    ).collect()
+    assert [r.gl for r in rows] == ["A", "B", "C", "Z", "D"]
+    assert [r.ok for r in rows] == [True, True, False, True, False]
+
+
+def test_format_choices(spark):
+    df = spark.createDataFrame([(["yes", "no", "maybe"],)], ["choices"])
+    got = df.select(format_choices(F.col("choices")).alias("f")).first().f
+    assert got == "A) yes\nB) no\nC) maybe"
+    # 27+ choices capped at 26 like the reference letters string
+    many = [[f"c{i}" for i in range(30)]]
+    got = (
+        spark.createDataFrame(many, "array<string>")
+        .toDF("choices")
+        .select(format_choices(F.col("choices")).alias("f"))
+        .first()
+        .f
+    )
+    assert got.count("\n") == 25 and got.endswith("Z) c25")
+
+
+def test_template_format(spark):
+    df = spark.createDataFrame([("Torts", "What is negligence?")], ["course", "q"])
+    tpl = "Course: {course_name}\n\nQ: {question}\nAnswer:"
+    out = df.select(
+        template_format(tpl, {"course_name": F.col("course"), "question": F.col("q")}).alias("p")
+    ).first().p
+    assert out == "Course: Torts\n\nQ: What is negligence?\nAnswer:"
+    with pytest.raises(KeyError):
+        template_format("{missing}", {})
+    # literal braces escape
+    out2 = df.select(template_format("{{json}} {course_name}", {"course_name": F.col("course")}).alias("p")).first().p
+    assert out2 == "{json} Torts"
