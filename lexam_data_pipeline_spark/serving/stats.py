@@ -1,0 +1,260 @@
+"""Serving parity: experiment statistics (SURVEY §2.4 A12-A14; ref
+backend/app/routers/experiment_stats.py:13-284).
+
+The reference's shape is N+1 point lookups (J7: per answer, fetch variant
+then question, then per-answer judgment queries) folded into Python dicts.
+Here every endpoint is a set-based plan: answers ⋈ broadcast(variants ⋈
+questions), judgments joined once, aggregates built-in.
+
+Semantics preserved exactly:
+
+* "MCQ answer" = extracted_letter IS NOT NULL; "open" = IS NULL
+  (experiment_stats.py:32,38) — not config-based.
+* scores only from judgments with non-NULL score, optional judge filter
+  (experiment_stats.py:43-49).
+* rounding to 4 decimals at the edge (F11); exact median
+  (statistics.median interpolates the even-count midpoint — matched by
+  Spark's percentile(0.5)).
+* unanimity over variants with any extracted letter
+  (experiment_stats.py:262-284).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: score histogram: 11 buckets of 0.1, last bucket = [1.0, ∞)
+#: (experiment_stats.py:54-61)
+SCORE_BUCKETS = [(i / 10, (i + 1) / 10, f"{i / 10:.1f}-{(i + 1) / 10:.1f}") for i in range(11)]
+
+
+def _filtered_answers(answers: DataFrame, experiment_id: int, model_name: str | None) -> DataFrame:
+    out = answers.filter(F.col("experiment_id") == experiment_id)
+    if model_name:
+        out = out.filter(F.col("model_name") == model_name)
+    return out
+
+
+def _valid_judgments(judgments: DataFrame, judge_model: str | None) -> DataFrame:
+    out = judgments.filter(F.col("score").isNotNull())
+    if judge_model:
+        out = out.filter(F.col("judge_model") == judge_model)
+    return out
+
+
+def experiment_stats(
+    answers: DataFrame,
+    judgments: DataFrame,
+    *,
+    experiment_id: int,
+    model_name: str | None = None,
+    judge_model: str | None = None,
+    n_answers: int = 1,
+) -> dict[str, DataFrame]:
+    """The /stats endpoint: overall MCQ/open stats, score histogram,
+    token totals, self-consistency — each a lazy DataFrame."""
+    ans = _filtered_answers(answers, experiment_id, model_name).persist()
+    is_mcq = F.col("extracted_letter").isNotNull()
+
+    # judgments of open answers under this experiment/judge. Token sums
+    # include score-less judgments (ref experiment_stats.py:74-83 has no
+    # score filter); score stats don't (ref :43-49).
+    open_ids = ans.filter(~is_mcq).select(F.col("id").alias("answer_id"))
+    open_judgments = judgments.join(open_ids, "answer_id", "left_semi")
+    if judge_model:
+        open_judgments = open_judgments.filter(F.col("judge_model") == judge_model)
+    scores = open_judgments.filter(F.col("score").isNotNull())
+
+    overall = ans.agg(
+        F.count(F.lit(1)).alias("total_answers"),
+        F.sum(is_mcq.cast("int")).alias("mcq_total"),
+        F.sum((is_mcq & F.coalesce(F.col("mcq_correct"), F.lit(False))).cast("int")).alias(
+            "mcq_correct"
+        ),
+        F.sum((~is_mcq).cast("int")).alias("open_total"),
+        F.sum(F.coalesce("input_tokens", F.lit(0))).alias("generation_input"),
+        F.sum(F.coalesce("output_tokens", F.lit(0))).alias("generation_output"),
+    ).select(
+        "*",
+        F.when(
+            F.col("mcq_total") > 0,
+            F.round(F.col("mcq_correct") / F.col("mcq_total"), 4),
+        ).otherwise(F.lit(0.0)).alias("mcq_accuracy"),
+    )
+
+    score_stats = scores.agg(
+        F.count(F.lit(1)).alias("judged"),
+        F.coalesce(F.round(F.avg("score"), 4), F.lit(0.0)).alias("avg_score"),
+        F.coalesce(F.round(F.percentile("score", F.lit(0.5)), 4), F.lit(0.0)).alias(
+            "median_score"
+        ),
+    )
+    judge_tokens = open_judgments.agg(
+        F.coalesce(F.sum("input_tokens"), F.lit(0)).alias("judge_input"),
+        F.coalesce(F.sum("output_tokens"), F.lit(0)).alias("judge_output"),
+    )
+
+    # score histogram: bucket index min(floor(s*10), 10), densified
+    bucket_spec = ans.sparkSession.createDataFrame(
+        [(label,) for _, _, label in SCORE_BUCKETS], "range string"
+    )
+    bucket = F.least(F.floor(F.col("score") * 10), F.lit(10)).cast("int")
+    labels = F.array(*[F.lit(label) for _, _, label in SCORE_BUCKETS])
+    score_distribution = (
+        bucket_spec.join(
+            scores.select(F.element_at(labels, bucket + 1).alias("range"))
+            .groupBy("range")
+            .agg(F.count(F.lit(1)).alias("count")),
+            "range",
+            "left_outer",
+        )
+        .withColumn("count", F.coalesce(F.col("count"), F.lit(0)).cast("long"))
+    )
+
+    # A13: unanimity across runs per variant, over letter-bearing answers
+    consistency = None
+    if n_answers and n_answers > 1:
+        per_variant = (
+            ans.filter(is_mcq)
+            .groupBy("variant_id")
+            .agg((F.countDistinct("extracted_letter") == 1).cast("int").alias("unanimous"))
+        )
+        consistency = per_variant.agg(
+            F.count(F.lit(1)).alias("total_variants"),
+            F.coalesce(F.sum("unanimous"), F.lit(0)).alias("unanimous"),
+            F.coalesce(F.round(F.avg("unanimous"), 4), F.lit(0.0)).alias("unanimous_rate"),
+        )
+
+    out = {
+        "overall": overall,
+        "open": score_stats,
+        "judge_tokens": judge_tokens,
+        "score_distribution": score_distribution,
+    }
+    if consistency is not None:
+        out["self_consistency"] = consistency
+    return out
+
+
+def breakdown_by_field(
+    answers: DataFrame,
+    judgments: DataFrame,
+    variants: DataFrame,
+    questions: DataFrame,
+    *,
+    experiment_id: int,
+    field: str,
+    model_name: str | None = None,
+    judge_model: str | None = None,
+) -> DataFrame:
+    """A12 per-field accuracy/score breakdown (experiment_stats.py:225-259)
+    — the reference's N+1 lookups replaced by two broadcast joins."""
+    ans = _filtered_answers(answers, experiment_id, model_name)
+    dims = variants.select(F.col("id").alias("variant_id"), "question_id").join(
+        F.broadcast(questions.select(F.col("id").alias("question_id"), field)),
+        "question_id",
+        "left_outer",
+    )
+    enriched = ans.join(F.broadcast(dims), "variant_id", "left_outer").withColumn(
+        "name", F.coalesce(F.col(field), F.lit("unknown"))
+    )
+    is_mcq = F.col("extracted_letter").isNotNull()
+    jscore = _valid_judgments(judgments, judge_model).select(
+        F.col("answer_id"), F.col("score")
+    )
+    open_scored = (
+        enriched.filter(~is_mcq)
+        .select(F.col("id").alias("answer_id"), "name")
+        .join(jscore, "answer_id", "inner")
+        .groupBy("name")
+        .agg(
+            F.round(F.avg("score"), 4).alias("open_avg_score"),
+            F.count(F.lit(1)).alias("open_total"),
+        )
+    )
+    mcq_side = enriched.groupBy("name").agg(
+        F.sum(is_mcq.cast("int")).alias("mcq_total"),
+        F.sum((is_mcq & F.coalesce(F.col("mcq_correct"), F.lit(False))).cast("int")).alias(
+            "__correct"
+        ),
+    )
+    return (
+        mcq_side.join(open_scored, "name", "full_outer")
+        .select(
+            "name",
+            F.when(
+                F.col("mcq_total") > 0, F.round(F.col("__correct") / F.col("mcq_total"), 4)
+            ).alias("mcq_accuracy"),
+            F.coalesce("mcq_total", F.lit(0)).alias("mcq_total"),
+            "open_avg_score",
+            F.coalesce("open_total", F.lit(0)).alias("open_total"),
+        )
+        .orderBy("name")
+    )
+
+
+def compare_judges(
+    answers: DataFrame, judgments: DataFrame, *, experiment_id: int
+) -> DataFrame:
+    """A6: per-judge count/avg/median (experiment_stats.py:117-160) — the
+    reference re-fetches all scores per judge for the median; one grouped
+    aggregate here."""
+    exp_answers = answers.filter(F.col("experiment_id") == experiment_id).select(
+        F.col("id").alias("answer_id")
+    )
+    return (
+        judgments.filter(F.col("score").isNotNull())
+        .join(exp_answers, "answer_id", "left_semi")
+        .groupBy("judge_model")
+        .agg(
+            F.count(F.lit(1)).alias("judged"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+            F.round(F.percentile("score", F.lit(0.5)), 4).alias("median_score"),
+        )
+        .orderBy("judge_model")
+    )
+
+
+def stats_by_question(
+    answers: DataFrame,
+    judgments: DataFrame,
+    variants: DataFrame,
+    questions: DataFrame,
+    *,
+    experiment_id: int,
+    model_name: str | None = None,
+    judge_model: str | None = None,
+) -> DataFrame:
+    """A14 per-question rollup (experiment_stats.py:163-222), sorted by
+    avg score desc (NULL → 0 in the sort key, like the reference's
+    ``x["avg_score"] or 0``)."""
+    ans = _filtered_answers(answers, experiment_id, model_name)
+    dims = variants.select(F.col("id").alias("variant_id"), "question_id", "config").join(
+        F.broadcast(questions.select(F.col("id").alias("question_id"), "course", "area")),
+        "question_id",
+        "left_outer",
+    )
+    enriched = ans.join(F.broadcast(dims), "variant_id", "left_outer").withColumn(
+        "question_id", F.coalesce(F.col("question_id"), F.lit("unknown"))
+    )
+    jscore = _valid_judgments(judgments, judge_model).select("answer_id", "score")
+    scored = enriched.select(F.col("id").alias("answer_id"), "question_id").join(
+        jscore, "answer_id", "inner"
+    )
+    score_agg = scored.groupBy("question_id").agg(
+        F.round(F.avg("score"), 4).alias("avg_score"),
+        F.count(F.lit(1)).alias("judgment_count"),
+    )
+    base_agg = enriched.groupBy("question_id").agg(
+        F.first("course", ignorenulls=True).alias("course"),
+        F.first("area", ignorenulls=True).alias("area"),
+        F.first("config", ignorenulls=True).alias("config"),
+        # ref: last non-NULL mcq_correct wins; any true ≡ bool_or for 0/1-run data
+        F.bool_or(F.col("mcq_correct")).alias("mcq_correct"),
+        F.count(F.lit(1)).alias("answer_count"),
+    )
+    return (
+        base_agg.join(score_agg, "question_id", "left_outer")
+        .withColumn("judgment_count", F.coalesce("judgment_count", F.lit(0)))
+        .orderBy(F.desc(F.coalesce(F.col("avg_score"), F.lit(0.0))), F.asc("question_id"))
+    )
