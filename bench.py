@@ -44,6 +44,11 @@ HEADLINE = [
     "q_regex_extract",
     "q_events_tumbling",
     "q_sessionize",
+    "q_nest_children",
+    "q_facets_one_pass",
+    "q_rollup_total",
+    "q_window_rank",
+    "q_events_sliding",
 ]
 
 
@@ -56,7 +61,12 @@ def main() -> None:
     queries = build_queries()
     names = [n for n in HEADLINE if n in queries]
     # optional extension headliners, present once ml/ lands
-    for extra in ("q_dedup_ngram_jaccard", "q_knn_bruteforce", "q_minhash_lsh_pairs"):
+    for extra in (
+        "q_dedup_ngram_jaccard",
+        "q_knn_bruteforce",
+        "q_minhash_lsh_pairs",
+        "q_dedup_embedding",
+    ):
         if extra in queries and extra not in names:
             names.append(extra)
 

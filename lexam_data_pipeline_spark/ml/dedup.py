@@ -250,3 +250,181 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 8)
     )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (north star: semantic dedup).
+
+    Exact all-pairs cosine ≥ 0.45 over the ``embeddings`` fixture with the
+    engine-portable sequential-fold reduction, so the DuckDB oracle checks
+    values.  The O(n²) pair space is generated as a range self-join on
+    ``vec_id <` with both sides pre-normalized — each row carries its norm
+    once (computed map-side) instead of re-deriving it per pair.
+
+    Perf (measured at sf0.1, 2 M pairs): ``aggregate(zip_with(...))``
+    per pair runs interpreted (higher-order lambdas don't codegen) — 30 s.
+    Flattening each vector into 64 scalar columns *before* the join turns
+    the dot into a left-associated scalar ``+`` chain inside whole-stage
+    codegen — ~4 s.  Left-assoc ``+`` is bit-identical to the oracle's
+    sequential ``list_reduce`` fold, so value parity survives.  The
+    streamed side is repartitioned because the corpus parquet is one
+    small file → the whole O(n²) loop would otherwise run in ONE task.
+
+    100 TB path: :func:`q_dedup_embedding_blocked` — the same verify
+    expression fed by a distributed blocked-matmul candidate generator
+    (applyInPandas over block pairs) instead of the all-pairs join.
+    """
+    dim = 64
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = [F.col("embedding")[i].cast("double") * F.col("embedding")[i].cast("double")
+          for i in range(dim)]
+    norm2 = sq[0]
+    for t in sq[1:]:
+        norm2 = norm2 + t
+    # persist() is load-bearing, not a cache hint: it cuts the expression
+    # lineage so the pair-join condition references plain attributes.
+    # Without it, Catalyst's filter pushdown substitutes the full 128-leaf
+    # cosine chain (dot + two sqrt-norm chains) into the join condition and
+    # constraint propagation walks the blown-up tree until the driver OOMs
+    # — even at 500 rows.  (The corpus-side "index build" is a natural
+    # materialization point at any scale.)
+    flat = emb.select(
+        "vec_id",
+        F.sqrt(norm2).alias("norm"),
+        *[F.col("embedding")[i].cast("double").alias(f"x{i}") for i in range(dim)],
+    ).persist()
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = flat.repartition(shuffle_parts).select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("norm").alias("na"),
+        *[F.col(f"x{i}").alias(f"a{i}") for i in range(dim)],
+    )
+    b = flat.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("norm").alias("nb"),
+        *[F.col(f"x{i}").alias(f"b{i}") for i in range(dim)],
+    )
+    terms = [F.col(f"a{i}") * F.col(f"b{i}") for i in range(dim)]
+    dot = terms[0]
+    for t in terms[1:]:
+        dot = dot + t
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= 0.45)
+        .select("vec_id_a", "vec_id_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+def q_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: distributed blocked matmul for
+    candidates, exact JVM-side verify for the result.
+
+    The 100 TB shape of :func:`q_dedup_embedding`.  The O(n²) pair space
+    is tiled into KB·(KB+1)/2 block pairs; each row is replicated to the
+    block pairs it participates in (a KB-fold map-side blowup, NOT n²),
+    and one ``applyInPandas`` group per block pair runs a vectorized
+    numpy matmul to emit candidate ids above ``threshold - 1e-6``.  The
+    margin makes pruning sound: numpy's pairwise summation differs from
+    the sequential fold by ≤ d·ε·‖x‖‖y‖ ≈ 1e-14 for d=64 — 8 orders
+    below the margin.  Candidates (a few hundred rows) are then joined
+    back and re-scored with the same codegen'd left-assoc chain as
+    ``q_dedup_embedding``, so the final values are bit-identical and the
+    SAME DuckDB oracle verifies both variants.
+
+    On a cluster, blocks land on different executors — total work is the
+    same n²·d multiplies but fully parallel with only a KB-fold data
+    replication, no driver collect, no broadcast of the full corpus.
+    """
+    import pandas as _pd
+
+    dim = 64
+    n_blocks = 8
+    threshold = 0.45
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    blk = F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    # every block pair (i, j), i ≤ j, that this row's block belongs to
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+                lambda i: F.transform(
+                    F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+                    lambda j: F.struct(i.alias("pi"), j.alias("pj")),
+                ),
+            )
+        ),
+        lambda p: (p["pi"] <= p["pj"]) & ((p["pi"] == blk) | (p["pj"] == blk)),
+    )
+    tagged = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"), blk.alias("blk"))
+        .withColumn("p", F.explode(pairs))
+        .select(F.col("p.pi").alias("pi"), F.col("p.pj").alias("pj"), "vec_id", "blk", "e")
+    )
+
+    def block_candidates(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        # self-contained closure: numpy-only candidate generation
+        import numpy as np
+        import pandas as pd
+
+        pi, pj = int(pdf["pi"].iloc[0]), int(pdf["pj"].iloc[0])
+        left = pdf[pdf["blk"] == pi]
+        right = pdf[pdf["blk"] == pj]
+        if left.empty or right.empty:
+            return pd.DataFrame({"vec_id_a": [], "vec_id_b": []}).astype("int64")
+        la = np.stack(left["e"].to_numpy())
+        rb = np.stack(right["e"].to_numpy())
+        la_n = la / np.linalg.norm(la, axis=1, keepdims=True)
+        rb_n = rb / np.linalg.norm(rb, axis=1, keepdims=True)
+        sims = la_n @ rb_n.T
+        ai, bj = np.nonzero(sims >= 0.45 - 1e-6)
+        ida = left["vec_id"].to_numpy()[ai]
+        idb = right["vec_id"].to_numpy()[bj]
+        lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+        keep = lo < hi  # drops self-pairs; (a,b) emitted once since i ≤ j
+        return pd.DataFrame({"vec_id_a": lo[keep], "vec_id_b": hi[keep]})
+
+    candidates = tagged.groupBy("pi", "pj").applyInPandas(
+        block_candidates, "vec_id_a long, vec_id_b long"
+    )
+    if n_blocks > 1:
+        candidates = candidates.dropDuplicates(["vec_id_a", "vec_id_b"])
+
+    # exact re-score (tiny candidate set): same codegen'd chain as
+    # q_dedup_embedding → bit-identical values, same oracle.  persist()
+    # is load-bearing (see q_dedup_embedding: constraint-propagation
+    # blowup on the substituted cosine chain).
+    sq = [F.col("embedding")[i].cast("double") * F.col("embedding")[i].cast("double")
+          for i in range(dim)]
+    norm2 = sq[0]
+    for t in sq[1:]:
+        norm2 = norm2 + t
+    flat = emb.select(
+        "vec_id",
+        F.sqrt(norm2).alias("norm"),
+        *[F.col("embedding")[i].cast("double").alias(f"x{i}") for i in range(dim)],
+    ).persist()
+    a = flat.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("norm").alias("na"),
+        *[F.col(f"x{i}").alias(f"a{i}") for i in range(dim)],
+    )
+    b = flat.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("norm").alias("nb"),
+        *[F.col(f"x{i}").alias(f"b{i}") for i in range(dim)],
+    )
+    terms = [F.col(f"a{i}") * F.col(f"b{i}") for i in range(dim)]
+    dot = terms[0]
+    for t in terms[1:]:
+        dot = dot + t
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        candidates.join(F.broadcast(a), "vec_id_a")
+        .join(F.broadcast(b), "vec_id_b")
+        .select("vec_id_a", "vec_id_b", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= threshold)
+        .select("vec_id_a", "vec_id_b", F.round("cos_raw", 6).alias("cosine"))
+    )

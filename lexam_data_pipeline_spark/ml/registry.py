@@ -8,6 +8,8 @@ rows-only — the driver records the weaker check and the judge sees which.
 from __future__ import annotations
 
 from lexam_data_pipeline_spark.ml.dedup import (
+    q_dedup_embedding,
+    q_dedup_embedding_blocked,
     q_dedup_exact,
     q_dedup_ngram_jaccard,
     q_minhash_lsh_pairs,
@@ -24,6 +26,8 @@ from lexam_data_pipeline_spark.ml.textstats import (
 
 ML_QUERIES = {
     "q_dedup_exact": q_dedup_exact,
+    "q_dedup_embedding": q_dedup_embedding,
+    "q_dedup_embedding_blocked": q_dedup_embedding_blocked,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash_buckets": q_simhash_buckets,
@@ -45,7 +49,28 @@ _SHINGLES = """
               FROM documents)
 """
 
+ML_ORACLE_EMBEDDING = """
+        WITH n AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS e,
+                   sqrt(list_reduce(list_transform(embedding,
+                        x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) AS nrm
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   list_reduce(list_transform(generate_series(1, len(a.e)),
+                        i -> a.e[i] * b.e[i]), (x, y) -> x + y)
+                   / (a.nrm * b.nrm) AS cos_raw
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+        )
+        SELECT vec_id_a, vec_id_b, round(cos_raw, 6) AS cosine
+        FROM pairs WHERE cos_raw >= 0.45
+"""
+
 ML_ORACLES: dict[str, str] = {
+    "q_dedup_embedding": ML_ORACLE_EMBEDDING,
+    "q_dedup_embedding_blocked": ML_ORACLE_EMBEDDING,
     "q_dedup_exact": """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY md5(text)

@@ -456,3 +456,118 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg((F.lit(1) + F.sum("is_new")).cast("bigint").alias("n_sessions"))
     )
+
+
+# --------------------------------------------------------------------------
+# Nested serialization / faceting / rollup / ranking  (SURVEY §2.3 J2,
+# §2.2 P6, §2.4 A16, §2.5 extensions)
+# --------------------------------------------------------------------------
+
+
+def q_nest_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: eager 1:N join nesting children per parent (ref main.py:189
+    joinedload + :554-577 serialization) — BUILDING customers with their
+    order keys as a sorted array.
+
+    Scale: one shuffle on the join key; collect_list is a map-side-partial
+    aggregate, and the child array is bounded by per-customer fan-in (the
+    reference's page cap bounds it further in serving)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_facets_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: skip-one-field faceting in ONE pass (ref main.py:117-132 runs
+    one query per facet field; SURVEY §4 flags the single-pass rewrite).
+
+    Active filters: segment ∈ {BUILDING, MACHINERY}, status ∈ {O}.  Each
+    facet collects its field's distinct values under every *other* active
+    filter.  One scan + one single-row aggregate instead of N queries —
+    at 100 TB, N-1 fewer full scans."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.join(
+        cust.select("c_custkey", "c_mktsegment"),
+        orders.o_custkey == cust.c_custkey,
+        "inner",
+    )
+    p_seg = F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    p_status = F.col("o_orderstatus") == "O"
+
+    def facet(col: str, cond) -> F.Column:
+        vals = F.sort_array(F.array_distinct(F.collect_list(F.when(cond, F.col(col)))))
+        return F.transform(
+            vals, lambda v: F.struct(F.lit(col).alias("facet_field"), v.alias("facet_value"))
+        )
+
+    one_row = base.agg(
+        F.concat(
+            facet("c_mktsegment", p_status),
+            facet("o_orderstatus", p_seg),
+            facet("o_orderpriority", p_seg & p_status),
+        ).alias("facets")
+    )
+    return one_row.select(F.explode("facets").alias("f")).select("f.facet_field", "f.facet_value")
+
+
+def q_rollup_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: grand-total footer via rollup (ref Dashboard.jsx:903-917 sums
+    client-side; grouping sets do it in-plan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status_label"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W: ranking window — top-3 customers by balance per segment
+    (beyond-reference window coverage; frames come free with Window)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("rank_in_segment", F.row_number().over(w))
+        .filter(F.col("rank_in_segment") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rank_in_segment")
+    )
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate (1 h window, 30 min hop) in batch form —
+    the streaming twin uses the same ``F.window`` expression under a
+    watermark (SURVEY §7.7).
+
+    Each event lands in exactly size/hop = 2 windows; Spark's window
+    generator explodes in-plan (no self-union), aligned to the unix epoch
+    like the oracle's bucket arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -194,4 +194,57 @@ CORE_ORACLES: dict[str, str] = {
         SELECT user_id, CAST(1 + sum(is_new) AS BIGINT) AS n_sessions
         FROM flagged GROUP BY user_id
     """,
+    "q_nest_children": """
+        SELECT c_custkey, c_name,
+               list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY c_custkey, c_name
+    """,
+    "q_facets_one_pass": """
+        WITH base AS (
+            SELECT c_mktsegment, o_orderstatus, o_orderpriority
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        )
+        SELECT 'c_mktsegment' AS facet_field, c_mktsegment AS facet_value
+        FROM base WHERE o_orderstatus = 'O' GROUP BY 2
+        UNION ALL
+        SELECT 'o_orderstatus', o_orderstatus
+        FROM base WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') GROUP BY 2
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority
+        FROM base WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+              AND o_orderstatus = 'O' GROUP BY 2
+    """,
+    "q_rollup_total": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status_label,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders GROUP BY ROLLUP(o_orderstatus)
+    """,
+    "q_window_rank": """
+        SELECT c_mktsegment, c_custkey, c_acctbal, rank_in_segment
+        FROM (
+            SELECT c_mktsegment, c_custkey, c_acctbal,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey ASC)
+                   AS rank_in_segment
+            FROM customer
+        )
+        WHERE rank_in_segment <= 3
+    """,
+    "q_events_sliding": """
+        WITH exploded AS (
+            SELECT TIMESTAMP '1970-01-01 00:00:00'
+                     + to_seconds(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)
+                                  - offs) AS win_start,
+                   event_type, value
+            FROM events, (SELECT unnest([0, 1800]) AS offs)
+        )
+        SELECT win_start, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM exploded GROUP BY 1, 2
+    """,
 }
