@@ -51,7 +51,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos → micros truncation (identical to DuckDB's parquet reader).
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        # Integer `div`, NOT `/`: float division routes ~1.7e18 nanos
+        # through a double (exact only to 2^53) and lands ±1 µs off.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 

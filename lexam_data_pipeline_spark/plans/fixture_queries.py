@@ -571,3 +571,25 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions with bounds via ``F.session_window`` (the
+    built-in the reference lacks; SURVEY §2.9).  30-minute gap; session
+    end = last event + gap.  A new session starts when the inter-event
+    gap is ≥ the gap duration (session windows are half-open intervals).
+
+    The streaming twin (`streaming.events.session_counts`) is the same
+    expression under a watermark; this batch form is the oracle-checkable
+    one (gaps-and-islands SQL)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -247,4 +247,25 @@ CORE_ORACLES: dict[str, str] = {
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM exploded GROUP BY 1, 2
     """,
+    "q_session_window": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                             (PARTITION BY user_id ORDER BY ts))
+                             >= 1800 * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ),
+        islands AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM islands GROUP BY user_id, sid
+    """,
 }

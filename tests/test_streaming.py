@@ -1,0 +1,153 @@
+"""Structured Streaming tests (SURVEY §7.7).
+
+Correctness model: Structured Streaming is an incrementalized batch query,
+so each streaming builder must produce EXACTLY its batch twin's result
+when fed the same rows — asserted here over multi-file micro-batched
+input.  Late-data handling is asserted separately with a watermark
+append-mode run.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lexam_data_pipeline_spark.catalog import load_table
+from lexam_data_pipeline_spark.plans.fixture_queries import (
+    q_events_sliding,
+    q_events_tumbling,
+    q_session_window,
+)
+from lexam_data_pipeline_spark.streaming import (
+    StreamProgressTracker,
+    read_events_stream,
+    run_stream_to_memory,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+def _write_event_chunks(spark, sf_dir: str, out_dir: str, n_chunks: int = 3) -> None:
+    """Split the fixture events into n ordered parquet files (micro-batch
+    per file)."""
+    pdf = load_table(spark, sf_dir, "events").orderBy("ts").toPandas()
+    # micros, not nanos: the stream schema declares TimestampType and the
+    # parquet writer must not fall back to INT64 nanos
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    os.makedirs(out_dir, exist_ok=True)
+    size = (len(pdf) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        chunk = pdf.iloc[i * size : (i + 1) * size]
+        table = pa.Table.from_pandas(chunk, preserve_index=False)
+        pq.write_table(table, os.path.join(out_dir, f"chunk_{i:03d}.parquet"))
+
+
+def _rows(df) -> set:
+    return {tuple(str(v) for v in r) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def chunk_dir(spark, sf_small, tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    _write_event_chunks(spark, sf_small, d)
+    return d
+
+
+@pytest.mark.parametrize(
+    "builder,batch_query,name",
+    [
+        (tumbling_counts, q_events_tumbling, "t_tumbling"),
+        (sliding_counts, q_events_sliding, "t_sliding"),
+        (session_counts, q_session_window, "t_session"),
+    ],
+)
+def test_stream_equals_batch(spark, sf_small, chunk_dir, builder, batch_query, name):
+    stream = read_events_stream(spark, chunk_dir, max_files_per_trigger=1)
+    handle = run_stream_to_memory(builder(stream, watermark=None), name, output_mode="complete")
+    try:
+        got = _rows(handle.table(spark))
+    finally:
+        handle.stop()
+    expected = _rows(batch_query(spark, sf_small))
+    assert got == expected
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode + 2 h watermark: a row arriving after its window
+    expired must not change the emitted count."""
+    d = str(tmp_path / "late_events")
+    os.makedirs(d)
+
+    def write(name: str, rows: list[tuple[int, str, int, str, float, str]]):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), os.path.join(d, name))
+
+    # batch 1: two rows in the 10:00 window; one row far ahead pushes the
+    # watermark to 13:30 - 2 h = 11:30 > 11:00 → window finalizes
+    write(
+        "b0.parquet",
+        [
+            (1, "2024-01-01 10:05:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 10:10:00", 1, "click", 1.0, "{}"),
+            (3, "2024-01-01 13:30:00", 1, "click", 1.0, "{}"),
+        ],
+    )
+    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+    handle = run_stream_to_memory(tumbling_counts(stream), "t_late", output_mode="append")
+    try:
+        # batch 2: a LATE row for the already-finalized 10:00 window plus
+        # a fresh row advancing time further
+        write(
+            "b1.parquet",
+            [
+                (4, "2024-01-01 10:20:00", 1, "click", 1.0, "{}"),
+                (5, "2024-01-01 14:30:00", 1, "click", 1.0, "{}"),
+            ],
+        )
+        handle.process_new_input()
+        # one more batch so pending emissions flush
+        write("b2.parquet", [(6, "2024-01-01 17:00:00", 1, "click", 1.0, "{}")])
+        handle.process_new_input()
+        got = {
+            (str(r["hour_ts"]), r["n_events"]) for r in handle.table(spark).collect()
+        }
+    finally:
+        handle.stop()
+    # the 10:00 window emitted exactly once with the 2 on-time rows; the
+    # late row (event 4) was dropped by the watermark
+    assert ("2024-01-01 10:00:00", 2) in got
+    assert ("2024-01-01 10:00:00", 3) not in got
+
+
+def test_progress_tracker(spark, chunk_dir):
+    tracker = StreamProgressTracker()
+    spark.streams.addListener(tracker)
+    try:
+        stream = read_events_stream(spark, chunk_dir, max_files_per_trigger=1)
+        handle = run_stream_to_memory(
+            tumbling_counts(stream, watermark=None), "t_progress", output_mode="complete"
+        )
+        handle.stop()
+        # listener events are delivered asynchronously
+        import time
+
+        deadline = time.time() + 20
+        while time.time() < deadline and sum(b["rows"] for b in tracker.batches) < 1000:
+            time.sleep(0.25)
+        total_rows = sum(b["rows"] for b in tracker.batches)
+        assert total_rows == 1000  # sf0.001 events fixture size
+        assert len(tracker.batches) >= 3  # one per chunk file
+        snap = tracker.snapshot()
+        assert snap.completed == total_rows
+        assert snap.rate > 0
+    finally:
+        spark.streams.removeListener(tracker)
