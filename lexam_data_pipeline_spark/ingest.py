@@ -24,8 +24,14 @@ def parse_choices(raw: F.Column) -> F.Column:
 
 
 def derive_year(raw_year: F.Column) -> F.Column:
-    """First-4-chars cast (ref seed.py:90-94 int(raw_year[:4]))."""
-    return F.substring(raw_year.cast("string"), 1, 4).cast("int")
+    """First-4-chars cast (ref seed.py:90-94 int(raw_year[:4])).
+
+    ``try_cast``, not ``cast``: under ANSI mode (Spark 4 default) a plain
+    cast THROWS on malformed input and would fail the whole ingest job —
+    the reference's ``int()`` likewise raises and kills the seed loop; we
+    deliberately upgrade to NULL-and-continue (row-level failure
+    isolation, the ST4 policy applied to ingest)."""
+    return F.substring(raw_year.cast("string"), 1, 4).try_cast("int")
 
 
 def derive_international(course: F.Column, international_courses: frozenset[str]) -> F.Column:
