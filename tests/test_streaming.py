@@ -151,3 +151,41 @@ def test_progress_tracker(spark, chunk_dir):
         assert snap.rate > 0
     finally:
         spark.streams.removeListener(tracker)
+
+
+def test_streaming_generation_idempotent(spark, tmp_path):
+    """ST3 under streaming re-delivery: variant files stream in (with an
+    overlapping duplicate), the LLM runs per micro-batch, and the
+    idempotent sink holds exactly one answer row per (variant, run)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from lexam_data_pipeline_spark.pipeline.experiment import ExperimentStore
+    from lexam_data_pipeline_spark.streaming.generation import (
+        read_variants_stream,
+        start_streaming_generation,
+    )
+    from tests.lexam_data import VARIANTS, lexam_tables
+    from tests.test_pipeline import EXPERIMENT, MOCK_MCQ
+
+    t = lexam_tables(spark)
+    vdir = str(tmp_path / "variant_stream")
+    os.makedirs(vdir)
+    pdf = t["variants"].toPandas()
+    # pandas widens nullable ints to float64; restore the declared type
+    pdf["gold"] = pdf["gold"].astype("Int32")
+    # file 1: variants 1-6; file 2: variants 5-10 (5 and 6 re-delivered)
+    for name, part in (("f0.parquet", pdf.iloc[:6]), ("f1.parquet", pdf.iloc[4:])):
+        pq2.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                        os.path.join(vdir, name))
+
+    store = ExperimentStore(spark, str(tmp_path / "stream_store"))
+    stream = read_variants_stream(spark, vdir, max_files_per_trigger=1)
+    q = start_streaming_generation(
+        stream, t["questions"], EXPERIMENT, store, client_spec=MOCK_MCQ
+    )
+    q.awaitTermination(120)
+    answers = store.answers()
+    # 10 distinct variants × n_answers=2, despite 12 streamed variant rows
+    assert answers.count() == len(VARIANTS) * EXPERIMENT["n_answers"]
+    assert answers.select("variant_id", "run_index").distinct().count() == 20
