@@ -1,0 +1,64 @@
+"""Skew-handling operators (SURVEY §4 scale notes).
+
+AQE's skew-join splitting covers sort-merge joins at runtime; these
+helpers cover the two cases AQE does not: hot-key *aggregation* skew and
+broadcast-infeasible joins with a few known-hot keys.
+
+* ``salted_count``: two-phase aggregate — per-(key, salt) partial counts,
+  then final merge.  Turns one reducer receiving a hot key's entire
+  volume into ``n_salts`` reducers receiving 1/n each.  Associative
+  aggregates only (count/sum/min/max — the partial-merge identities).
+* ``salted_join``: replicate the small side ``n_salts``× with an explicit
+  salt column, salt the large side randomly-but-deterministically
+  (hash-mod on a high-cardinality column), join on (key, salt).  The
+  large side never shuffles a hot key to one task.
+
+Both are drop-in plan fragments — no custom partitioner, nothing outside
+the DataFrame API, so Catalyst/AQE still optimize around them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def with_salt(df: DataFrame, salt_source: Column, n_salts: int) -> DataFrame:
+    """Deterministic pseudo-random salt in [0, n_salts) derived from a
+    high-cardinality column (NOT rand(): task retries must re-derive the
+    same salt or joins lose rows)."""
+    return df.withColumn("__salt", F.pmod(F.xxhash64(salt_source), F.lit(n_salts)).cast("int"))
+
+
+def salted_count(
+    df: DataFrame, group_cols: list[str], salt_source: Column, n_salts: int = 16
+) -> DataFrame:
+    """Two-phase count for hot grouping keys: groupBy(key, salt) partials,
+    then merge per key.  Result is identical to ``groupBy(key).count()``;
+    the difference is shuffle fan-out on hot keys."""
+    partial = (
+        with_salt(df, salt_source, n_salts)
+        .groupBy(*group_cols, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return partial.groupBy(*group_cols).agg(F.sum("__partial").cast("bigint").alias("count"))
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    *,
+    salt_source: Column,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the small side replicated per salt.
+
+    Use when the small side is too big to broadcast and the large side
+    has hot join keys; the replication factor is the explicit cost knob
+    (small × n_salts rows shuffle instead of hot-key pile-up)."""
+    salted_large = with_salt(large, salt_source, n_salts)
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    replicated_small = small.select("*", salts)
+    out = salted_large.join(replicated_small, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -1,0 +1,76 @@
+"""Scale-path operator tests: salting correctness (result-identical to
+the unsalted plan) and approx-aggregate error bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lexam_data_pipeline_spark.catalog import load_table
+from lexam_data_pipeline_spark.operators.approx import distinct_count, percentile_agg
+from lexam_data_pipeline_spark.operators.skew import salted_count, salted_join
+
+
+def test_salted_count_matches_plain(spark, sf_oracle):
+    orders = load_table(spark, sf_oracle, "orders")
+    plain = {
+        (r["o_orderstatus"], r["count"])
+        for r in orders.groupBy("o_orderstatus").count().collect()
+    }
+    salted = {
+        (r["o_orderstatus"], r["count"])
+        for r in salted_count(
+            orders, ["o_orderstatus"], F.col("o_orderkey"), n_salts=8
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, sf_oracle):
+    orders = load_table(spark, sf_oracle, "orders")
+    cust = load_table(spark, sf_oracle, "customer").select("c_custkey", "c_mktsegment")
+    plain = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    salted = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        cust,
+        "c_custkey",
+        salt_source=F.col("o_orderkey"),
+        n_salts=8,
+    )
+    assert salted.count() == plain
+    # no duplicate or lost rows per key
+    per_key_plain = {
+        (r["c_custkey"], r["count"])
+        for r in orders.groupBy(F.col("o_custkey").alias("c_custkey")).count().collect()
+    }
+    per_key_salted = {
+        (r["c_custkey"], r["count"]) for r in salted.groupBy("c_custkey").count().collect()
+    }
+    assert per_key_salted == per_key_plain
+
+
+def test_salt_deterministic(spark, sf_oracle):
+    """Task retries must re-derive identical salts — no rand()."""
+    from lexam_data_pipeline_spark.operators.skew import with_salt
+
+    orders = load_table(spark, sf_oracle, "orders").limit(100)
+    a = [(r["o_orderkey"], r["__salt"]) for r in with_salt(orders, F.col("o_orderkey"), 8).collect()]
+    b = [(r["o_orderkey"], r["__salt"]) for r in with_salt(orders, F.col("o_orderkey"), 8).collect()]
+    assert sorted(a) == sorted(b)
+
+
+def test_approx_percentile_within_bound(spark, sf_oracle):
+    li = load_table(spark, sf_oracle, "lineitem")
+    exact, approx = li.agg(
+        percentile_agg("l_extendedprice", 0.5, exact=True).alias("e"),
+        percentile_agg("l_extendedprice", 0.5, exact=False).alias("a"),
+    ).collect()[0]
+    assert abs(approx - exact) / exact < 0.01
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_oracle):
+    orders = load_table(spark, sf_oracle, "orders")
+    exact, approx = orders.agg(
+        distinct_count("o_custkey", exact=True).alias("e"),
+        distinct_count("o_custkey", exact=False, rsd=0.02).alias("a"),
+    ).collect()[0]
+    assert abs(approx - exact) / exact < 0.06  # 3× rsd safety margin
