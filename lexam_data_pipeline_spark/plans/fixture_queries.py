@@ -576,8 +576,10 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions with bounds via ``F.session_window`` (the
     built-in the reference lacks; SURVEY §2.9).  30-minute gap; session
-    end = last event + gap.  A new session starts when the inter-event
-    gap is ≥ the gap duration (session windows are half-open intervals).
+    end = last event + gap.  Boundary semantics (verified empirically and
+    pinned in tests/test_streaming.py): touching windows MERGE — a new
+    session starts only when the inter-event gap is STRICTLY greater than
+    the gap duration.
 
     The streaming twin (`streaming.events.session_counts`) is the same
     expression under a watermark; this batch form is the oracle-checkable

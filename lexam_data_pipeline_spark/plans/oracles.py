@@ -252,7 +252,7 @@ CORE_ORACLES: dict[str, str] = {
             SELECT user_id, ts,
                    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
                              (PARTITION BY user_id ORDER BY ts))
-                             >= 1800 * 1000000
+                             > 1800 * 1000000
                         THEN 1 ELSE 0 END AS is_new
             FROM events
         ),

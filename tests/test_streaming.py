@@ -189,3 +189,30 @@ def test_streaming_generation_idempotent(spark, tmp_path):
     # 10 distinct variants × n_answers=2, despite 12 streamed variant rows
     assert answers.count() == len(VARIANTS) * EXPERIMENT["n_answers"]
     assert answers.select("variant_id", "run_index").distinct().count() == 20
+
+
+def test_session_window_boundary_semantics(spark):
+    """Pin Spark's session merge rule: gap == duration MERGES (touching
+    windows), gap > duration splits — the oracle's gaps-and-islands SQL
+    must use strict '>'."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:30:00"),        # exactly 30 min → same session
+            (1, "2024-01-01 11:00:00.000001"),  # 30 min + 1 µs → new session
+        ],
+        "user_id int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .count()
+        .select("s.start", "count")
+        .orderBy("start")
+        .collect()
+    )
+    assert [(str(r["start"]), r["count"]) for r in out] == [
+        ("2024-01-01 10:00:00", 2),
+        ("2024-01-01 11:00:00.000001", 1),
+    ]
