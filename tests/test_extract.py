@@ -162,3 +162,49 @@ def test_template_format(spark):
     # literal braces escape
     out2 = df.select(template_format("{{json}} {course_name}", {"course_name": F.col("course")}).alias("p")).first().p
     assert out2 == "{json} Torts"
+
+
+def _adversarial_corpus(n: int = 300) -> list[str]:
+    """Deterministic pseudo-random strings built from the fragments the
+    cascade's four patterns react to — joins, prefixes, and suffixes
+    chosen to create pattern collisions and near-misses."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    fragments = [
+        "### A ###", "###B###", "### c ###", "answer is D", "Answer: E",
+        "Answer is (F)", "answer: (g)", "the correct answer is H",
+        "The CORRECT CHOICE IS (i)", "correct option is  J", "K",
+        "(L)", "M.", "N ", "ends with O", "[[0.5]]", "[[2]]", "[[x]]",
+        "<think>Z</think>", "no letters here", "1234", "Ü", "\tP\t",
+        "Q.\n", "line\nR", "so the Answer isS", "answeris T",
+        "### UV ###", "###W### ###X###", "(Y)Z",
+    ]
+    joiners = [" ", "\n", "", "\t", ".\n", " - ", "\n\n"]
+    corpus = []
+    for _ in range(n):
+        k = rng.randint(1, 5)
+        parts = [rng.choice(fragments) for _ in range(k)]
+        corpus.append(rng.choice(joiners).join(parts) + rng.choice(["", " ", "\n", "."]))
+    return corpus
+
+
+def test_extract_cascade_adversarial(spark):
+    """300 generated pattern-collision strings: the Spark expression
+    cascade must agree with the reference semantics on every one."""
+    corpus = _adversarial_corpus()
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], ["i", "t"])
+    got = {
+        r.i: (r.letter, r.score)
+        for r in df.select(
+            "i",
+            extract_letter(F.col("t")).alias("letter"),
+            extract_score(F.col("t")).alias("score"),
+        ).collect()
+    }
+    mismatches = []
+    for i, t in enumerate(corpus):
+        want = (ref_extract_letter(t), ref_extract_score(t))
+        if got[i] != want:
+            mismatches.append((t, got[i], want))
+    assert not mismatches, mismatches[:5]
