@@ -18,7 +18,10 @@ SF_ORACLE = "/root/testdata/sf0.01"
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark(app_name="lexam-tests", master="local[4]", shuffle_partitions=4,
-                      extra_conf={"spark.ui.enabled": "false"})
+                      extra_conf={"spark.ui.enabled": "false",
+                                  # bucketed-table tests need a catalog
+                                  # warehouse; keep it out of the repo
+                                  "spark.sql.warehouse.dir": "/tmp/lexam-test-warehouse"})
     yield spark
 
 
