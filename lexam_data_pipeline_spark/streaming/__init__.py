@@ -10,6 +10,7 @@ from lexam_data_pipeline_spark.streaming.events import (
     sliding_counts,
     tumbling_counts,
 )
+from lexam_data_pipeline_spark.streaming.stateful import user_activity_tracker
 from lexam_data_pipeline_spark.streaming.progress import (
     ProgressSnapshot,
     StreamProgressTracker,
@@ -25,4 +26,5 @@ __all__ = [
     "session_counts",
     "sliding_counts",
     "tumbling_counts",
+    "user_activity_tracker",
 ]

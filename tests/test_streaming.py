@@ -216,3 +216,54 @@ def test_session_window_boundary_semantics(spark):
         ("2024-01-01 10:00:00", 2),
         ("2024-01-01 11:00:00.000001", 1),
     ]
+
+
+def test_stateful_user_tracker_accumulates(spark, tmp_path):
+    """applyInPandasWithState: per-user totals must accumulate ACROSS
+    micro-batches (state survives batch boundaries)."""
+    from lexam_data_pipeline_spark.streaming import read_events_stream
+    from lexam_data_pipeline_spark.streaming.stateful import user_activity_tracker
+
+    d = str(tmp_path / "stateful_events")
+    os.makedirs(d)
+
+    def write(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), os.path.join(d, name))
+
+    write("b0.parquet", [
+        (1, "2024-01-01 10:00:00", 1, "click", 2.0, "{}"),
+        (2, "2024-01-01 10:05:00", 1, "click", 3.0, "{}"),
+        (3, "2024-01-01 10:00:00", 2, "view", 1.0, "{}"),
+    ])
+    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+    # evict_idle=False: with the processing-time timeout armed,
+    # processAllAvailable() never returns (timeout-check batches keep the
+    # query busy) — drain-and-assert tests need NoTimeout
+    q = (
+        user_activity_tracker(stream, evict_idle=False)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_stateful")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write("b1.parquet", [
+            (4, "2024-01-01 10:30:00", 1, "click", 5.0, "{}"),
+        ])
+        q.processAllAvailable()
+        rows = spark.table("t_stateful").collect()
+    finally:
+        q.stop()
+    # user 1: batch-1 update (2 events, 5.0) then batch-2 update with
+    # state carried over (3 events, 10.0, span 30 min)
+    u1 = sorted(
+        [(r["n_events"], r["total_value"], r["span_seconds"]) for r in rows if r["user_id"] == 1]
+    )
+    assert u1 == [(2, 5.0, 300.0), (3, 10.0, 1800.0)]
+    u2 = [(r["n_events"], r["total_value"]) for r in rows if r["user_id"] == 2]
+    assert u2 == [(1, 1.0)]
