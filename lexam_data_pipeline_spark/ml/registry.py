@@ -15,6 +15,7 @@ from lexam_data_pipeline_spark.ml.dedup import (
     q_minhash_lsh_pairs,
     q_simhash_buckets,
 )
+from lexam_data_pipeline_spark.ml.ivf import q_knn_ivf
 from lexam_data_pipeline_spark.ml.multimodal import q_multimodal_features
 from lexam_data_pipeline_spark.ml.similarity import q_knn_bruteforce, q_knn_lsh
 from lexam_data_pipeline_spark.ml.textstats import (
@@ -33,6 +34,7 @@ ML_QUERIES = {
     "q_simhash_buckets": q_simhash_buckets,
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_knn_lsh": q_knn_lsh,
+    "q_knn_ivf": q_knn_ivf,
     "q_text_quality": q_text_quality,
     "q_token_count_regex": q_token_count_regex,
     "q_doc_fingerprint": q_doc_fingerprint,

@@ -58,3 +58,18 @@ def test_exact_dedup_groups_identical_texts(spark, docs):
     copies = {r.doc_id: r.n_copies for r in surv}
     assert copies[1] == 2  # doc 2 collapsed into doc 1
     assert copies[3] == 1 and copies[4] == 1
+
+
+def test_ivf_knn_recall(spark, sf_oracle):
+    """IVF probe (4 of 16 clusters) must return well-ordered top-10 with
+    substantial recall vs exact brute force (deterministic pipeline →
+    stable result)."""
+    from lexam_data_pipeline_spark.ml.ivf import q_knn_ivf
+    from lexam_data_pipeline_spark.ml.similarity import q_knn_bruteforce
+
+    ivf = q_knn_ivf(spark, sf_oracle).collect()
+    assert len(ivf) == 10
+    cosines = [r["cosine"] for r in ivf]
+    assert cosines == sorted(cosines, reverse=True)
+    exact = {r["vec_id"] for r in q_knn_bruteforce(spark, sf_oracle).collect()}
+    assert len({r["vec_id"] for r in ivf} & exact) >= 6
