@@ -73,3 +73,26 @@ def test_ivf_knn_recall(spark, sf_oracle):
     assert cosines == sorted(cosines, reverse=True)
     exact = {r["vec_id"] for r in q_knn_bruteforce(spark, sf_oracle).collect()}
     assert len({r["vec_id"] for r in ivf} & exact) >= 6
+
+
+def test_lang_id_on_planted_texts(spark, tmp_path):
+    """Behavioral lang-ID check on texts with known marker words (the
+    fixture corpus is synthetic word soup, so plant real-ish samples)."""
+    import os
+
+    from lexam_data_pipeline_spark.ml.textstats import q_lang_id
+
+    rows = [
+        (1, "the cat and the dog went to the house of the king", "en", "s", 50),
+        (2, "der Hund und die Katze das ist ein Haus und der Garten", "de", "s", 50),
+        (3, "le chat et la maison les oiseaux est grand et le jardin", "fr", "s", 50),
+        (4, "el perro y la casa los gatos es grande y el sol", "es", "s", 50),
+        (5, "zzz qqq xxx vvv www", "zh", "s", 20),  # no markers → unknown
+    ]
+    d = str(tmp_path / "langid_sf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r["predicted_lang"] for r in q_lang_id(spark, d).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "unknown"}
