@@ -595,3 +595,22 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+def q_fullouter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: full-outer merge of two aggregate maps with zero-coalesce (ref
+    Dashboard.jsx:595-629 merges open-ended vs MCQ per-area maps) —
+    per nation: customer count ⟗ supplier count."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return c.join(s, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )

@@ -268,4 +268,14 @@ CORE_ORACLES: dict[str, str] = {
                count(*) AS n_events
         FROM islands GROUP BY user_id, sid
     """,
+    "q_fullouter_merge": """
+        WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+                   FROM customer GROUP BY 1),
+             s AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+                   FROM supplier GROUP BY 1)
+        SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+               coalesce(n_customers, 0) AS n_customers,
+               coalesce(n_suppliers, 0) AS n_suppliers
+        FROM c FULL OUTER JOIN s USING (nationkey)
+    """,
 }
