@@ -7,6 +7,11 @@ from lexam_data_pipeline_spark.serving.dashboard import (
     dashboard,
 )
 from lexam_data_pipeline_spark.serving.facets import facet_frame, filter_facets
+from lexam_data_pipeline_spark.serving.listings import (
+    ListingPage,
+    answers_page,
+    judgments_page,
+)
 from lexam_data_pipeline_spark.serving.questions import (
     QuestionsPage,
     filtered_questions,
@@ -21,7 +26,10 @@ from lexam_data_pipeline_spark.serving.stats import (
 )
 
 __all__ = [
+    "ListingPage",
     "QuestionsPage",
+    "answers_page",
+    "judgments_page",
     "answer_length_histogram",
     "breakdown_by_field",
     "compare_judges",

@@ -244,3 +244,47 @@ def test_stats_by_question(spark, t):
     assert by["q2"]["avg_score"] is None and by["q2"]["judgment_count"] == 0
     assert by["q4"]["avg_score"] == 0.95
     assert by["q3"]["mcq_correct"] is None
+
+
+# ── answer / judgment listings (J7 → set-based) ────────────────────────────
+
+
+def test_answers_page_enrichment(spark, t):
+    from lexam_data_pipeline_spark.serving import answers_page
+
+    page = answers_page(
+        t["answers"], t["variants"], t["questions"], experiment_id=1, offset=2, limit=3
+    )
+    assert (page.total, page.offset, page.limit) == (8, 2, 3)
+    rows = page.rows.collect()
+    assert [r["id"] for r in rows] == [103, 104, 105]
+    a103 = rows[0]
+    # enriched through variant 3 → question q2
+    assert (a103["question_id"], a103["config"], a103["course"]) == (
+        "q2", "mcq_4_choices", "Tort Law",
+    )
+    assert a103["gold_index"] == 0 and a103["choices"] == ["p", "q", "r", "s"]
+
+
+def test_judgments_page_filter_and_enrichment(spark, t):
+    from lexam_data_pipeline_spark.serving import judgments_page
+
+    page = judgments_page(
+        t["judgments"], t["answers"], t["variants"], t["questions"],
+        experiment_id=1, judge_model="j1",
+    )
+    assert page.total == 4
+    rows = page.rows.collect()
+    assert [r["id"] for r in rows] == [201, 202, 203, 206]
+    j201 = rows[0]
+    # judgment 201 → answer 105 → variant 2 → q1
+    assert (j201["answer_id"], j201["question_id"], j201["course"]) == (
+        105, "q1", "Contract Law",
+    )
+    assert j201["model_answer"] == "an open answer"
+    assert j201["gold_answer"] == "one two three four five six seven"
+    # unfiltered sees both judges
+    all_page = judgments_page(
+        t["judgments"], t["answers"], t["variants"], t["questions"], experiment_id=1
+    )
+    assert all_page.total == 6
