@@ -49,6 +49,8 @@ HEADLINE = [
     "q_rollup_total",
     "q_window_rank",
     "q_events_sliding",
+    "q_session_window",
+    "q_fullouter_merge",
 ]
 
 

@@ -17,9 +17,14 @@ def tokens(text: Column | str) -> Column:
 
 
 def word_count(text: Column | str) -> Column:
-    """Word count with empty-string → 0 (ref main.py:422 len(split))."""
+    """Word count matching Python ``len(s.split())`` (ref main.py:422).
+
+    ``regexp_count(c, '\\S+')``, NOT ``size(split(trim(c)))``: trim strips
+    only ASCII spaces, so a ``"\\r"``-only string would count 2 phantom
+    words (hypothesis-found divergence; pinned in tests/test_extract.py).
+    Counting non-space runs is also whole-stage-codegen-friendly."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.when(F.trim(c) == "", 0).otherwise(F.size(tokens(c)))
+    return F.coalesce(F.regexp_count(c, F.lit(r"\S+")), F.lit(0))
 
 
 def shingles(toks: Column, n: int = 3) -> Column:

@@ -128,8 +128,7 @@ ML_ORACLES: dict[str, str] = {
     """,
     "q_text_quality": """
         SELECT doc_id,
-               CAST(CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_words,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_words,
                round(list_reduce(list_transform(regexp_split_to_array(trim(text), '\\s+'),
                          t -> len(t)), (x, y) -> x + y)
                      / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_word_len,

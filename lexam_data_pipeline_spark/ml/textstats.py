@@ -42,7 +42,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.col("toks")
     return docs.select("doc_id", "text", tokens("text").alias("toks")).select(
         "doc_id",
-        word_count("text").cast("int").alias("n_words"),
+        word_count("text").cast("int").alias("n_words"),  # \S+ runs
         F.round(avg_word_len(toks), 4).alias("avg_word_len"),
         F.round(stopword_ratio(toks, STOPWORDS), 4).alias("stopword_ratio"),
     )

@@ -379,9 +379,7 @@ def q_wordcount_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Matches Python ``str.split()`` semantics: any-whitespace split, empty
     string → 0 words.  Integer sums keep the averages engine-exact."""
     docs = load_table(spark, sf_dir, "documents")
-    wc = F.when(F.trim(F.col("text")) == "", 0).otherwise(
-        F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    )
+    wc = F.coalesce(F.regexp_count(F.col("text"), F.lit(r"\S+")), F.lit(0))
     return (
         docs.withColumn("wc", wc)
         .groupBy("lang")

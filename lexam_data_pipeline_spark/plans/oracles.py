@@ -153,9 +153,7 @@ CORE_ORACLES: dict[str, str] = {
     "q_wordcount_stats": """
         WITH wc_t AS (
             SELECT lang,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
-                   END AS wc
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS wc
             FROM documents
         )
         SELECT lang,

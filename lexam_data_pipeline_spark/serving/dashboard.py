@@ -38,12 +38,9 @@ ANSWER_LENGTH_BINS = (
 
 
 def word_count(col: F.Column) -> F.Column:
-    """Python ``len(s.split())`` parity (F2): any-whitespace split, empty
-    or NULL → 0."""
-    trimmed = F.trim(col)
-    return F.when(
-        col.isNull() | (trimmed == ""), F.lit(0)
-    ).otherwise(F.size(F.split(trimmed, r"\s+")))
+    """Python ``len(s.split())`` parity (F2): count of non-space runs,
+    NULL → 0 (see functions.text.word_count for the trim pitfall)."""
+    return F.coalesce(F.regexp_count(col, F.lit(r"\S+")), F.lit(0))
 
 
 def _restrict(

@@ -208,3 +208,25 @@ def test_extract_cascade_adversarial(spark):
         if got[i] != want:
             mismatches.append((t, got[i], want))
     assert not mismatches, mismatches[:5]
+
+
+def test_word_count_hypothesis_parity(spark):
+    """F2 property test: Spark word_count == Python len(s.split()) over
+    hypothesis-generated text (whitespace zoo included)."""
+    from hypothesis import given, settings, strategies as st
+
+    from lexam_data_pipeline_spark.functions.text import word_count
+
+    text = st.text(
+        alphabet=st.sampled_from(list("ab XY\t\n\r\f\v.?!ü二")), max_size=40
+    )
+
+    @settings(max_examples=3, deadline=None)
+    @given(st.lists(text, min_size=1, max_size=80))
+    def check(strings):
+        df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], ["i", "t"])
+        got = {r.i: r.wc for r in df.select("i", word_count("t").alias("wc")).collect()}
+        for i, s in enumerate(strings):
+            assert got[i] == len(s.split()), f"{s!r}: spark={got[i]} py={len(s.split())}"
+
+    check()
