@@ -15,8 +15,15 @@ from lexam_data_pipeline_spark.serving.listings import (
 from lexam_data_pipeline_spark.serving.questions import (
     QuestionsPage,
     filtered_questions,
+    get_question,
     questions_page,
     top_courses_for_search,
+)
+from lexam_data_pipeline_spark.serving.summary import (
+    corpus_stats,
+    judge_summary,
+    question_count,
+    search_summary,
 )
 from lexam_data_pipeline_spark.serving.stats import (
     breakdown_by_field,
@@ -35,6 +42,11 @@ __all__ = [
     "compare_judges",
     "course_summary",
     "dashboard",
+    "search_summary",
+    "question_count",
+    "judge_summary",
+    "get_question",
+    "corpus_stats",
     "experiment_stats",
     "facet_frame",
     "filter_facets",

@@ -176,3 +176,24 @@ def top_courses_for_search(
         .orderBy(F.desc("n_matches"), F.asc("course"))
         .limit(n)
     )
+
+
+def get_question(questions: DataFrame, variants: DataFrame, question_id: str) -> DataFrame:
+    """Single-question lookup with nested variants (ref
+    main.py /api/questions/{id}): point filter + broadcast-nested
+    children — the scan prunes to one row before the join."""
+    one = questions.filter(F.col("id") == question_id)
+    nested = (
+        variants.filter(F.col("question_id") == question_id)
+        .groupBy("question_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("id", "config", "split", "choices", "gold", "answer"))
+            ).alias("variants")
+        )
+        .withColumnRenamed("question_id", "id")
+    )
+    return one.join(F.broadcast(nested), "id", "left_outer").withColumn(
+        "variants",
+        F.coalesce(F.col("variants"), F.array().cast(nested.schema["variants"].dataType)),
+    )

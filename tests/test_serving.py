@@ -5,6 +5,7 @@ rows against the reference semantics."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from lexam_data_pipeline_spark.serving import (
     breakdown_by_field,
@@ -288,3 +289,63 @@ def test_judgments_page_filter_and_enrichment(spark, t):
         t["judgments"], t["answers"], t["variants"], t["questions"], experiment_id=1
     )
     assert all_page.total == 6
+
+
+# ── summary endpoints ──────────────────────────────────────────────────────
+
+
+def test_corpus_stats(spark, t):
+    from lexam_data_pipeline_spark.serving import corpus_stats
+
+    s = corpus_stats(t["questions"], t["variants"])
+    totals = s["totals"].collect()[0]
+    assert (totals["total_questions"], totals["total_variants"]) == (6, 10)
+    by_config = {r["config"]: r["count"] for r in s["by_config"].collect()}
+    assert by_config["mcq_4_choices"] == 3 and by_config["open_question"] == 4
+    years = [r["year"] for r in s["by_year"].collect()]
+    assert years == sorted(years)
+
+
+def test_search_summary(spark, t):
+    from lexam_data_pipeline_spark.serving import search_summary
+
+    s = search_summary(t["questions"], t["variants"], "recht")
+    assert s["total"].collect()[0]["total"] == 2  # q3, q5
+    by_area = {r["area"]: r["count"] for r in s["by_area"].collect()}
+    assert by_area == {"Criminal": 1, "Public": 1}
+    courses = [(r["course"], r["count"]) for r in s["by_course"].collect()]
+    assert courses == [("Administrative Law", 1), ("Criminal Law", 1)]
+
+
+def test_judge_summary_includes_scoreless(spark, t):
+    from lexam_data_pipeline_spark.serving import judge_summary
+
+    rows = judge_summary(t["answers"], t["judgments"], experiment_id=1).collect()
+    by = {r["judge_model"]: r for r in rows}
+    # j2 has judgments 204 (0.6) and 205 (NULL score): count both, avg one
+    assert (by["j2"]["count"], by["j2"]["avg_score"]) == (2, 0.6)
+    assert (by["j1"]["count"], by["j1"]["avg_score"]) == (4, 0.8)
+
+
+def test_question_count_preview(spark, t):
+    from lexam_data_pipeline_spark.serving import question_count
+
+    assert question_count(t["variants"], t["questions"], {}) == 10
+    assert question_count(
+        t["variants"], t["questions"], {"area": ["Public"], "config": ["open_question"]}
+    ) == 2
+
+
+def test_get_question(spark, t):
+    from lexam_data_pipeline_spark.serving import get_question
+
+    row = get_question(t["questions"], t["variants"], "q1").collect()
+    assert len(row) == 1
+    assert [v["id"] for v in row[0]["variants"]] == [1, 2]
+    # question without variants gets an empty array, not NULL
+    no_v = get_question(
+        t["questions"].withColumn("id", F.concat(F.col("id"), F.lit("x"))),
+        t["variants"],
+        "q1x",
+    ).collect()[0]
+    assert no_v["variants"] == []
