@@ -257,66 +257,81 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (north star: semantic dedup).
+def _normalized_flat(emb: DataFrame, dim: int) -> DataFrame:
+    """Unit-normalized embedding components as scalar columns x0..x{dim-1}.
 
-    Exact all-pairs cosine ≥ 0.45 over the ``embeddings`` fixture with the
-    engine-portable sequential-fold reduction, so the DuckDB oracle checks
-    values.  The O(n²) pair space is generated as a range self-join on
-    ``vec_id <` with both sides pre-normalized — each row carries its norm
-    once (computed map-side) instead of re-deriving it per pair.
+    Shared by both embedding-dedup variants so their cosines are
+    bit-identical (and match the one DuckDB oracle, which divides then
+    left-folds products in the same order).  Scalar columns, not arrays:
+    higher-order array lambdas run interpreted (~15x slower in the O(n²)
+    loop); left-assoc scalar chains stay inside whole-stage codegen.
 
-    Perf (measured at sf0.1, 2 M pairs): ``aggregate(zip_with(...))``
-    per pair runs interpreted (higher-order lambdas don't codegen) — 30 s.
-    Flattening each vector into 64 scalar columns *before* the join turns
-    the dot into a left-associated scalar ``+`` chain inside whole-stage
-    codegen — ~4 s.  Left-assoc ``+`` is bit-identical to the oracle's
-    sequential ``list_reduce`` fold, so value parity survives.  The
-    streamed side is repartitioned because the corpus parquet is one
-    small file → the whole O(n²) loop would otherwise run in ONE task.
-
-    100 TB path: :func:`q_dedup_embedding_blocked` — the same verify
-    expression fed by a distributed blocked-matmul candidate generator
-    (applyInPandas over block pairs) instead of the all-pairs join.
+    The persist() is load-bearing, not a cache hint: it cuts lineage so
+    the pair-join condition references plain attributes.  Without it,
+    filter pushdown substitutes the full cosine chain into the join
+    condition and Catalyst's constraint propagation walks the blown-up
+    tree until the driver OOMs — even at 500 rows.  (Normalization is the
+    natural corpus-side "index build" materialization at any scale.)
     """
-    dim = 64
-    emb = load_table(spark, sf_dir, "embeddings")
-    sq = [F.col("embedding")[i].cast("double") * F.col("embedding")[i].cast("double")
-          for i in range(dim)]
+    sq = [
+        F.col("embedding")[i].cast("double") * F.col("embedding")[i].cast("double")
+        for i in range(dim)
+    ]
     norm2 = sq[0]
     for t in sq[1:]:
         norm2 = norm2 + t
-    # persist() is load-bearing, not a cache hint: it cuts the expression
-    # lineage so the pair-join condition references plain attributes.
-    # Without it, Catalyst's filter pushdown substitutes the full 128-leaf
-    # cosine chain (dot + two sqrt-norm chains) into the join condition and
-    # constraint propagation walks the blown-up tree until the driver OOMs
-    # — even at 500 rows.  (The corpus-side "index build" is a natural
-    # materialization point at any scale.)
-    flat = emb.select(
+    norm = F.sqrt(norm2)
+    return emb.select(
         "vec_id",
-        F.sqrt(norm2).alias("norm"),
-        *[F.col("embedding")[i].cast("double").alias(f"x{i}") for i in range(dim)],
+        *[(F.col("embedding")[i].cast("double") / norm).alias(f"x{i}") for i in range(dim)],
     ).persist()
-    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    a = flat.repartition(shuffle_parts).select(
-        F.col("vec_id").alias("vec_id_a"),
-        F.col("norm").alias("na"),
-        *[F.col(f"x{i}").alias(f"a{i}") for i in range(dim)],
+
+
+def _pair_sides(flat: DataFrame, dim: int, shuffle_parts: int | None = None):
+    """(a, b, dot): renamed join sides + the codegen'd left-assoc dot.
+
+    The streamed side is repartitioned because the corpus parquet is one
+    small file — the whole O(n²) nested loop would otherwise run in ONE
+    task."""
+    a = flat
+    if shuffle_parts:
+        a = a.repartition(shuffle_parts)
+    a = a.select(
+        F.col("vec_id").alias("vec_id_a"), *[F.col(f"x{i}").alias(f"a{i}") for i in range(dim)]
     )
     b = flat.select(
-        F.col("vec_id").alias("vec_id_b"),
-        F.col("norm").alias("nb"),
-        *[F.col(f"x{i}").alias(f"b{i}") for i in range(dim)],
+        F.col("vec_id").alias("vec_id_b"), *[F.col(f"x{i}").alias(f"b{i}") for i in range(dim)]
     )
     terms = [F.col(f"a{i}") * F.col(f"b{i}") for i in range(dim)]
     dot = terms[0]
     for t in terms[1:]:
         dot = dot + t
-    cos = dot / (F.col("na") * F.col("nb"))
+    return a, b, dot
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (north star: semantic dedup).
+
+    Exact all-pairs cosine ≥ 0.45 over the ``embeddings`` fixture.
+    Vectors are unit-normalized ONCE on the corpus side, so the per-pair
+    work is a bare 64-term product chain — measured 30 s (interpreted
+    array lambdas) → 3.5 s (flat scalar chain + norms) → 0.9 s warm
+    (pre-normalized, no per-pair division) at sf0.1 / 2 M pairs.  The
+    DuckDB oracle performs the identical divide-then-left-fold, so values
+    hash-match bit-for-bit.
+
+    100 TB path: :func:`q_dedup_embedding_blocked` — the same verify
+    expression fed by a distributed blocked-matmul candidate generator
+    instead of the all-pairs join.
+    """
+    dim = 64
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = _normalized_flat(emb, dim)
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a, b, dot = _pair_sides(flat, dim, shuffle_parts)
     return (
         a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
-        .select("vec_id_a", "vec_id_b", cos.alias("cos_raw"))
+        .select("vec_id_a", "vec_id_b", dot.alias("cos_raw"))
         .filter(F.col("cos_raw") >= 0.45)
         .select("vec_id_a", "vec_id_b", F.round("cos_raw", 6).alias("cosine"))
     )
@@ -397,39 +412,14 @@ def q_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_blocks > 1:
         candidates = candidates.dropDuplicates(["vec_id_a", "vec_id_b"])
 
-    # exact re-score (tiny candidate set): same codegen'd chain as
-    # q_dedup_embedding → bit-identical values, same oracle.  persist()
-    # is load-bearing (see q_dedup_embedding: constraint-propagation
-    # blowup on the substituted cosine chain).
-    sq = [F.col("embedding")[i].cast("double") * F.col("embedding")[i].cast("double")
-          for i in range(dim)]
-    norm2 = sq[0]
-    for t in sq[1:]:
-        norm2 = norm2 + t
-    flat = emb.select(
-        "vec_id",
-        F.sqrt(norm2).alias("norm"),
-        *[F.col("embedding")[i].cast("double").alias(f"x{i}") for i in range(dim)],
-    ).persist()
-    a = flat.select(
-        F.col("vec_id").alias("vec_id_a"),
-        F.col("norm").alias("na"),
-        *[F.col(f"x{i}").alias(f"a{i}") for i in range(dim)],
-    )
-    b = flat.select(
-        F.col("vec_id").alias("vec_id_b"),
-        F.col("norm").alias("nb"),
-        *[F.col(f"x{i}").alias(f"b{i}") for i in range(dim)],
-    )
-    terms = [F.col(f"a{i}") * F.col(f"b{i}") for i in range(dim)]
-    dot = terms[0]
-    for t in terms[1:]:
-        dot = dot + t
-    cos = dot / (F.col("na") * F.col("nb"))
+    # exact re-score (tiny candidate set): identical normalized chain to
+    # q_dedup_embedding → bit-identical values, same oracle
+    flat = _normalized_flat(emb, dim)
+    a, b, dot = _pair_sides(flat, dim)
     return (
         candidates.join(F.broadcast(a), "vec_id_a")
         .join(F.broadcast(b), "vec_id_b")
-        .select("vec_id_a", "vec_id_b", cos.alias("cos_raw"))
+        .select("vec_id_a", "vec_id_b", dot.alias("cos_raw"))
         .filter(F.col("cos_raw") >= threshold)
         .select("vec_id_a", "vec_id_b", F.round("cos_raw", 6).alias("cosine"))
     )

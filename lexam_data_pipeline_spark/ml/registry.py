@@ -52,6 +52,9 @@ _SHINGLES = """
 """
 
 ML_ORACLE_EMBEDDING = """
+        -- mirrors the Spark plan op-for-op: divide each component by the
+        -- row norm FIRST, then left-fold the pairwise products — bit-
+        -- identical doubles on both engines
         WITH n AS (
             SELECT vec_id,
                    list_transform(embedding, x -> x::DOUBLE) AS e,
@@ -59,12 +62,14 @@ ML_ORACLE_EMBEDDING = """
                         x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) AS nrm
             FROM embeddings
         ),
+        u AS (
+            SELECT vec_id, list_transform(e, x -> x / nrm) AS en FROM n
+        ),
         pairs AS (
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-                   list_reduce(list_transform(generate_series(1, len(a.e)),
-                        i -> a.e[i] * b.e[i]), (x, y) -> x + y)
-                   / (a.nrm * b.nrm) AS cos_raw
-            FROM n a JOIN n b ON a.vec_id < b.vec_id
+                   list_reduce(list_transform(generate_series(1, len(a.en)),
+                        i -> a.en[i] * b.en[i]), (x, y) -> x + y) AS cos_raw
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
         )
         SELECT vec_id_a, vec_id_b, round(cos_raw, 6) AS cosine
         FROM pairs WHERE cos_raw >= 0.45
