@@ -20,6 +20,7 @@ from lexam_data_pipeline_spark.ml.multimodal import q_multimodal_features
 from lexam_data_pipeline_spark.ml.similarity import q_knn_bruteforce, q_knn_lsh
 from lexam_data_pipeline_spark.ml.textstats import (
     q_doc_fingerprint,
+    q_doc_rolling_hash,
     q_lang_id,
     q_text_quality,
     q_token_count_regex,
@@ -38,6 +39,7 @@ ML_QUERIES = {
     "q_text_quality": q_text_quality,
     "q_token_count_regex": q_token_count_regex,
     "q_doc_fingerprint": q_doc_fingerprint,
+    "q_doc_rolling_hash": q_doc_rolling_hash,
     "q_lang_id": q_lang_id,
     "q_multimodal_features": q_multimodal_features,
 }

@@ -90,3 +90,28 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang in LANG_MARKERS:
         pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
     return scored.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+def rolling_hash(toks: F.Column, base: int = 131, mod: int = (1 << 31) - 1) -> F.Column:
+    """Rabin–Karp polynomial rolling hash over a token array:
+    ``h = fold(acc * B + hash(tok) mod M)`` — one codegen'd pass, order-
+    sensitive (unlike the min-fingerprint, token order changes the value).
+
+    ANSI-overflow-safe: acc < 2^31 and B = 131 keep ``acc*B + h`` under
+    2^39 in int64.  xxhash64-seeded → not ANSI-SQL-reproducible, so the
+    query is rows-only checked and behavior-tested instead.
+    """
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * base + F.pmod(F.xxhash64(t), F.lit(mod)), F.lit(mod)),
+    )
+
+
+def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint (north star: fast
+    change-detection / exact-dedup key that streams in one pass)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", rolling_hash(F.col("toks")).alias("rhash")
+    )

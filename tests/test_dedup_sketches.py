@@ -96,3 +96,29 @@ def test_lang_id_on_planted_texts(spark, tmp_path):
     ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
     got = {r["doc_id"]: r["predicted_lang"] for r in q_lang_id(spark, d).collect()}
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "unknown"}
+
+
+def test_rolling_hash_properties(spark):
+    """Rabin-Karp fingerprint: equal text → equal hash; any word change
+    or reorder → different hash (w.h.p., deterministic here)."""
+    from lexam_data_pipeline_spark.ml.textstats import rolling_hash
+    from lexam_data_pipeline_spark.functions.text import tokens
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),   # identical
+        (3, "alpha beta gamma DELTA"),   # one word changed
+        (4, "delta gamma beta alpha"),   # reordered
+        (5, ""),                          # empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", rolling_hash(tokens("text")).alias("h")
+        ).collect()
+    }
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    assert got[1] != got[4]  # order-sensitive, unlike min-fingerprint
+    assert all(0 <= h < (1 << 31) for h in got.values())
