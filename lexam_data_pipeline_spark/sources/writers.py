@@ -51,3 +51,42 @@ def plan_has_exchange(df: DataFrame) -> bool:
     """True if the physical plan contains a shuffle — the assertion
     primitive for co-location tests."""
     return "Exchange" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files sized
+    for scan efficiency (the append-only sinks accumulate one file per
+    micro-batch/stage write — the classic small-file problem at scale).
+
+    Sizing is estimated from the current on-disk footprint; the rewrite
+    goes through a temp dir + atomic swap like the experiment store.
+    Returns the output file count."""
+    import math
+    import os
+    import shutil
+    import uuid
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

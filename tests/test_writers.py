@@ -62,3 +62,25 @@ def test_bucketed_join_no_exchange(spark, sf_small):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_compact_small_files(spark, sf_small, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lexam_data_pipeline_spark.sources.writers import compact
+
+    orders = load_table(spark, sf_small, "orders")
+    path = str(tmp_path / "fragmented")
+    # simulate many tiny append files
+    for i in range(6):
+        orders.filter(F.col("o_orderkey") % 6 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    before_files = sum(f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs)
+    assert before_files >= 6
+    before_count = spark.read.parquet(path).count()
+
+    compact(spark, path, target_file_bytes=1 << 30)  # everything into 1 file
+    after_files = sum(f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs)
+    assert after_files == 1
+    assert spark.read.parquet(path).count() == before_count
