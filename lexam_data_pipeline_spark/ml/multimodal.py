@@ -139,3 +139,97 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", IntegerType(), True),
+        StructField("frame_payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, target_w: int, target_h: int, deterministic_fake: bool = True
+) -> DataFrame:
+    """Resize stage: metadata transforms JVM-side, payload re-encode in an
+    Arrow batch.  The codec is stubbed (no PIL/ffmpeg in this container):
+    the deterministic fake truncates/pads the payload proportionally to
+    the pixel-count change so downstream size accounting stays realistic.
+    """
+    fake = deterministic_fake
+    tw, th = int(target_w), int(target_h)
+
+    def run(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("media resize needs a codec library")
+            out_payload = []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                if payload is None or not w or not h:
+                    out_payload.append(None)
+                    continue
+                scale = (tw * th) / float(w * h)
+                n = max(1, int(len(payload) * scale))
+                body = (bytes(payload) * (n // max(len(payload), 1) + 1))[:n]
+                out_payload.append(body)
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": tw,
+                    "height": th,
+                    "payload": out_payload,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, deterministic_fake: bool = True
+) -> DataFrame:
+    """Frame sampling: one output row per sampled frame (1:N explode
+    inside the Arrow batch).  Videos only; the fake splits the payload
+    into ``n_frames`` even chunks — the real codec would seek keyframes.
+
+    At scale this is the fan-out stage whose output feeds the per-frame
+    feature extractor; partition count follows the input, and
+    ``arrow.maxRecordsPerBatch`` bounds per-batch payload memory."""
+    fake = deterministic_fake
+    k = int(n_frames)
+
+    def run(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("frame sampling needs a codec library")
+            ids, idxs, frames = [], [], []
+            vids = pdf[pdf["media_type"] == "video"]
+            for media_id, payload in zip(vids["media_id"], vids["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                chunk = max(1, len(payload) // k)
+                for i in range(k):
+                    ids.append(media_id)
+                    idxs.append(i)
+                    frames.append(bytes(payload[i * chunk : (i + 1) * chunk]))
+            yield _pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "frame_payload": frames}
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -57,3 +57,36 @@ def test_extract_features_real_codec_path_raises(spark, sf_small):
     feats = extract_features(media, deterministic_fake=False)
     with pytest.raises(Exception, match="codec"):
         feats.collect()
+
+
+def test_resize_scales_payload(spark, sf_small):
+    from lexam_data_pipeline_spark.catalog import load_table
+    from lexam_data_pipeline_spark.ml.multimodal import resize_media
+
+    media = media_table_from_documents(load_table(spark, sf_small, "documents")).limit(20)
+    out = resize_media(media, 64, 48)
+    rows = out.collect()
+    assert all((r["width"], r["height"]) == (64, 48) for r in rows)
+    # payload sizes scaled to the new pixel count
+    src = {r["media_id"]: r for r in media.collect()}
+    for r in rows:
+        s = src[r["media_id"]]
+        expected = max(1, int(s["n_bytes"] * (64 * 48) / (s["width"] * s["height"])))
+        assert len(r["payload"]) == expected
+
+
+def test_sample_frames_videos_only(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from lexam_data_pipeline_spark.catalog import load_table
+    from lexam_data_pipeline_spark.ml.multimodal import sample_frames
+
+    media = media_table_from_documents(load_table(spark, sf_small, "documents")).limit(30)
+    n_videos = media.filter(F.col("media_type") == "video").count()
+    frames = sample_frames(media, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == n_videos * 4
+    per = {}
+    for r in rows:
+        per.setdefault(r["media_id"], []).append(r["frame_index"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per.values())
