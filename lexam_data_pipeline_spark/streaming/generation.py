@@ -72,3 +72,40 @@ def start_streaming_generation(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_streaming_judging(
+    answers_stream: DataFrame,
+    variants: DataFrame,
+    questions: DataFrame,
+    experiment: dict,
+    judge_model: str,
+    store: ExperimentStore,
+    *,
+    client_spec: dict,
+    parallelism: int | None = None,
+    available_now: bool = True,
+):
+    """Judging over a stream of answer rows (e.g. the generation sink's
+    output directory watched as a file stream): each micro-batch anti-joins
+    the LIVE judgments sink per judge, so re-delivered answers or restarts
+    never double-judge — the same ST3 shape as streaming generation."""
+    from lexam_data_pipeline_spark.pipeline.judging import run_judging
+
+    def process_batch(batch_answers: DataFrame, batch_id: int) -> None:
+        new_rows = run_judging(
+            experiment,
+            batch_answers,
+            variants,
+            questions,
+            judge_model,
+            client_spec=client_spec,
+            existing_judgments=store.judgments(),
+            parallelism=parallelism,
+        )
+        store.append_judgments(new_rows)
+
+    writer = answers_stream.writeStream.foreachBatch(process_batch)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

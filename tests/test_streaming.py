@@ -267,3 +267,40 @@ def test_stateful_user_tracker_accumulates(spark, tmp_path):
     assert u1 == [(2, 5.0, 300.0), (3, 10.0, 1800.0)]
     u2 = [(r["n_events"], r["total_value"]) for r in rows if r["user_id"] == 2]
     assert u2 == [(1, 1.0)]
+
+
+def test_streaming_judging_idempotent(spark, tmp_path):
+    """Judging as a stream over the answers sink: generation writes the
+    sink, the judging stream drains it, and a full re-run of the stream
+    (fresh checkpoint, same files) adds zero duplicate judgments."""
+    from lexam_data_pipeline_spark.model import ANSWERS_SCHEMA
+    from lexam_data_pipeline_spark.pipeline.experiment import ExperimentStore
+    from lexam_data_pipeline_spark.pipeline.generation import run_generation
+    from lexam_data_pipeline_spark.streaming.generation import start_streaming_judging
+    from tests.lexam_data import lexam_tables
+    from tests.test_pipeline import EXPERIMENT, MOCK_JUDGE, MOCK_MCQ
+
+    t = lexam_tables(spark)
+    store = ExperimentStore(spark, str(tmp_path / "judge_stream_store"))
+    store.append_answers(
+        run_generation(EXPERIMENT, t["variants"], t["questions"], client_spec=MOCK_MCQ)
+    )
+    answers_dir = str(tmp_path / "judge_stream_store" / "answers")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(ANSWERS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(answers_dir)
+        )
+        q = start_streaming_judging(
+            stream, t["variants"], t["questions"], EXPERIMENT, "stream-judge",
+            store, client_spec=MOCK_JUDGE,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # 4 open variants × n_answers=2 judged once each
+    assert store.judgments().count() == 8
+    drain()  # re-deliver everything: anti-join absorbs it
+    assert store.judgments().count() == 8
