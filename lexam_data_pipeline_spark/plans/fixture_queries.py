@@ -612,3 +612,16 @@ def q_fullouter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
         F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
     )
+
+
+def q_groupby_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 under the hot-key treatment: the two-phase salted aggregation
+    (operators.skew.salted_count) must be result-identical to the plain
+    groupBy — proven through the same oracle as q_groupby_count's shape.
+    At scale the salt spreads a hot status across 16 reducers."""
+    from lexam_data_pipeline_spark.operators.skew import salted_count
+
+    orders = load_table(spark, sf_dir, "orders")
+    return salted_count(orders, ["o_orderstatus"], F.col("o_orderkey"), n_salts=16).select(
+        F.col("o_orderstatus"), F.col("count").alias("n_orders")
+    )

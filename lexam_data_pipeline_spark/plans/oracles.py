@@ -276,4 +276,7 @@ CORE_ORACLES: dict[str, str] = {
                coalesce(n_suppliers, 0) AS n_suppliers
         FROM c FULL OUTER JOIN s USING (nationkey)
     """,
+    "q_groupby_salted": """
+        SELECT o_orderstatus, count(*) AS n_orders FROM orders GROUP BY 1
+    """,
 }

@@ -230,3 +230,26 @@ def test_word_count_hypothesis_parity(spark):
             assert got[i] == len(s.split()), f"{s!r}: spark={got[i]} py={len(s.split())}"
 
     check()
+
+
+def test_template_format_hypothesis_parity(spark):
+    """template_format compiles to the same output str.format produces,
+    over generated templates with escapes and repeated placeholders."""
+    from hypothesis import given, settings, strategies as st
+
+    fragment = st.sampled_from(
+        ["txt ", "{a}", "{b}", "{{", "}}", "\n", ":", "{a}{b}", " {{a}} ", "."]
+    )
+
+    @settings(max_examples=3, deadline=None)
+    @given(st.lists(fragment, min_size=1, max_size=12), st.text(max_size=8), st.text(max_size=8))
+    def check(parts, va, vb):
+        template = "".join(parts)
+        expected = template.format(a=va, b=vb)
+        df = spark.createDataFrame([(va, vb)], ["ca", "cb"])
+        got = df.select(
+            template_format(template, {"a": F.col("ca"), "b": F.col("cb")}).alias("p")
+        ).first().p
+        assert got == expected, f"{template!r}: {got!r} != {expected!r}"
+
+    check()
