@@ -37,6 +37,11 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)
+        # local mode shares one heap across all task threads; the 1 GiB
+        # default leaves little headroom at 32 threads.  Every query is
+        # still verified 1 GiB-safe under a vanilla session (the driver's
+        # own harness uses one) — this is bench/test headroom only.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
