@@ -625,3 +625,38 @@ def q_groupby_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(orders, ["o_orderstatus"], F.col("o_orderkey"), n_salts=16).select(
         F.col("o_orderstatus"), F.col("count").alias("n_orders")
     )
+
+
+def q_template_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: runtime prompt template compiled to a concat expression
+    (functions.extract.template_format; ref generation.py:22-37) —
+    exercised through the oracle on fixture columns."""
+    from lexam_data_pipeline_spark.functions.extract import template_format
+
+    cust = load_table(spark, sf_dir, "customer")
+    tpl = "Dear {name} (customer #{key}), segment {{quoted}}: {segment}."
+    prompt = template_format(
+        tpl,
+        {"name": F.col("c_name"), "key": F.col("c_custkey"), "segment": F.col("c_mktsegment")},
+    )
+    return cust.select(F.col("c_custkey").alias("key"), prompt.alias("prompt"))
+
+
+def q_letter_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 (pattern 1) + F7 through the driver oracle: synthesize
+    ``###X###`` answers from fixture ids, extract the letter back, and
+    aggregate — gold-letter arithmetic and the extraction regex both
+    verified cross-engine."""
+    from lexam_data_pipeline_spark.functions.extract import extract_letter
+
+    docs = load_table(spark, sf_dir, "documents")
+    answer = F.concat(
+        F.lit("noise <think>x</think> ###"),
+        F.char(F.pmod(F.col("doc_id"), F.lit(4)) + 65),
+        F.lit("### tail"),
+    )
+    return (
+        docs.withColumn("letter", extract_letter(answer))
+        .groupBy("letter")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -279,4 +279,17 @@ CORE_ORACLES: dict[str, str] = {
     "q_groupby_salted": """
         SELECT o_orderstatus, count(*) AS n_orders FROM orders GROUP BY 1
     """,
+    "q_template_concat": """
+        SELECT c_custkey AS key,
+               'Dear ' || c_name || ' (customer #' || CAST(c_custkey AS VARCHAR)
+               || '), segment {quoted}: ' || c_mktsegment || '.' AS prompt
+        FROM customer
+    """,
+    "q_letter_extract_roundtrip": """
+        SELECT regexp_extract('noise <think>x</think> ###'
+                   || chr(65 + CAST(doc_id % 4 AS INT)) || '### tail',
+                   '###\s*([A-Z])\s*###', 1) AS letter,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1
+    """,
 }
