@@ -349,3 +349,21 @@ def test_get_question(spark, t):
         "q1x",
     ).collect()[0]
     assert no_v["variants"] == []
+
+
+def test_page_search_with_variant_filter_combined(spark, t):
+    # search 'answer' hits q1 (variant 2's answer contains 'seven'? no -
+    # 'one two...seven'); use 'seven' + config filter open_question: q1
+    from lexam_data_pipeline_spark.serving import questions_page
+
+    page = questions_page(
+        t["questions"], t["variants"],
+        fc={"config": ["mcq_8_choices"]}, search="seven",
+    )
+    # q1 matches the search via its open answer, but has no mcq_8 variant
+    assert page.total == 0
+    page2 = questions_page(
+        t["questions"], t["variants"],
+        fc={"config": ["open_question"]}, search="seven",
+    )
+    assert [r["id"] for r in page2.rows.collect()] == ["q1"]
