@@ -113,7 +113,9 @@ def judgments_page(
     exp_answers = answers.filter(F.col("experiment_id") == experiment_id).select(
         F.col("id").alias("answer_id"),
         "variant_id",
-        F.col("answer_text").alias("model_answer"),
+        # ref judging.py:70: empty answer text serializes as None (Python
+        # truthiness), not ""
+        F.nullif(F.col("answer_text"), F.lit("")).alias("model_answer"),
     )
     base = judgments.join(F.broadcast(exp_answers), "answer_id", "left_semi")
     if judge_model:

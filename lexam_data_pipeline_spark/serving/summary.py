@@ -44,7 +44,10 @@ def search_summary(
     search: str,
     fc: dict | None = None,
 ) -> dict[str, DataFrame]:
-    base = filtered_questions(questions, variants, fc, search).persist()
+    # no persist: the filtered set is unbounded at corpus scale, and each
+    # aggregate's scan pushes the filter down anyway (4 pruned scans beat
+    # an unbounded cache; callers wanting reuse persist explicitly)
+    base = filtered_questions(questions, variants, fc, search)
     return {
         "total": base.agg(F.count(F.lit(1)).alias("total")),
         "by_area": base.groupBy("area").agg(F.count(F.lit(1)).alias("count")),
