@@ -156,4 +156,32 @@ ML_ORACLES: dict[str, str] = {
                list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
         FROM ({_SHINGLES}) sh
     """,
+    "q_lang_id": """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                  t -> lower(t)) AS toks
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, lang,
+                   len(list_filter(toks, t -> t IN ('the', 'and', 'of', 'to', 'is'))) AS score_en,
+                   len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS score_de,
+                   len(list_filter(toks, t -> t IN ('le', 'la', 'les', 'et', 'est'))) AS score_fr,
+                   len(list_filter(toks, t -> t IN ('el', 'la', 'los', 'y', 'es'))) AS score_es
+            FROM toks
+        ),
+        best_t AS (
+            SELECT *, greatest(score_en, score_de, score_fr, score_es) AS best
+            FROM scored
+        )
+        SELECT doc_id, lang,
+               CASE WHEN best <= 0 THEN 'unknown'
+                    WHEN score_en = best THEN 'en'
+                    WHEN score_de = best THEN 'de'
+                    WHEN score_fr = best THEN 'fr'
+                    WHEN score_es = best THEN 'es'
+               END AS predicted_lang
+        FROM best_t
+    """,
 }

@@ -70,8 +70,8 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: marker-vocabulary voting over tokens, with
-    'unknown' fallback.  Rows-only check (the marker sets are engine
-    implementation detail, not ANSI-SQL contract)."""
+    'unknown' fallback.  Oracle-checked: the DuckDB twin replicates the
+    marker sets and the declaration-order tie-break exactly."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.transform(tokens("text"), F.lower).alias("toks")
     )
