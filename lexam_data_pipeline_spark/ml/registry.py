@@ -23,6 +23,7 @@ from lexam_data_pipeline_spark.ml.textstats import (
     q_doc_rolling_hash,
     q_lang_id,
     q_text_quality,
+    q_tfidf_top_terms,
     q_token_count_regex,
 )
 
@@ -37,6 +38,7 @@ ML_QUERIES = {
     "q_knn_lsh": q_knn_lsh,
     "q_knn_ivf": q_knn_ivf,
     "q_text_quality": q_text_quality,
+    "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_token_count_regex": q_token_count_regex,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_doc_rolling_hash": q_doc_rolling_hash,
@@ -183,5 +185,29 @@ ML_ORACLES: dict[str, str] = {
                     WHEN score_es = best THEN 'es'
                END AS predicted_lang
         FROM best_t
+    """,
+    "q_tfidf_top_terms": """
+        WITH terms AS (
+            SELECT doc_id, t.term, count(*) AS tf
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+                  FROM documents) t
+            WHERE t.term <> ''
+            GROUP BY doc_id, t.term
+        ),
+        with_df AS (
+            SELECT doc_id, term, tf,
+                   count(*) OVER (PARTITION BY term) AS df
+            FROM terms
+        ),
+        ranked AS (
+            SELECT doc_id, term, tf, df,
+                   round(tf::DOUBLE / df, 6) AS weight,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY round(tf::DOUBLE / df, 6) DESC, term ASC) AS rank
+            FROM with_df
+        )
+        SELECT doc_id, term, tf, CAST(df AS BIGINT) AS df, weight, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
     """,
 }

@@ -115,3 +115,38 @@ def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id", rolling_hash(F.col("toks")).alias("rhash")
     )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style term weighting (north star: text analysis): top-3
+    terms per document by df-normalized weight.
+
+    Weight = tf / df as an integer-division double — engine-exact, unlike
+    ``tf·ln(N/df)`` whose libm ``ln`` can differ in the last ulp between
+    engines (the log variant is a one-line switch for production).  One
+    shuffle for df (window over term), one for the per-doc top-k window;
+    ties broken by term text for determinism.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    with_df = terms.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).withColumn("weight", F.round(F.col("tf") / F.col("df"), 6))
+    ranked = with_df.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.desc("weight"), F.asc("term")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= 3).select(
+        "doc_id", "term", "tf", F.col("df").cast("bigint").alias("df"), "weight", "rank"
+    )
