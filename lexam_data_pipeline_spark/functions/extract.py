@@ -117,3 +117,31 @@ def template_format(template: str, columns: dict[str, Column]) -> Column:
 
 def word_letters() -> str:
     return string.ascii_uppercase
+
+
+def gold_choice(choices: Column, gold: Column) -> Column:
+    """F13: the gold answer's display text, ``choices[gold]`` with
+    1-based ``element_at`` (ref ExperimentDetail.jsx:620); NULL-safe on
+    either side."""
+    return F.when(
+        choices.isNotNull() & gold.isNotNull(), F.element_at(choices, gold + 1)
+    )
+
+
+#: F15 score buckets (ref ExperimentDetail.jsx:1132-1148)
+SCORE_STATUS_BUCKETS = (
+    (0.8, "excellent"),
+    (0.6, "good"),
+    (0.4, "partial"),
+    (0.0, "poor"),
+)
+
+
+def score_status(score: Column) -> Column:
+    """F15: bucketed score→status label for presentation layers; NULL
+    score → NULL status."""
+    expr = None
+    for lo, label in SCORE_STATUS_BUCKETS:
+        cond = score >= F.lit(lo)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return F.when(score.isNotNull(), expr)

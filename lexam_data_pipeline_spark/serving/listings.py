@@ -14,6 +14,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
+from lexam_data_pipeline_spark.functions.extract import gold_choice
+
 MAX_LIST_LIMIT = 500  # ref generation.py:34 / judging.py:39
 
 ISO = "yyyy-MM-dd'T'HH:mm:ss"
@@ -35,6 +37,8 @@ def _dims(variants: DataFrame, questions: DataFrame) -> DataFrame:
         F.col("answer").alias("gold_answer"),
         F.col("gold").alias("gold_index"),
         "choices",
+        # F13: the gold answer's display text (ref ExperimentDetail.jsx:620)
+        gold_choice(F.col("choices"), F.col("gold")).alias("gold_choice_text"),
     ).join(
         F.broadcast(
             questions.select(
@@ -79,6 +83,7 @@ def answers_page(
                 "gold_answer",
                 "gold_index",
                 "choices",
+                "gold_choice_text",
                 "run_index",
                 "model_name",
                 "answer_text",

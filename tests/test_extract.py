@@ -253,3 +253,19 @@ def test_template_format_hypothesis_parity(spark):
         assert got == expected, f"{template!r}: {got!r} != {expected!r}"
 
     check()
+
+
+def test_gold_choice_and_score_status(spark):
+    from lexam_data_pipeline_spark.functions.extract import gold_choice, score_status
+
+    df = spark.createDataFrame(
+        [(["a", "b", "c"], 1, 0.95), (["x"], 0, 0.65), (None, 2, 0.45),
+         (["y"], None, 0.1), (["z"], 0, None)],
+        "choices array<string>, gold int, score double",
+    )
+    rows = df.select(
+        gold_choice(F.col("choices"), F.col("gold")).alias("gc"),
+        score_status(F.col("score")).alias("st"),
+    ).collect()
+    assert [r["gc"] for r in rows] == ["b", "x", None, None, "z"]
+    assert [r["st"] for r in rows] == ["excellent", "good", "partial", "poor", None]
