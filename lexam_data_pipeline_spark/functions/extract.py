@@ -9,7 +9,6 @@ JVM-side inside whole-stage codegen, no Python in the hot path.
 
 from __future__ import annotations
 
-import re
 import string
 
 from pyspark.sql import Column, functions as F
@@ -85,31 +84,31 @@ def format_choices(choices: Column) -> Column:
     return F.array_join(lettered, "\n")
 
 
-_PLACEHOLDER = re.compile(r"\{([a-zA-Z_][a-zA-Z0-9_]*)\}")
-
-
 def template_format(template: str, columns: dict[str, Column]) -> Column:
     """Compile a ``str.format``-style template (runtime data in the
     reference: experiments carry their prompt templates as rows) into a
     single ``concat`` expression (ref generation.py:22-37,
     judging.py:68-72).
 
-    Unknown placeholders raise, like ``str.format`` would.  ``{{``/``}}``
-    escapes are honored.
+    Tokenized by ``string.Formatter().parse`` — str.format's OWN parser —
+    so brace-escape semantics match exactly.  (A regex + ``{{``/``}}``
+    pre-substitution pass diverges on inputs like ``"{a}}}"``, where the
+    scan steals a placeholder's closing brace as half an escape;
+    hypothesis found it, tests/test_extract.py pins it.)  Unknown
+    placeholders raise like str.format; format specs/conversions are
+    rejected (the reference's templates never use them).
     """
     parts: list[Column] = []
-    pos = 0
-    text = template.replace("{{", "\x00").replace("}}", "\x01")
-    for m in _PLACEHOLDER.finditer(text):
-        if m.start() > pos:
-            parts.append(F.lit(text[pos : m.start()].replace("\x00", "{").replace("\x01", "}")))
-        name = m.group(1)
-        if name not in columns:
-            raise KeyError(f"template placeholder {{{name}}} has no column binding")
-        parts.append(F.coalesce(columns[name].cast("string"), F.lit("")))
-        pos = m.end()
-    if pos < len(text):
-        parts.append(F.lit(text[pos:].replace("\x00", "{").replace("\x01", "}")))
+    for literal, field, spec, conversion in string.Formatter().parse(template):
+        if literal:
+            parts.append(F.lit(literal))
+        if field is None:
+            continue
+        if spec or conversion:
+            raise ValueError(f"format specs are not supported: {{{field}:{spec}}}")
+        if field not in columns:
+            raise KeyError(f"template placeholder {{{field}}} has no column binding")
+        parts.append(F.coalesce(columns[field].cast("string"), F.lit("")))
     if not parts:
         return F.lit("")
     return F.concat(*parts)

@@ -269,3 +269,16 @@ def test_gold_choice_and_score_status(spark):
     ).collect()
     assert [r["gc"] for r in rows] == ["b", "x", None, None, "z"]
     assert [r["st"] for r in rows] == ["excellent", "good", "partial", "poor", None]
+
+
+def test_template_format_brace_regressions(spark):
+    """Pinned hypothesis counterexample + escape zoo: the compiler must
+    tokenize exactly like str.format's own parser."""
+    df = spark.createDataFrame([("X", "Y")], ["ca", "cb"])
+    cases = ["{a}}}", "{{{a}", "{{{{", "}}{a}{{", "{a}{b}{a}", "{{a}}", ""]
+    for tpl in cases:
+        expected = tpl.format(a="X", b="Y")
+        got = df.select(
+            template_format(tpl, {"a": F.col("ca"), "b": F.col("cb")}).alias("p")
+        ).first().p
+        assert got == expected, f"{tpl!r}: {got!r} != {expected!r}"
