@@ -660,3 +660,22 @@ def q_letter_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("letter")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling (the reference's JSON surface,
+    §2.8 family): parse the events ``props`` JSON, extract a typed field,
+    aggregate.  ``from_json`` with an explicit schema — typed at parse
+    time, codegen-friendly, and malformed rows degrade to NULL instead of
+    failing the job (same row-isolation policy as ingest)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("total_k"),
+            F.count("k").alias("n_with_k"),
+        )
+    )

@@ -292,4 +292,11 @@ CORE_ORACLES: dict[str, str] = {
                count(*) AS n_docs
         FROM documents GROUP BY 1
     """,
+    "q_events_json_extract": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS total_k,
+               count(json_extract(props, '$.k')) AS n_with_k
+        FROM events GROUP BY 1
+    """,
 }
