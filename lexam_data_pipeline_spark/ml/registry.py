@@ -1,7 +1,9 @@
 """Registry + oracle SQL for the training-data-pipeline extensions.
 
-SQL-expressible extension queries carry a DuckDB oracle; sketch-based ones
-(MinHash, SimHash, LSH, langid heuristics, multimodal decode) are declared
+SQL-expressible extension queries carry a DuckDB oracle (including the
+lang-ID heuristic and both embedding-dedup variants); only genuinely
+non-ANSI-reproducible ops (xxhash-seeded sketches: MinHash, SimHash,
+rolling hash; LSH/IVF bucketing; binary multimodal decode) are declared
 rows-only — the driver records the weaker check and the judge sees which.
 """
 
