@@ -28,6 +28,7 @@ from lexam_data_pipeline_spark.session import get_spark  # noqa: E402
 #: Headline set: every operator family with nontrivial execution cost.
 HEADLINE = [
     "q_join_3way_agg",
+    "q_join_5way_region",
     "q_join_enrich",
     "q_semi_exists",
     "q_anti_dedup",

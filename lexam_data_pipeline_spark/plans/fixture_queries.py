@@ -679,3 +679,26 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("k").alias("n_with_k"),
         )
     )
+
+
+def q_join_5way_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J7 at depth: the classic star chain lineitem⋈orders⋈customer⋈
+    nation⋈region → revenue per region.  All three dimension hops
+    broadcast (nation/region are tiny; customer fits the 64 MB
+    threshold at bench scale — at 100 TB AQE decides per stats)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            _dec_sum("l_extendedprice").alias("revenue"),
+        )
+    )

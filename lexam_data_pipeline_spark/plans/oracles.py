@@ -299,4 +299,15 @@ CORE_ORACLES: dict[str, str] = {
                count(json_extract(props, '$.k')) AS n_with_k
         FROM events GROUP BY 1
     """,
+    "q_join_5way_region": """
+        SELECT r_name AS region_name,
+               count(*) AS n_lineitems,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY 1
+    """,
 }
