@@ -1,0 +1,35 @@
+"""The driver runs ``python bench.py`` per round and parses ONE JSON
+line — protect that contract (keys, types, query coverage) at the small
+scale factor so the round-end gate can't break silently."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_bench_prints_one_json_line():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001", SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=str(REPO),
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    json_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert len(json_lines) == 1, f"expected exactly one JSON line:\n{proc.stdout}"
+    d = json.loads(json_lines[0])
+    assert d["metric"] == "headline_queries_total_runtime"
+    assert d["unit"] == "sec" and isinstance(d["value"], float)
+    assert d["sf"] == 0.001
+    assert len(d["queries"]) >= 25
+    assert abs(sum(d["queries"].values()) - d["value"]) < 0.01
+    assert all(isinstance(v, float) and v >= 0 for v in d["queries"].values())
