@@ -423,3 +423,85 @@ def q_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= threshold)
         .select("vec_id_a", "vec_id_b", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Connected components by iterative min-label propagation — the step
+    that turns near-dup PAIRS into dedup CLUSTERS.
+
+    Each node starts labeled with its own id; every iteration each node
+    takes the min of its own and its neighbors' labels, until fixpoint.
+    Iterations are O(component diameter) — near-dup clusters are shallow
+    (stars around a few hubs), so 3-5 rounds close real corpora.  Each
+    round is one shuffle-join + one aggregation; for adversarially long
+    chains at 100 TB, swap in the large-star/small-star variant (same
+    per-round plan shape).
+
+    Returns (node, cluster) where cluster = min node id in the component.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = nodes.withColumn("cluster", F.col("node")).persist()
+    while True:
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left_outer")
+            .select(
+                "node",
+                F.least(F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))).alias(
+                    "cluster"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over the Jaccard pair graph: each document that
+    appears in any ≥0.5 pair, labeled with its component's min doc_id.
+    Oracle = recursive-CTE transitive closure (exact same clustering)."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    return connected_components(pairs, "doc_id_a", "doc_id_b").select(
+        F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id")
+    )
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup survivor selection with a QUALITY policy: per content
+    hash keep the longest document (n_chars, doc_id tiebreak) — real
+    pipelines keep the best copy, not the lowest id."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy(F.md5(F.col("text")))))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("n_copies").cast("bigint").alias("n_copies"))
+    )

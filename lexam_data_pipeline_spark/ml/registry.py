@@ -10,9 +10,11 @@ rows-only — the driver records the weaker check and the judge sees which.
 from __future__ import annotations
 
 from lexam_data_pipeline_spark.ml.dedup import (
+    q_dedup_clusters,
     q_dedup_embedding,
     q_dedup_embedding_blocked,
     q_dedup_exact,
+    q_dedup_keep_best,
     q_dedup_ngram_jaccard,
     q_minhash_lsh_pairs,
     q_simhash_buckets,
@@ -31,6 +33,8 @@ from lexam_data_pipeline_spark.ml.textstats import (
 
 ML_QUERIES = {
     "q_dedup_exact": q_dedup_exact,
+    "q_dedup_keep_best": q_dedup_keep_best,
+    "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_embedding": q_dedup_embedding,
     "q_dedup_embedding_blocked": q_dedup_embedding_blocked,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -84,6 +88,52 @@ ML_ORACLE_EMBEDDING = """
 ML_ORACLES: dict[str, str] = {
     "q_dedup_embedding": ML_ORACLE_EMBEDDING,
     "q_dedup_embedding_blocked": ML_ORACLE_EMBEDDING,
+    "q_dedup_clusters": f"""
+        WITH RECURSIVE pairs_g AS (
+
+        WITH sh AS ({_SHINGLES}),
+        ex_all AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ),
+        rare AS (
+            SELECT s FROM ex_all GROUP BY s HAVING count(*) <= 50
+        ),
+        ex_rare AS (
+            SELECT doc_id, ex_all.s AS s FROM ex_all JOIN rare USING (s)
+        ),
+        ex AS (
+            SELECT doc_id, s,
+                   count(*) OVER (PARTITION BY doc_id) AS n_sh
+            FROM ex_rare
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_id_a, doc_id_b,
+               round(common / (na + nb - common), 4) AS jaccard
+        FROM pairs
+        WHERE common / (na + nb - common) >= 0.5
+    
+        ),
+        nodes AS (
+            SELECT doc_id_a AS node FROM pairs_g
+            UNION SELECT doc_id_b FROM pairs_g
+        ),
+        sym AS (
+            SELECT doc_id_a AS a, doc_id_b AS b FROM pairs_g
+            UNION SELECT doc_id_b, doc_id_a FROM pairs_g
+        ),
+        reach(src, dst) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a
+        )
+        SELECT src AS doc_id, min(dst) AS cluster_id
+        FROM reach GROUP BY src
+    """,
     "q_dedup_exact": """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY md5(text)
@@ -211,5 +261,14 @@ ML_ORACLES: dict[str, str] = {
         )
         SELECT doc_id, term, tf, CAST(df AS BIGINT) AS df, weight, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 3
+    """,
+    "q_dedup_keep_best": """
+        SELECT doc_id, n_copies FROM (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                   CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies
+            FROM documents
+        ) WHERE rn = 1
     """,
 }
