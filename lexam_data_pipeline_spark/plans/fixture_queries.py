@@ -476,7 +476,9 @@ def q_nest_children(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.array_join(F.sort_array(F.collect_list("o_orderkey")), ",").alias(
+                "order_keys"
+            ),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )

@@ -194,7 +194,7 @@ CORE_ORACLES: dict[str, str] = {
     """,
     "q_nest_children": """
         SELECT c_custkey, c_name,
-               list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+               array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys,
                count(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
         WHERE c_mktsegment = 'BUILDING'
@@ -285,7 +285,7 @@ CORE_ORACLES: dict[str, str] = {
                || '), segment {quoted}: ' || c_mktsegment || '.' AS prompt
         FROM customer
     """,
-    "q_letter_extract_roundtrip": """
+    "q_letter_extract_roundtrip": r"""
         SELECT regexp_extract('noise <think>x</think> ###'
                    || chr(65 + CAST(doc_id % 4 AS INT)) || '### tail',
                    '###\s*([A-Z])\s*###', 1) AS letter,
