@@ -131,6 +131,46 @@ class ExperimentStore:
     def append_judgments(self, df: DataFrame) -> None:
         df.write.mode("append").parquet(self._path("judgments"))
 
+    def purge_errored_answers(self, exp_id: int) -> None:
+        """Drop errored answer rows (and any judgments of them) so a resume
+        retries the failed calls instead of anti-joining them away — the
+        reference rolls failed calls back (services/generation.py:130-139),
+        so an errored row must not occupy its deterministic id."""
+        errored = (
+            self.answers()
+            .filter((F.col("experiment_id") == exp_id) & F.col("error").isNotNull())
+            .select(F.col("id").alias("answer_id"))
+        )
+        if errored.limit(1).count() == 0:
+            return
+        self._overwrite_atomic(
+            self.judgments().join(errored, "answer_id", "left_anti"), "judgments"
+        )
+        self._overwrite_atomic(
+            self.answers().filter(
+                ~((F.col("experiment_id") == exp_id) & F.col("error").isNotNull())
+            ),
+            "answers",
+        )
+
+    def purge_errored_judgments(self, exp_id: int, judge_model: str | None = None) -> None:
+        """Same retry rule for the judgments sink."""
+        exp_answers = self.answers().filter(F.col("experiment_id") == exp_id).select(
+            F.col("id").alias("answer_id")
+        )
+        doomed = (
+            self.judgments()
+            .filter(F.col("error").isNotNull())
+            .join(exp_answers, "answer_id", "left_semi")
+        )
+        if judge_model:
+            doomed = doomed.filter(F.col("judge_model") == judge_model)
+        if doomed.limit(1).count() == 0:
+            return
+        self._overwrite_atomic(
+            self.judgments().join(doomed.select("id"), "id", "left_anti"), "judgments"
+        )
+
     def delete_answers(self, exp_id: int) -> None:
         """S7 predicate delete + dependent judgments (ref
         routers/generation.py:78-80 + FK cascade)."""
@@ -198,6 +238,7 @@ class ExperimentRunner:
             raise KeyError(exp_id)
         self._guard(exp)
         self.store.set_status(exp_id, "generating")
+        self.store.purge_errored_answers(exp_id)  # retry transient failures
         job = self.progress.create(f"gen-{exp_id}", total=0)
         try:
             new_rows = run_generation(
@@ -225,6 +266,7 @@ class ExperimentRunner:
             raise KeyError(exp_id)
         self._guard(exp)
         self.store.set_status(exp_id, "judging")
+        self.store.purge_errored_judgments(exp_id, judge_model)  # retry failures
         job = self.progress.create(f"judge-{exp_id}-{judge_model}", total=0)
         try:
             new_rows = run_judging(

@@ -108,8 +108,16 @@ def run_generation(
         F.col("prompt"),
     )
     if existing_answers is not None:
-        done = existing_answers.filter(F.col("experiment_id") == exp_id).select(
-            "variant_id", "run_index"
+        # Errored rows do NOT count as done: the reference rolls back failed
+        # calls (services/generation.py:130-139 — no row is written), so a
+        # re-run retries them.  Callers that own an answers sink must purge
+        # errored rows before appending the retry output (see
+        # ExperimentStore.purge_errored_answers), or the retried success row
+        # would duplicate the errored row's deterministic id.
+        done = (
+            existing_answers.filter(F.col("experiment_id") == exp_id)
+            .filter(F.col("error").isNull())
+            .select("variant_id", "run_index")
         )
         work = work.join(done, ["variant_id", "run_index"], "left_anti")
     if parallelism:

@@ -54,6 +54,9 @@ def run_judging(
     )
     work = (
         answers.filter(F.col("experiment_id") == exp_id)
+        # errored answers don't exist in the reference (failed generation
+        # calls roll back) — never judge them
+        .filter(F.col("error").isNull())
         .select(
             F.col("id").alias("answer_id"),
             "variant_id",
@@ -69,7 +72,13 @@ def run_judging(
         )
     )
     if existing_judgments is not None:
-        done = existing_judgments.filter(F.col("judge_model") == judge_model).select("answer_id")
+        # errored judgments don't count as done (mirrors run_generation's
+        # resume rule); sink owners purge them before appending retries
+        done = (
+            existing_judgments.filter(F.col("judge_model") == judge_model)
+            .filter(F.col("error").isNull())
+            .select("answer_id")
+        )
         work = work.join(done, "answer_id", "left_anti")
 
     clean_answer = strip_thinking(F.col("answer_text"))

@@ -29,7 +29,12 @@ SCORE_BUCKETS = [(i / 10, (i + 1) / 10, f"{i / 10:.1f}-{(i + 1) / 10:.1f}") for 
 
 
 def _filtered_answers(answers: DataFrame, experiment_id: int, model_name: str | None) -> DataFrame:
-    out = answers.filter(F.col("experiment_id") == experiment_id)
+    # errored rows don't exist in the reference (failed generation calls
+    # roll back), so they never reach its stats — an errored MCQ answer
+    # would otherwise masquerade as open_total here (NULL extracted_letter)
+    out = answers.filter(F.col("experiment_id") == experiment_id).filter(
+        F.col("error").isNull()
+    )
     if model_name:
         out = out.filter(F.col("model_name") == model_name)
     return out

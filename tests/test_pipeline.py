@@ -191,3 +191,82 @@ def test_orchestrated_lifecycle(spark, t, tmp_path):
     store.delete_experiment(7)
     assert store.answers().count() == 0
     assert store.experiments().count() == 0
+
+
+def test_errored_rows_retried_on_resume(spark, t, tmp_path):
+    """ADVICE r1 (medium): an errored answer must not occupy its
+    deterministic id — a resume purges it and retries the call, so a
+    transient failure never becomes a permanent gap (ref generation.py
+    rolls failed calls back, so re-running retries them)."""
+    store = ExperimentStore(spark, str(tmp_path / "exp_store"))
+    runner = ExperimentRunner(
+        store,
+        t["variants"],
+        t["questions"],
+        client_spec=dict(MOCK_MCQ, fail_marker="Strafrecht"),
+    )
+    store.save_experiment(EXPERIMENT)
+    runner.generate(7)
+    assert store.answers().count() == 20
+    assert store.answers().filter(F.col("error").isNotNull()).count() == 2
+
+    # resume with a healthy client: errored rows purged + retried, no dupes
+    runner.client_spec = MOCK_MCQ
+    runner.generate(7)
+    ans = store.answers()
+    assert ans.count() == 20
+    assert ans.filter(F.col("error").isNotNull()).count() == 0
+    assert ans.select("id").distinct().count() == 20
+
+    # successful rows from the first run were NOT re-generated (still the
+    # anti-join path): judge stage sees only error-free answers
+    runner.client_spec = MOCK_JUDGE
+    runner.judge(7, "mock-judge")
+    assert store.judgments().filter(F.col("error").isNotNull()).count() == 0
+
+
+def test_errored_judgments_retried_on_resume(spark, t, tmp_path):
+    store = ExperimentStore(spark, str(tmp_path / "exp_store"))
+    runner = ExperimentRunner(
+        store, t["variants"], t["questions"], client_spec=MOCK_MCQ
+    )
+    store.save_experiment(EXPERIMENT)
+    runner.generate(7)
+
+    # judge with a flaky client: some judgments carry an error
+    runner.client_spec = dict(MOCK_JUDGE, fail_marker="Reference:")
+    runner.judge(7, "mock-judge")
+    j1 = store.judgments()
+    assert j1.count() == 8
+    assert j1.filter(F.col("error").isNotNull()).count() == 8
+
+    # resume with a healthy judge: errored judgments purged + retried
+    runner.client_spec = MOCK_JUDGE
+    runner.judge(7, "mock-judge")
+    j2 = store.judgments()
+    assert j2.count() == 8
+    assert j2.filter(F.col("error").isNotNull()).count() == 0
+    assert j2.filter(F.col("score").isNotNull()).count() == 8
+
+
+def test_stats_exclude_errored_answers(spark, t):
+    """Errored rows don't exist in the reference's stats — an errored MCQ
+    answer must not inflate open_total."""
+    from lexam_data_pipeline_spark.serving.stats import experiment_stats
+
+    out = run_generation(
+        EXPERIMENT,
+        t["variants"],
+        t["questions"],
+        client_spec=dict(MOCK_MCQ, fail_marker="Strafrecht"),
+    ).cache()
+    empty_j = spark.createDataFrame(
+        [], "answer_id long, judge_model string, score double, "
+        "input_tokens long, output_tokens long, error string"
+    )
+    stats = experiment_stats(out, empty_j, experiment_id=7, n_answers=2)
+    overall = stats["overall"].collect()[0]
+    assert overall["total_answers"] == 18  # 2 errored rows excluded
+    assert overall["mcq_total"] == 12
+    assert overall["open_total"] == 6  # not 8: errored opens don't count
+    out.unpersist()
