@@ -33,3 +33,27 @@ def test_bench_prints_one_json_line():
     assert len(d["queries"]) >= 25
     assert abs(sum(d["queries"].values()) - d["value"]) < 0.01
     assert all(isinstance(v, float) and v >= 0 for v in d["queries"].values())
+
+
+def test_registry_complete_from_bare_interpreter():
+    """The full contract must materialize from a fresh interpreter with a
+    non-repo cwd (the driver's context): a broken ML import would silently
+    drop 7+ keys (round-1: those keys got no correctness row)."""
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from lexam_data_pipeline_spark.plans.registry import ("
+        "build_queries, build_oracles, EXPECTED_QUERY_COUNT)\n"
+        "q, o = build_queries(), build_oracles()\n"
+        "assert len(q) == EXPECTED_QUERY_COUNT, (len(q), EXPECTED_QUERY_COUNT)\n"
+        "assert set(o) <= set(q), set(o) - set(q)\n"
+        "print(len(q), len(o))\n" % str(REPO)
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd="/tmp",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "ERROR" not in proc.stderr, proc.stderr[-2000:]
