@@ -63,12 +63,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = build_queries()
     names = [n for n in HEADLINE if n in queries]
-    # optional extension headliners, present once ml/ lands
+    # optional extension headliners, present once ml/ lands.  Embedding
+    # dedup is represented by the blocked (100 TB-shape) variant; the
+    # all-pairs exact twin exists for oracle verification, not headlines.
     for extra in (
         "q_dedup_ngram_jaccard",
         "q_knn_bruteforce",
         "q_minhash_lsh_pairs",
-        "q_dedup_embedding",
+        "q_dedup_embedding_blocked",
     ):
         if extra in queries and extra not in names:
             names.append(extra)

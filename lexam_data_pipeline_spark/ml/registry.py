@@ -61,24 +61,39 @@ _SHINGLES = """
               FROM documents)
 """
 
-ML_ORACLE_EMBEDDING = """
+def _balanced_sum_sql(terms: list[str]) -> str:
+    """Sum term strings as a balanced binary tree with explicit parens —
+    the EXACT tree ml/dedup._balanced_sum builds in Spark.  FP addition
+    is order-sensitive; identical trees → bit-identical doubles."""
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+_EMB_DIM = 64
+_NORM2_SQL = _balanced_sum_sql([f"(e[{i + 1}] * e[{i + 1}])" for i in range(_EMB_DIM)])
+_DOT_SQL = _balanced_sum_sql([f"(a.en[{i + 1}] * b.en[{i + 1}])" for i in range(_EMB_DIM)])
+
+ML_ORACLE_EMBEDDING = f"""
         -- mirrors the Spark plan op-for-op: divide each component by the
-        -- row norm FIRST, then left-fold the pairwise products — bit-
+        -- row norm FIRST, then balanced-tree-sum the pairwise products
+        -- (the generated parens match ml/dedup._balanced_sum) — bit-
         -- identical doubles on both engines
         WITH n AS (
-            SELECT vec_id,
-                   list_transform(embedding, x -> x::DOUBLE) AS e,
-                   sqrt(list_reduce(list_transform(embedding,
-                        x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) AS nrm
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
             FROM embeddings
         ),
         u AS (
-            SELECT vec_id, list_transform(e, x -> x / nrm) AS en FROM n
+            SELECT vec_id,
+                   list_transform(e, x -> x / sqrt({_NORM2_SQL})) AS en
+            FROM n
         ),
         pairs AS (
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-                   list_reduce(list_transform(generate_series(1, len(a.en)),
-                        i -> a.en[i] * b.en[i]), (x, y) -> x + y) AS cos_raw
+                   {_DOT_SQL} AS cos_raw
             FROM u a JOIN u b ON a.vec_id < b.vec_id
         )
         SELECT vec_id_a, vec_id_b, round(cos_raw, 6) AS cosine
