@@ -122,3 +122,80 @@ def test_rolling_hash_properties(spark):
     assert got[1] != got[3]
     assert got[1] != got[4]  # order-sensitive, unlike min-fingerprint
     assert all(0 <= h < (1 << 31) for h in got.values())
+
+
+@pytest.fixture(scope="module")
+def planted_sf(spark, tmp_path_factory):
+    """A documents table with known near-dup families: 8 families of
+    (base, one-word-changed, exact copy) plus 8 unrelated docs."""
+    import os
+
+    rows = []
+    doc_id = 0
+    for fam in range(8):
+        # per-family word soup: families share NO vocabulary, so
+        # cross-family Jaccard is 0 and in-family near-dups are ~0.85
+        words = [f"f{fam}w{i}" for i in range(28)]
+        base = " ".join(words)
+        changed = " ".join(words[:14] + [f"f{fam}CHANGED"] + words[15:])
+        for variant in (base, changed, base):
+            rows.append((doc_id, variant, "en", "planted", len(variant)))
+            doc_id += 1
+    for i in range(8):
+        rows.append(
+            (doc_id, f"unrelated filler text number {i} with unique words "
+                     f"{i}cat {i}dog {i}bird {i}fish nothing shared here",
+             "en", "noise", 80)
+        )
+        doc_id += 1
+    d = str(tmp_path_factory.mktemp("planted") / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, planted_sf):
+    """The sketch is only useful if its candidate set covers the exact
+    near-dup pairs: LSH candidates must include >= 90% of the pairs the
+    exact n-gram Jaccard (threshold 0.5) finds — a broken permutation or
+    banding scheme fails this immediately."""
+    from lexam_data_pipeline_spark.ml.dedup import (
+        q_dedup_ngram_jaccard,
+        q_minhash_lsh_pairs,
+    )
+
+    exact = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in q_dedup_ngram_jaccard(spark, planted_sf).collect()
+    }
+    assert len(exact) >= 8  # every family contributes at least one pair
+    cand = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in q_minhash_lsh_pairs(spark, planted_sf).collect()
+    }
+    covered = exact & cand
+    assert len(covered) >= 0.9 * len(exact), (
+        f"LSH recall {len(covered)}/{len(exact)}; missing: {sorted(exact - cand)[:10]}"
+    )
+
+
+def test_simhash_recall_on_planted_families(spark, planted_sf):
+    """SimHash band buckets must surface the exact-copy pairs (identical
+    sketch -> every band collides) and most one-word-change pairs, while
+    staying far below all-pairs (the point of bucketing)."""
+    from lexam_data_pipeline_spark.ml.dedup import q_simhash_buckets
+
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in q_simhash_buckets(spark, planted_sf).collect()
+    }
+    # exact copies: doc 3k and 3k+2 in every family
+    exact_pairs = {(3 * f, 3 * f + 2) for f in range(8)}
+    assert exact_pairs <= got
+    # one-word-change pairs: (3k, 3k+1); demand >= 75% coverage
+    near_pairs = {(3 * f, 3 * f + 1) for f in range(8)}
+    assert len(near_pairs & got) >= 6
+    # bucketing must not degenerate to all-pairs (32 docs -> 496 pairs)
+    assert len(got) < 100
