@@ -88,3 +88,77 @@ def test_seed_guard(spark):
     existing = spark.createDataFrame([Row(id=1, config="mcq_4_choices")])
     assert seed_guard(existing, "mcq_4_choices") is False
     assert seed_guard(existing, "open_question") is True
+
+
+def _write_hf_save_to_disk(path, table):
+    """Emulate Dataset.save_to_disk: Arrow IPC stream file + state.json."""
+    import json
+    import os
+
+    import pyarrow as pa
+
+    os.makedirs(path)
+    fname = "data-00000-of-00001.arrow"
+    with pa.ipc.new_stream(os.path.join(path, fname), table.schema) as w:
+        w.write_table(table)
+    with open(os.path.join(path, "state.json"), "w") as fh:
+        json.dump({"_data_files": [{"filename": fname}]}, fh)
+
+
+def test_hf_adapter_save_to_disk_layout(spark, tmp_path):
+    """S1: seed from a local HF save_to_disk dump through union_configs —
+    closes the reference's load_dataset gap (seed.py:75-83) without
+    requiring the datasets package."""
+    import pyarrow as pa
+
+    from lexam_data_pipeline_spark.sources import load_hf_dataset, seed_configs_from_hf
+
+    mcq = pa.table({"id": ["q1", "q2"], "course": ["From MCQ", "Only MCQ"]})
+    open_q = pa.table({"id": ["q1", "q3"], "course": ["From Open", "Only Open"]})
+    _write_hf_save_to_disk(str(tmp_path / "mcq_4_choices"), mcq)
+    _write_hf_save_to_disk(str(tmp_path / "open_question"), open_q)
+
+    loaded = load_hf_dataset(spark, str(tmp_path / "mcq_4_choices"))
+    assert loaded.count() == 2
+    assert set(loaded.columns) == {"id", "course"}
+
+    per_config = seed_configs_from_hf(
+        spark, str(tmp_path), ["mcq_4_choices", "open_question"]
+    )
+    unioned = union_configs(per_config)
+    dedup = first_config_wins(unioned.withColumnRenamed("config", "_source_config"))
+    by = {r["id"]: r["course"] for r in dedup.collect()}
+    assert by == {"q1": "From MCQ", "q2": "Only MCQ", "q3": "Only Open"}
+
+
+def test_hf_adapter_split_and_parquet_layouts(spark, tmp_path):
+    """DatasetDict-style split subdir and parquet-export fallback."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lexam_data_pipeline_spark.sources import load_hf_dataset
+
+    # split subdirectory (DatasetDict layout): root/test/state.json
+    _write_hf_save_to_disk(
+        str(tmp_path / "dd" / "test"), pa.table({"id": ["a", "b"], "n": [1, 2]})
+    )
+    df = load_hf_dataset(spark, str(tmp_path / "dd"), split="test")
+    assert df.count() == 2
+
+    # parquet export (no state.json)
+    import os
+
+    os.makedirs(str(tmp_path / "pq"))
+    pq.write_table(
+        pa.table({"id": ["x"], "n": [9]}), str(tmp_path / "pq" / "part-0.parquet")
+    )
+    df2 = load_hf_dataset(spark, str(tmp_path / "pq"))
+    assert df2.collect()[0]["id"] == "x"
+
+    # hub id without datasets package -> clear error
+    import pytest as _pytest
+
+    from lexam_data_pipeline_spark.sources.huggingface import load_hf_dataset as lhd
+
+    with _pytest.raises(ValueError, match="datasets"):
+        lhd(spark, "LEXam-Benchmark/LEXam")
