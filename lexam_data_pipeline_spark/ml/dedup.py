@@ -473,20 +473,102 @@ def q_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Connected components by iterative min-label propagation — the step
-    that turns near-dup PAIRS into dedup CLUSTERS.
+def _two_phase_cc(
+    edges: DataFrame, src: str, dst: str, max_rounds: int = 64
+) -> tuple[DataFrame, int]:
+    """Large-star/small-star alternation until the edge set reaches a
+    fixpoint (a forest of stars rooted at each component's min id).
 
-    Each node starts labeled with its own id; every iteration each node
-    takes the min of its own and its neighbors' labels, until fixpoint.
-    Iterations are O(component diameter) — near-dup clusters are shallow
-    (stars around a few hubs), so 3-5 rounds close real corpora.  Each
-    round is one shuffle-join + one aggregation; for adversarially long
-    chains at 100 TB, swap in the large-star/small-star variant (same
-    per-round plan shape).
+    Per round: large-star hangs every node's larger neighbors off its
+    neighborhood min (``m = min(N(u) ∪ {u})``, emit (v, m) for v > u);
+    small-star re-roots each node's smaller-or-equal neighbors at the
+    neighborhood min of the min-oriented edges.  Both phases compute the
+    min as a WINDOW over the grouping side — one shuffle each, no
+    group-then-join-back.  ``localCheckpoint`` truncates lineage so
+    Catalyst analysis stays O(1) per round instead of growing with the
+    iteration count.
 
-    Returns (node, cluster) where cluster = min node id in the component.
+    Returns (labels, rounds); rounds is exposed for the O(log n)
+    convergence property test."""
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    prev_sig = None
+    while rounds < max_rounds:
+        rounds += 1
+        # large-star: symmetric adjacency, window-min per node
+        sym = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        m = F.least(F.col("a"), F.min("b").over(Window.partitionBy("a")))
+        large = (
+            sym.withColumn("m", m)
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        # small-star: orient (hi → lo), window-min per hi
+        ss = large.select(
+            F.greatest("a", "b").alias("h"), F.least("a", "b").alias("l")
+        ).distinct()
+        mm = F.min("l").over(Window.partitionBy("h"))
+        smalled = ss.withColumn("m", mm)
+        e_next = (
+            smalled.select(F.col("l").alias("a"), F.col("m").alias("b"))
+            .unionByName(smalled.select(F.col("h").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = e_next.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent set signature, can't overflow ANSI
+            F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        e = e_next
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # stars: every non-root has an edge to its root; roots label themselves
+    labels = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("cluster"))
+        .unionByName(e.select(F.col("b").alias("node"), F.col("b").alias("cluster")))
+        .groupBy("node")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    return labels, rounds
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    algorithm: str = "label_propagation",
+) -> DataFrame:
+    """Connected components — the step that turns near-dup PAIRS into
+    dedup CLUSTERS.  Returns (node, cluster), cluster = component min.
+
+    ``algorithm="label_propagation"`` (default): each node repeatedly
+    takes the min of its own and its neighbors' labels.  O(diameter)
+    rounds — near-dup clusters are shallow (stars around a few hubs), so
+    3-5 rounds close real corpora; one shuffle-join + one aggregation
+    per round.
+
+    ``algorithm="two_phase"``: alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log n) rounds regardless of diameter, for
+    adversarially-deep dup chains.  Each phase is ONE shuffle (window
+    min over the grouping key, no join-back).
     """
+    if algorithm == "two_phase":
+        labels, _rounds = _two_phase_cc(edges, src, dst)
+        return labels
+    assert algorithm == "label_propagation", algorithm
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))

@@ -199,3 +199,43 @@ def test_simhash_recall_on_planted_families(spark, planted_sf):
     assert len(near_pairs & got) >= 6
     # bucketing must not degenerate to all-pairs (32 docs -> 496 pairs)
     assert len(got) < 100
+
+
+def test_two_phase_cc_logn_rounds_on_path_graph(spark):
+    """Adversarial 1k-node path graph: min-label propagation needs
+    O(diameter)=999 rounds; large-star/small-star must converge in
+    O(log n) and still label every node with the component min (0)."""
+    import math
+
+    from lexam_data_pipeline_spark.ml.dedup import _two_phase_cc
+
+    n = 1000
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    labels, rounds = _two_phase_cc(edges, "src", "dst")
+    got = labels.collect()
+    assert len(got) == n
+    assert all(r["cluster"] == 0 for r in got)
+    assert rounds <= 2 * math.ceil(math.log2(n)) + 5, rounds
+
+
+def test_two_phase_cc_matches_label_propagation(spark):
+    """Same clustering as the default algorithm on a multi-component
+    graph with chains, stars, and a cycle."""
+    from lexam_data_pipeline_spark.ml.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(10, 15)]        # chain 10-15
+        + [(20, v) for v in (21, 22, 23)]           # star at 20
+        + [(30, 31), (31, 32), (32, 30)]            # cycle
+        + [(40, 41)]                                # pair
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    lp = {
+        (r["node"], r["cluster"])
+        for r in connected_components(df, "src", "dst").collect()
+    }
+    tp = {
+        (r["node"], r["cluster"])
+        for r in connected_components(df, "src", "dst", algorithm="two_phase").collect()
+    }
+    assert lp == tp
