@@ -1,0 +1,37 @@
+"""Bounded persist slots for serving helpers.
+
+Serving functions persist an intermediate that several returned frames
+share (one scan feeding stats + histogram + listings).  The frames are
+lazy, so the function can't unpersist after "the" action — but never
+releasing means a long-lived session (driver correctness runs, bench
+loops, a REPL) accumulates one orphaned cache per call (ADVICE r1).
+
+``persist_slot`` keeps at most ONE live cache per named slot: the next
+call through the same slot releases the previous handle.  If a caller
+still holds frames over an evicted handle, Spark silently recomputes —
+a perf cost only, never a correctness one (these persists are cache
+hints, not lineage cuts; the lineage-cut persist in ``ml/dedup`` keeps
+its own reuse-keyed slot for exactly that reason).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_SLOTS: dict[str, DataFrame] = {}
+
+
+def persist_slot(df: DataFrame, slot: str) -> DataFrame:
+    prev = _SLOTS.get(slot)
+    if prev is not None:
+        prev.unpersist()
+    out = df.persist()
+    _SLOTS[slot] = out
+    return out
+
+
+def release_all() -> None:
+    """Drop every slot's cache (e.g. at session teardown)."""
+    for df in _SLOTS.values():
+        df.unpersist()
+    _SLOTS.clear()

@@ -68,7 +68,14 @@ class ExperimentStore:
         """Rewrite a table via write-new-then-swap: never reads and
         overwrites the same files (Spark's lazy scans would race).  The
         Delta-backed version of this store would be a transactional
-        MERGE/DELETE instead."""
+        MERGE/DELETE instead.
+
+        NOT crash-atomic: a crash between the two renames leaves no live
+        ``name`` directory — the data survives only in the newest
+        ``.{name}.old-*`` dir.  :meth:`recover` restores it on the next
+        start.  Single-driver only (like the whole store: the 409 guard
+        in ExperimentRunner is read-then-write); multi-driver deployments
+        need a transactional table format (Delta/Iceberg)."""
         final = self._path(name)
         tmp = self._path(f".{name}.tmp-{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(tmp)
@@ -78,6 +85,32 @@ class ExperimentStore:
         os.rename(tmp, final)
         if os.path.exists(old):
             shutil.rmtree(old)
+
+    def recover(self, name: str) -> bool:
+        """Restore ``name`` from the newest ``.old-*`` snapshot if a crash
+        mid-swap left no live directory.  Returns True if a restore
+        happened.  Call at store startup for each table; leftover ``.tmp``
+        dirs are incomplete writes and are removed."""
+        final = self._path(name)
+        for entry in os.listdir(self.root):
+            if entry.startswith(f".{name}.tmp-"):
+                shutil.rmtree(os.path.join(self.root, entry))
+        if os.path.exists(final):
+            return False
+        olds = sorted(
+            (
+                os.path.join(self.root, entry)
+                for entry in os.listdir(self.root)
+                if entry.startswith(f".{name}.old-")
+            ),
+            key=os.path.getmtime,
+        )
+        if not olds:
+            return False
+        os.rename(olds[-1], final)
+        for stale in olds[:-1]:
+            shutil.rmtree(stale)
+        return True
 
     # -- experiments control table ------------------------------------------
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from lexam_data_pipeline_spark.operators.caching import persist_slot
+
 AREAS = ("Private", "Public", "Criminal", "Interdisciplinary")
 JURISDICTIONS = ("Swiss", "International", "Generic")
 LANGUAGES = ("de", "en")
@@ -99,7 +101,9 @@ def dashboard(
 ) -> dict[str, DataFrame]:
     """Every dashboard aggregate as a lazy DataFrame, reference-shaped."""
     q, v = _restrict(questions, variants, configs, languages)
-    q = q.persist()
+    # slot-bounded cache: released when the next dashboard call replaces
+    # the slot (the returned frames are lazy — ADVICE r1 leak fix)
+    q = persist_slot(q, "dashboard.questions")
 
     # courses: per-course count + conditional language counts (A10,
     # main.py:342-355), sorted by count desc (course tiebreak for

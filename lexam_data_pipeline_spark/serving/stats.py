@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from lexam_data_pipeline_spark.operators.caching import persist_slot
+
 #: score histogram: 11 buckets of 0.1, last bucket = [1.0, ∞)
 #: (experiment_stats.py:54-61)
 SCORE_BUCKETS = [(i / 10, (i + 1) / 10, f"{i / 10:.1f}-{(i + 1) / 10:.1f}") for i in range(11)]
@@ -58,7 +60,11 @@ def experiment_stats(
 ) -> dict[str, DataFrame]:
     """The /stats endpoint: overall MCQ/open stats, score histogram,
     token totals, self-consistency — each a lazy DataFrame."""
-    ans = _filtered_answers(answers, experiment_id, model_name).persist()
+    # slot-bounded: the returned frames are lazy, so release happens when
+    # the NEXT stats call replaces the slot (ADVICE r1 leak fix)
+    ans = persist_slot(
+        _filtered_answers(answers, experiment_id, model_name), "stats.answers"
+    )
     is_mcq = F.col("extracted_letter").isNotNull()
 
     # judgments of open answers under this experiment/judge. Token sums

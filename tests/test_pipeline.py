@@ -270,3 +270,29 @@ def test_stats_exclude_errored_answers(spark, t):
     assert overall["mcq_total"] == 12
     assert overall["open_total"] == 6  # not 8: errored opens don't count
     out.unpersist()
+
+
+def test_store_recover_after_crash_mid_swap(spark, t, tmp_path):
+    """_overwrite_atomic's swap is not crash-atomic: simulate a crash
+    between the two renames (final moved to .old, tmp never promoted)
+    and assert recover() restores the newest snapshot."""
+    import os
+    import shutil
+
+    store = ExperimentStore(spark, str(tmp_path / "exp_store"))
+    store.save_experiment(EXPERIMENT)
+    assert store.experiments().count() == 1
+
+    # crash simulation: demote live dir to .old, leave a stale .tmp
+    root = store.root
+    os.rename(
+        os.path.join(root, "experiments"),
+        os.path.join(root, ".experiments.old-deadbeef"),
+    )
+    os.makedirs(os.path.join(root, ".experiments.tmp-cafe0000"))
+
+    assert store.recover("experiments") is True
+    assert store.experiments().count() == 1
+    assert not any(e.startswith(".experiments.tmp-") for e in os.listdir(root))
+    # idempotent when healthy
+    assert store.recover("experiments") is False
