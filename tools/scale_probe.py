@@ -36,6 +36,7 @@ PROBES = [
     "q_dedup_ngram_jaccard",
     "q_minhash_lsh_pairs",
     "q_dedup_embedding_blocked",
+    "q_knn_ivf",
     "q_events_sliding",
     "q_sessionize",
     "q_groupby_salted",
