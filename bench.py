@@ -81,6 +81,11 @@ def main() -> None:
         return time.perf_counter() - t0
 
     run(names[0])  # warmup: JVM + codegen + parquet footer cache
+    # warm the Python/Arrow worker pool too (mapInPandas queries would
+    # otherwise pay worker fork/startup inside their timed run)
+    spark.range(10).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
     timings = {name: round(run(name), 4) for name in names}
     total = round(sum(timings.values()), 4)
     print(
