@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lexam_data_pipeline_spark.catalog import load_table
 from lexam_data_pipeline_spark.functions.text import shingle_set, tokens
+from lexam_data_pipeline_spark.operators.caching import persist_slot
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
@@ -144,7 +145,9 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     k, bands, r = 16, 4, 4
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs, k=k).cache()
+    # slot-bounded (released when the next call replaces it): sig feeds
+    # both the band explode and the two verify-join sides
+    sig = persist_slot(minhash_signatures(docs, k=k), f"dedup.minhash_sig.{sf_dir}")
     band_rows = sig.select(
         "doc_id",
         F.explode(
@@ -222,7 +225,7 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 4×16-bit band buckets, then exact
     Hamming distance ≤ 8 via ``bit_count(xor)``.  Rows-only check."""
     docs = load_table(spark, sf_dir, "documents")
-    sk = simhash_sketches(docs).cache()
+    sk = persist_slot(simhash_sketches(docs), f"dedup.simhash.{sf_dir}")
     bands = sk.select(
         "doc_id",
         "simhash",
