@@ -622,6 +622,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as :func:`q_dedup_clusters` via the O(log n)
+    large-star/small-star algorithm — labels are the component min on
+    both paths, so the SAME recursive-CTE oracle verifies this variant
+    (the algorithm choice is a physical detail, not a semantic one)."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    return connected_components(
+        pairs, "doc_id_a", "doc_id_b", algorithm="two_phase"
+    ).select(F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id"))
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup survivor selection with a QUALITY policy: per content
     hash keep the longest document (n_chars, doc_id tiebreak) — real

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from lexam_data_pipeline_spark.ml.dedup import (
     q_dedup_clusters,
+    q_dedup_clusters_two_phase,
     q_dedup_embedding,
     q_dedup_embedding_blocked,
     q_dedup_exact,
@@ -35,6 +36,7 @@ ML_QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_keep_best": q_dedup_keep_best,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_clusters_two_phase": q_dedup_clusters_two_phase,
     "q_dedup_embedding": q_dedup_embedding,
     "q_dedup_embedding_blocked": q_dedup_embedding_blocked,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -287,3 +289,7 @@ ML_ORACLES: dict[str, str] = {
         ) WHERE rn = 1
     """,
 }
+
+# the two CC algorithms compute the same labels (component min), so the
+# two-phase variant is verified by the identical transitive-closure oracle
+ML_ORACLES["q_dedup_clusters_two_phase"] = ML_ORACLES["q_dedup_clusters"]
