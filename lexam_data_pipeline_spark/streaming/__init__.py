@@ -10,6 +10,12 @@ from lexam_data_pipeline_spark.streaming.events import (
     sliding_counts,
     tumbling_counts,
 )
+from lexam_data_pipeline_spark.streaming.dedup import (
+    DOCUMENTS_SCHEMA,
+    read_documents_stream,
+    stream_dedup_exact,
+    stream_dedup_exact_within_watermark,
+)
 from lexam_data_pipeline_spark.streaming.stateful import user_activity_tracker
 from lexam_data_pipeline_spark.streaming.progress import (
     ProgressSnapshot,
@@ -17,7 +23,11 @@ from lexam_data_pipeline_spark.streaming.progress import (
 )
 
 __all__ = [
+    "DOCUMENTS_SCHEMA",
     "EVENTS_SCHEMA",
+    "read_documents_stream",
+    "stream_dedup_exact",
+    "stream_dedup_exact_within_watermark",
     "ProgressSnapshot",
     "StreamProgressTracker",
     "StreamingQueryHandle",

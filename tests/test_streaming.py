@@ -304,3 +304,99 @@ def test_streaming_judging_idempotent(spark, tmp_path):
     assert store.judgments().count() == 8
     drain()  # re-deliver everything: anti-join absorbs it
     assert store.judgments().count() == 8
+
+
+def test_stream_dedup_exact_across_batches(spark, tmp_path):
+    """Exact streaming dedup: first-seen doc survives; duplicates within
+    AND across micro-batches are suppressed by the hash state."""
+    from lexam_data_pipeline_spark.streaming.dedup import (
+        read_documents_stream,
+        stream_dedup_exact,
+    )
+
+    d = str(tmp_path / "docs_stream")
+    os.makedirs(d)
+
+    def write(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), os.path.join(d, name))
+
+    write(
+        "b0.parquet",
+        [(1, "alpha body", "en", "s", 10), (2, "beta body", "en", "s", 9),
+         (3, "alpha body", "en", "s", 10)],  # in-batch duplicate of 1
+    )
+    stream = read_documents_stream(spark, d, max_files_per_trigger=1)
+    handle = run_stream_to_memory(
+        stream_dedup_exact(stream), "t_dedup_stream", output_mode="append"
+    )
+    try:
+        write(
+            "b1.parquet",
+            [(4, "alpha body", "en", "s", 10),   # cross-batch duplicate of 1
+             (5, "gamma body", "en", "s", 10)],  # new
+        )
+        handle.process_new_input()
+        rows = handle.table(spark).collect()
+    finally:
+        handle.stop()
+    by_text = {}
+    for r in rows:
+        by_text.setdefault(r["text"], []).append(r["doc_id"])
+    assert sorted(by_text) == ["alpha body", "beta body", "gamma body"]
+    assert all(len(v) == 1 for v in by_text.values())  # one survivor each
+    assert by_text["alpha body"] == [1]  # first-seen wins across batches
+
+
+def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the horizon are
+    dropped; once the watermark passes a hash's event time, its state is
+    evicted and a far-later duplicate is re-emitted (bounded state is the
+    point — the batch tiers own far-apart duplicates)."""
+    from lexam_data_pipeline_spark.streaming.dedup import (
+        stream_dedup_exact_within_watermark,
+    )
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    d = str(tmp_path / "docs_wm_stream")
+    os.makedirs(d)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("ingest_ts", TimestampType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "ingest_ts", "text"])
+        pdf["ingest_ts"] = pd.to_datetime(pdf["ingest_ts"]).astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), os.path.join(d, name))
+
+    write("b0.parquet", [(1, "2024-01-01 10:00:00", "dup body")])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    handle = run_stream_to_memory(
+        stream_dedup_exact_within_watermark(stream, watermark="2 hours"),
+        "t_dedup_wm",
+        output_mode="append",
+    )
+    try:
+        # within horizon: watermark still behind 10:00 → duplicate dropped
+        write("b1.parquet", [(2, "2024-01-01 10:30:00", "dup body")])
+        handle.process_new_input()
+        # advance watermark far past 10:00 (14:00 - 2h = 12:00) → state evicted
+        write("b2.parquet", [(3, "2024-01-01 14:00:00", "other body")])
+        handle.process_new_input()
+        # far-apart duplicate: state gone → re-emitted
+        write("b3.parquet", [(4, "2024-01-01 14:30:00", "dup body")])
+        handle.process_new_input()
+        got = sorted(r["doc_id"] for r in handle.table(spark).collect())
+    finally:
+        handle.stop()
+    assert got == [1, 3, 4]  # 2 deduped in-horizon; 4 re-emitted post-eviction
