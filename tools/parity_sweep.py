@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Oracle-parity sweep: run every `queries()` key against its DuckDB
+`oracle_sql()` twin at one scale factor and report mismatches — the
+in-repo mirror of the driver's correctness gate.
+
+Usage:
+    python tools/parity_sweep.py                 # sf0.01 (driver's SF)
+    python tools/parity_sweep.py /root/testdata/sf0.1
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent.parent)
+sys.path.insert(0, REPO)
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from lexam_data_pipeline_spark import testing  # noqa: E402
+from lexam_data_pipeline_spark.plans.registry import (  # noqa: E402
+    EXPECTED_QUERY_COUNT,
+    build_queries,
+    build_oracles,
+)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "32")
+        .appName("parity-sweep")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries, oracles = build_queries(), build_oracles()
+    assert len(queries) == EXPECTED_QUERY_COUNT, (len(queries), EXPECTED_QUERY_COUNT)
+    con = testing.duckdb_connection(sf_dir)
+    failures = []
+    t0 = time.time()
+    for key in sorted(oracles):
+        try:
+            result = testing.compare_query(
+                spark, con, key, queries[key], oracles[key], sf_dir
+            )
+            ok = "OK" in str(result)
+        except Exception as exc:  # keep sweeping; report at the end
+            ok, result = False, f"EXC {type(exc).__name__}: {exc}"
+        status = "ok" if ok else "FAIL"
+        print(f"{status:4s} {key}: {str(result)[:160]}")
+        if not ok:
+            failures.append(key)
+    for key in sorted(set(queries) - set(oracles)):
+        n = queries[key](spark, sf_dir).count()
+        print(f"rows {key}: {n} rows (rows-only, no oracle)")
+    print(
+        f"\n{len(oracles)} oracle + {len(queries) - len(oracles)} rows-only keys "
+        f"at {sf_dir} in {round(time.time() - t0, 1)}s; failures: {failures or 'none'}"
+    )
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
