@@ -1,0 +1,231 @@
+"""Corpus-curation operators: deterministic sampling, PII redaction, URL
+canonicalization (north star — training-data pipeline surface).
+
+Everything here is pure Catalyst expressions — no Python in the data path,
+so at 100 TB these run inside whole-stage codegen over the parquet scan.
+
+Reproducibility is a first-class requirement for corpus curation (a
+training mix must be re-creatable bit-for-bit months later), so sampling
+is *hash-threshold* based — ``md5(key) < t`` — not ``rand()``-based:
+
+* the same row always makes the same decision, independent of partition
+  layout, executor count, task retries, or Spark version;
+* the sample is engine-portable (md5 is md5 everywhere), which is what
+  lets DuckDB oracle-check every query in this module;
+* growing the rate from 10% to 20% *extends* the 10% sample instead of
+  resampling it (thresholds nest), so ablation corpora share rows.
+
+Scale notes per operator are on the functions below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from lexam_data_pipeline_spark.catalog import load_table
+
+# --------------------------------------------------------------------------
+# deterministic sampling
+# --------------------------------------------------------------------------
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """First 8 hex chars of md5(salt || key) — a uniform 32-bit bucket as
+    a lowercase hex string.  Lexicographic order on fixed-width lowercase
+    hex IS numeric order, so ``hash_bucket(k) < hex_threshold(r)`` keeps
+    an ``r`` fraction of rows deterministically."""
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8)
+
+
+def hex_threshold(rate: float) -> str:
+    """``rate`` ∈ [0, 1] → 8-char lowercase hex threshold."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+
+
+def hash_sample(df: DataFrame, key: Column, rate: float, salt: str = "") -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose hash bucket falls
+    below the rate threshold.
+
+    100 TB shape: map-only — a codegen'd filter directly over the scan,
+    no shuffle, no driver state, retry-safe (decisions are pure functions
+    of the key).  Distinct ``salt`` values give independent samples."""
+    return df.where(hash_bucket(key, salt) < hex_threshold(rate))
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    key: Column,
+    k: int,
+    prefilter_rate: float | None = None,
+) -> DataFrame:
+    """Exactly-k-per-group sample: the k smallest ``md5(key)`` values in
+    each group (deterministic, engine-portable), tie-broken by key.
+
+    100 TB shape: a bare window partitioned by a low-cardinality group
+    (5 languages) would funnel the whole corpus through 5 reducers.  The
+    fix exploits that "top-k by ascending md5" and "hash-threshold
+    filter" select the SAME rows: a map-only ``hash_sample`` prefilter
+    at a generous rate shrinks window input by 1/rate× first, and the
+    window then runs over survivors only.  Exact whenever every group
+    keeps ≥ k survivors (rate ≫ k / min-group-size); the DuckDB oracle
+    computes the UNFILTERED top-k, so the correctness gate itself proves
+    the prefilter dropped nothing.  Emits ``sample_rank`` (1-based).
+    """
+    out = df.withColumn("__bucket", hash_bucket(key))
+    if prefilter_rate is not None:
+        out = out.where(F.col("__bucket") < hex_threshold(prefilter_rate))
+    w = Window.partitionBy(group_col).orderBy(F.col("__bucket"), key)
+    return (
+        out.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .drop("__bucket")
+    )
+
+
+def q_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25% deterministic document sample (reproducible corpus subsetting)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, F.col("doc_id"), 0.25).select("doc_id", "lang", "n_chars")
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 docs per language — language-balanced eval-set carving.  Runs
+    with the 0.5 prefilter; the oracle's unfiltered top-k must agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "lang", F.col("doc_id"), k=10, prefilter_rate=0.5)
+    return out.select("doc_id", "lang", "sample_rank")
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+#: Patterns restricted to the RE2 ∩ java.util.regex common dialect (no
+#: lookaround, no backrefs) so Spark and the DuckDB oracle agree byte-
+#: for-byte.  Order matters: URL first (emails/IPs inside URLs redact as
+#: part of the URL), then EMAIL, IP, PHONE.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}-\d{2,4}-\d{4,9}", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Chained regexp_replace over ``PII_PATTERNS`` — one codegen'd
+    projection, no UDFs.  100 TB shape: map-only over the scan."""
+    out = col
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """Per-pattern match counts (pre-redaction audit columns)."""
+    return [
+        F.regexp_count(col, F.lit(pattern)).alias(f"n_{name}")
+        for name, pattern, _ in PII_PATTERNS
+    ]
+
+
+def _with_synthetic_pii(docs: DataFrame) -> DataFrame:
+    """Append deterministic PII-bearing suffixes to the fixture corpus
+    (the synthetic documents contain no organic PII).  Both engines
+    build the identical augmented text, so the redactor is exercised on
+    known-positive content while staying oracle-checkable."""
+    email = F.concat(
+        F.lit("user"), F.col("doc_id").cast("string"), F.lit("@"), F.col("source"), F.lit(".example.com")
+    )
+    ip = F.concat(
+        F.lit("10."), (F.col("doc_id") % 256).cast("string"), F.lit(".0."), (F.col("doc_id") % 250 + 1).cast("string")
+    )
+    phone = F.concat(F.lit("+41-79-"), F.lpad((F.col("doc_id") % 9999999).cast("string"), 7, "0"))
+    return docs.withColumn(
+        "aug_text",
+        F.concat(F.col("text"), F.lit(" contact "), email, F.lit(" at "), ip, F.lit(" or "), phone),
+    )
+
+
+def q_pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language PII audit: documents scanned, matches per pattern,
+    and net character delta after redaction.  The redaction itself is the
+    map-only ``redact_pii`` projection; the rollup is one partial-agg
+    groupBy on 5 keys."""
+    docs = _with_synthetic_pii(load_table(spark, sf_dir, "documents"))
+    aug = F.col("aug_text")
+    return (
+        docs.select("lang", *pii_counts(aug), (F.length(aug) - F.length(redact_pii(aug))).alias("delta"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            *[F.sum(f"n_{name}").cast("bigint").alias(f"total_{name}") for name, _, _ in PII_PATTERNS],
+            F.sum("delta").cast("bigint").alias("chars_removed"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization + dedup
+# --------------------------------------------------------------------------
+
+#: Host inside an absolute http(s) URL: skips scheme and a leading
+#: ``www.``, stops at port / path / query / fragment.  Non-capturing
+#: groups only — supported identically by java.util.regex and RE2.
+_HOST_RE = r"^https?://(?:www\.)?([^/:?#]+)"
+#: Path component (absent → empty string).
+_PATH_RE = r"^https?://[^/?#]*(/[^?#]*)"
+
+
+def extract_domain(url: Column) -> Column:
+    """Lowercased registrable-host extraction (port and ``www.`` dropped)."""
+    return F.regexp_extract(F.lower(url), _HOST_RE, 1)
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form ``host/path``: lowercase; scheme, ``www.``, port,
+    query string, fragment, and trailing slash dropped.  Built from two
+    ``regexp_extract``s rather than replacement backrefs ($1 vs \\1 —
+    the one regexp feature whose syntax DIVERGES between engines)."""
+    lowered = F.lower(url)
+    path = F.regexp_replace(F.regexp_extract(lowered, _PATH_RE, 1), r"/$", "")
+    return F.concat(extract_domain(url), path)
+
+
+def _with_synthetic_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic messy URLs over the fixture corpus: scheme, ``www.``
+    prefix, port, and tracking query string all vary by doc_id residue,
+    and the path collides on ``doc_id % 97`` — so normalization performs
+    real merges with a known answer."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(d % 5 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        (d % 97).cast("string"),
+        F.when(d % 4 == 0, F.lit("?utm_source=feed#frag")).otherwise(F.lit("")),
+    )
+    return docs.withColumn("url", url)
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup: normalize, then keep one canonical doc per
+    normalized URL (min doc_id) with the duplicate count — the standard
+    crawl-dedup pre-pass that runs *before* content hashing.
+
+    100 TB shape: one partial-agg groupBy on the normalized key; the
+    normalize itself is map-only codegen.  Skewed hot URLs are bounded by
+    map-side combine (each mapper emits one row per distinct key)."""
+    docs = _with_synthetic_urls(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(normalize_url(F.col("url")).alias("norm_url"), "doc_id")
+        .groupBy("norm_url")
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_dups"))
+    )

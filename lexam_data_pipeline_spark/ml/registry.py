@@ -20,6 +20,12 @@ from lexam_data_pipeline_spark.ml.dedup import (
     q_minhash_lsh_pairs,
     q_simhash_buckets,
 )
+from lexam_data_pipeline_spark.ml.curation import (
+    q_pii_redact_stats,
+    q_sample_bernoulli,
+    q_sample_stratified,
+    q_url_dedup,
+)
 from lexam_data_pipeline_spark.ml.ivf import q_knn_ivf
 from lexam_data_pipeline_spark.ml.multimodal import q_multimodal_features
 from lexam_data_pipeline_spark.ml.similarity import q_knn_bruteforce, q_knn_lsh
@@ -52,6 +58,10 @@ ML_QUERIES = {
     "q_doc_rolling_hash": q_doc_rolling_hash,
     "q_lang_id": q_lang_id,
     "q_multimodal_features": q_multimodal_features,
+    "q_sample_bernoulli": q_sample_bernoulli,
+    "q_sample_stratified": q_sample_stratified,
+    "q_pii_redact_stats": q_pii_redact_stats,
+    "q_url_dedup": q_url_dedup,
 }
 
 _SHINGLES = """
@@ -293,3 +303,93 @@ ML_ORACLES: dict[str, str] = {
 # the two CC algorithms compute the same labels (component min), so the
 # two-phase variant is verified by the identical transitive-closure oracle
 ML_ORACLES["q_dedup_clusters_two_phase"] = ML_ORACLES["q_dedup_clusters"]
+
+# --- curation (ml/curation.py): all four oracle-checked -------------------
+
+#: mirrors curation.PII_PATTERNS / curation._with_synthetic_pii verbatim;
+#: patterns stay inside the RE2 ∩ java.util.regex common dialect.
+_PII_AUG_SQL = r"""
+    SELECT lang,
+           text || ' contact user' || cast(doc_id AS VARCHAR) || '@' || source
+                || '.example.com at 10.' || cast(doc_id % 256 AS VARCHAR)
+                || '.0.' || cast(doc_id % 250 + 1 AS VARCHAR)
+                || ' or +41-79-' || lpad(cast(doc_id % 9999999 AS VARCHAR), 7, '0')
+           AS aug
+    FROM documents
+"""
+
+_PII_REDACT_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug, "
+    r"'https?://[^\s]+', '<URL>', 'g'), "
+    r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), "
+    r"'\+\d{1,3}-\d{2,4}-\d{4,9}', '<PHONE>', 'g')"
+)
+
+#: mirrors curation._with_synthetic_urls / normalize_url verbatim.
+_URL_NORM_SQL = r"""
+    SELECT doc_id,
+           regexp_extract(lower(url), '^https?://(?:www\.)?([^/:?#]+)', 1)
+             || regexp_replace(
+                    regexp_extract(lower(url), '^https?://[^/?#]*(/[^?#]*)', 1),
+                    '/$', '') AS norm_url
+    FROM (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://'
+               || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+               || source || '.example.com'
+               || (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END)
+               || '/docs/' || cast(doc_id % 97 AS VARCHAR)
+               || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed#frag' ELSE '' END)
+               AS url
+        FROM documents
+    )
+"""
+
+ML_ORACLES["q_sample_bernoulli"] = """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE substr(md5(cast(doc_id AS VARCHAR)), 1, 8) < '40000000'
+"""
+
+# NOTE: no prefilter here on purpose — the Spark side runs the 0.5
+# hash-prefilter fast path, and agreeing with this unfiltered top-k is
+# what proves the prefilter dropped nothing (curation.stratified_sample).
+ML_ORACLES["q_sample_stratified"] = """
+    SELECT doc_id, lang, sample_rank FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY substr(md5(cast(doc_id AS VARCHAR)), 1, 8), doc_id
+               ) AS sample_rank
+        FROM documents
+    ) WHERE sample_rank <= 10
+"""
+
+ML_ORACLES["q_pii_redact_stats"] = rf"""
+    WITH aug AS ({_PII_AUG_SQL}),
+    feat AS (
+        SELECT lang,
+               len(regexp_extract_all(aug, 'https?://[^\s]+')) AS n_url,
+               len(regexp_extract_all(aug,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_email,
+               len(regexp_extract_all(aug,
+                   '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS n_ipv4,
+               len(regexp_extract_all(aug, '\+\d{{1,3}}-\d{{2,4}}-\d{{4,9}}')) AS n_phone,
+               length(aug) - length({_PII_REDACT_SQL}) AS delta
+        FROM aug
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_url) AS BIGINT) AS total_url,
+           CAST(sum(n_email) AS BIGINT) AS total_email,
+           CAST(sum(n_ipv4) AS BIGINT) AS total_ipv4,
+           CAST(sum(n_phone) AS BIGINT) AS total_phone,
+           CAST(sum(delta) AS BIGINT) AS chars_removed
+    FROM feat GROUP BY lang
+"""
+
+ML_ORACLES["q_url_dedup"] = f"""
+    WITH n AS ({_URL_NORM_SQL})
+    SELECT norm_url, min(doc_id) AS canonical_doc, count(*) AS n_dups
+    FROM n GROUP BY norm_url
+"""

@@ -1,0 +1,96 @@
+"""Curation operators: deterministic sampling, PII redaction, URL
+canonicalization (ml/curation.py).
+
+The registry parity tests already prove the fixture queries match DuckDB;
+these tests pin the *operator* behavior on realistic messy inputs the
+synthetic corpus can't produce, plus the sampling laws the module
+advertises (determinism, threshold nesting, prefilter exactness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lexam_data_pipeline_spark.catalog import load_table
+from lexam_data_pipeline_spark.ml.curation import (
+    extract_domain,
+    hash_sample,
+    hex_threshold,
+    normalize_url,
+    redact_pii,
+    stratified_sample,
+)
+
+
+def _one(spark, s: str, expr) -> str:
+    return spark.createDataFrame([(s,)], "s string").select(expr(F.col("s")).alias("v")).first()["v"]
+
+
+def test_redact_pii_realistic_strings(spark):
+    cases = {
+        "mail me at jane.doe+tag@sub.example.co.uk today":
+            "mail me at <EMAIL> today",
+        "server 192.168.001.1 and 8.8.8.8 are up":
+            "server <IP> and <IP> are up",
+        "call +41-79-1234567 or +1-800-55501234":
+            "call <PHONE> or <PHONE>",
+        "see https://user:pw@ex.com/a?b=c#d for details":
+            "see <URL> for details",
+        # an email inside a URL redacts as part of the URL (order pin)
+        "https://ex.com/u/a@b.com trailing":
+            "<URL> trailing",
+        "no pii here, just 1.5 liters and v2.0":
+            "no pii here, just 1.5 liters and v2.0",
+    }
+    for raw, want in cases.items():
+        assert _one(spark, raw, redact_pii) == want, raw
+
+
+def test_normalize_url_messy_inputs(spark):
+    cases = {
+        "HTTPS://WWW.Example.COM:8443/Path/To/Page?utm=x#frag": "example.com/path/to/page",
+        "http://example.com/": "example.com",
+        "http://example.com": "example.com",
+        "https://sub.example.com/a/b": "sub.example.com/a/b",
+        "http://www.example.com?q=1": "example.com",
+        # not an absolute http(s) URL → empty canonical form
+        "ftp://example.com/x": "",
+    }
+    for raw, want in cases.items():
+        assert _one(spark, raw, normalize_url) == want, raw
+    assert _one(spark, "HTTPS://WWW.Ex.COM:80/x", extract_domain) == "ex.com"
+
+
+def test_hex_threshold_edges():
+    assert hex_threshold(0.0) == "00000000"
+    assert hex_threshold(0.25) == "40000000"
+    assert hex_threshold(1.0) == "ffffffff"
+
+
+def test_hash_sample_deterministic_and_nested(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    key = F.col("doc_id")
+    s10 = {r["doc_id"] for r in hash_sample(docs, key, 0.10).select("doc_id").collect()}
+    s10b = {r["doc_id"] for r in hash_sample(docs, key, 0.10).select("doc_id").collect()}
+    s30 = {r["doc_id"] for r in hash_sample(docs, key, 0.30).select("doc_id").collect()}
+    assert s10 == s10b  # same decision every run
+    assert s10 <= s30  # thresholds nest: growing the rate extends the sample
+    n = docs.count()
+    assert 0.05 * n <= len(s10) <= 0.15 * n
+    # distinct salts give (near-)independent samples, not the same rows
+    salted = {r["doc_id"] for r in hash_sample(docs, key, 0.10, salt="v2").select("doc_id").collect()}
+    assert salted != s10
+
+
+def test_stratified_prefilter_is_exact(spark, sf_small):
+    """The 0.5-rate fast path must select exactly the unfiltered top-k."""
+    docs = load_table(spark, sf_small, "documents")
+    key = F.col("doc_id")
+    fast = stratified_sample(docs, "lang", key, k=10, prefilter_rate=0.5)
+    full = stratified_sample(docs, "lang", key, k=10, prefilter_rate=None)
+    cols = ["lang", "doc_id", "sample_rank"]
+    assert sorted(map(tuple, fast.select(cols).collect())) == sorted(
+        map(tuple, full.select(cols).collect())
+    )
+    counts = {r["lang"]: r["n"] for r in fast.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 10 for v in counts.values())
