@@ -71,6 +71,7 @@ def main() -> None:
         "q_knn_bruteforce",
         "q_minhash_lsh_pairs",
         "q_dedup_embedding_blocked",
+        "q_curation_pipeline",
     ):
         if extra in queries and extra not in names:
             names.append(extra)

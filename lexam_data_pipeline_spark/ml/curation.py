@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from lexam_data_pipeline_spark.catalog import load_table
+from lexam_data_pipeline_spark.functions.text import word_count
 
 # --------------------------------------------------------------------------
 # deterministic sampling
@@ -229,3 +230,48 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("norm_url")
         .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_dups"))
     )
+
+
+# --------------------------------------------------------------------------
+# end-to-end cleaning pipeline
+# --------------------------------------------------------------------------
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 25,
+    max_words: int = 80,
+    sample_rate: float | None = None,
+) -> DataFrame:
+    """C4-style cleaning pass as ONE declarative plan: quality gate →
+    exact dedup (keep lowest id per content hash) → deterministic sample.
+
+    Stage order is the 100 TB cost order:
+
+    1. the word-count gate is a map-only codegen filter directly over the
+       scan, so the expensive stages only see survivors;
+    2. dedup shuffles a 16-byte md5 + key — never the document body —
+       and keeps the first-id row per hash via one window;
+    3. the sample is the map-only ``hash_sample`` filter (re-runnable,
+       nested thresholds — see module docstring).
+
+    One shuffle total.  Emits ``doc_id``, ``lang``, ``n_words``.
+    """
+    gated = docs.withColumn("n_words", word_count(F.col(text_col)).cast("int")).where(
+        F.col("n_words").between(min_words, max_words)
+    )
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    deduped = (
+        gated.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    )
+    if sample_rate is not None:
+        deduped = hash_sample(deduped, F.col(id_col), sample_rate)
+    return deduped.select(id_col, "lang", "n_words")
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cleaning pipeline at gate 25–80 words + 50% sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_corpus(docs, min_words=25, max_words=80, sample_rate=0.5)

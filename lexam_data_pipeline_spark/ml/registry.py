@@ -21,6 +21,7 @@ from lexam_data_pipeline_spark.ml.dedup import (
     q_simhash_buckets,
 )
 from lexam_data_pipeline_spark.ml.curation import (
+    q_curation_pipeline,
     q_pii_redact_stats,
     q_sample_bernoulli,
     q_sample_stratified,
@@ -62,6 +63,7 @@ ML_QUERIES = {
     "q_sample_stratified": q_sample_stratified,
     "q_pii_redact_stats": q_pii_redact_stats,
     "q_url_dedup": q_url_dedup,
+    "q_curation_pipeline": q_curation_pipeline,
 }
 
 _SHINGLES = """
@@ -392,4 +394,22 @@ ML_ORACLES["q_url_dedup"] = f"""
     WITH n AS ({_URL_NORM_SQL})
     SELECT norm_url, min(doc_id) AS canonical_doc, count(*) AS n_dups
     FROM n GROUP BY norm_url
+"""
+
+#: mirrors curation.curate_corpus at gate 25–80 + 50% sample: quality
+#: gate → first-id-per-content-hash dedup → md5-threshold sample.
+ML_ORACLES["q_curation_pipeline"] = r"""
+    WITH gated AS (
+        SELECT doc_id, lang, text,
+               CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_words
+        FROM documents
+        WHERE len(regexp_extract_all(text, '\S+')) BETWEEN 25 AND 80
+    ), dedup AS (
+        SELECT doc_id, lang, n_words,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM gated
+    )
+    SELECT doc_id, lang, n_words
+    FROM dedup
+    WHERE rn = 1 AND substr(md5(cast(doc_id AS VARCHAR)), 1, 8) < '80000000'
 """

@@ -86,3 +86,37 @@ def stream_dedup_exact_within_watermark(
         .withColumn("content_hash", F.md5(F.col("text")))
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+
+
+def stream_curate_corpus(
+    docs: DataFrame,
+    *,
+    min_words: int = 25,
+    max_words: int = 80,
+    sample_rate: float | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`lexam_data_pipeline_spark.ml.curation.
+    curate_corpus` — curate ON ARRIVAL instead of in a nightly batch.
+
+    The stateless stages are literally the batch tier's Column
+    expressions (quality gate, PII redaction, md5-threshold sample);
+    structured streaming runs map-only expressions unchanged, so batch
+    and stream cannot drift.  The one stateful stage swaps the batch
+    "min doc_id per content hash" window (a blocking operation over the
+    whole corpus) for first-SEEN-wins ``dropDuplicates`` state — the
+    standard batch→stream policy shift, keyed by the same 16-byte hash.
+
+    Emits ``doc_id, lang, n_words, clean_text`` (redacted body).
+    """
+    from lexam_data_pipeline_spark.functions.text import word_count
+    from lexam_data_pipeline_spark.ml.curation import hash_sample, redact_pii
+
+    gated = docs.withColumn("n_words", word_count(F.col("text")).cast("int")).where(
+        F.col("n_words").between(min_words, max_words)
+    )
+    deduped = with_content_hash(gated).dropDuplicates(["content_hash"])
+    if sample_rate is not None:
+        deduped = hash_sample(deduped, F.col("doc_id"), sample_rate)
+    return deduped.select(
+        "doc_id", "lang", "n_words", redact_pii(F.col("text")).alias("clean_text")
+    )

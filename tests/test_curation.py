@@ -94,3 +94,16 @@ def test_stratified_prefilter_is_exact(spark, sf_small):
     )
     counts = {r["lang"]: r["n"] for r in fast.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert all(v == 10 for v in counts.values())
+
+
+def test_curation_pipeline_plan_shape(spark, sf_small):
+    """The composed cleaning pipeline must stay one shuffle: gate and
+    sample are map-only; only the content-hash dedup window exchanges."""
+    from lexam_data_pipeline_spark.ml.curation import q_curation_pipeline
+
+    plan = q_curation_pipeline(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = sum(
+        1 for ln in plan.splitlines() if ln.lstrip("+- :*( ").startswith("Exchange")
+    )
+    assert n_exchanges == 1, f"expected exactly 1 shuffle, saw {n_exchanges}:\n{plan}"
+    assert "BatchEvalPython" not in plan and "Python" not in plan

@@ -400,3 +400,44 @@ def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
     finally:
         handle.stop()
     assert got == [1, 3, 4]  # 2 deduped in-horizon; 4 re-emitted post-eviction
+
+
+def test_stream_curate_corpus_matches_batch_policies(spark, tmp_path):
+    """Streaming curation: the gate, redaction, and sampling behave
+    exactly like the batch expressions; dedup is first-seen-wins."""
+    from lexam_data_pipeline_spark.streaming.dedup import (
+        read_documents_stream,
+        stream_curate_corpus,
+    )
+
+    d = str(tmp_path / "docs_curate_stream")
+    os.makedirs(d)
+    body = "w " * 29 + "mail a@b.co"  # 31 words, one email
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), os.path.join(d, name))
+
+    write(
+        "b0.parquet",
+        [
+            (1, body, "en", "s", 10),
+            (2, "too short", "en", "s", 9),  # gate drops (2 words)
+            (3, body, "en", "s", 10),  # in-batch duplicate of 1
+        ],
+    )
+    stream = read_documents_stream(spark, d, max_files_per_trigger=1)
+    handle = run_stream_to_memory(
+        stream_curate_corpus(stream), "t_curate_stream", output_mode="append"
+    )
+    try:
+        write("b1.parquet", [(4, body, "en", "s", 10),  # cross-batch duplicate
+                             (5, body + " x", "en", "s", 10)])  # new content
+        handle.process_new_input()
+        rows = handle.table(spark).collect()
+    finally:
+        handle.stop()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert sorted(by_id) == [1, 5]  # gate dropped 2; dedup dropped 3 and 4
+    assert by_id[1]["n_words"] == 31
+    assert by_id[1]["clean_text"].endswith("mail <EMAIL>")  # redacted output
