@@ -72,6 +72,7 @@ def main() -> None:
         "q_minhash_lsh_pairs",
         "q_dedup_embedding_blocked",
         "q_curation_pipeline",
+        "q_mix_sources_balanced",
     ):
         if extra in queries and extra not in names:
             names.append(extra)

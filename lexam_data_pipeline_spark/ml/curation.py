@@ -275,3 +275,70 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full cleaning pipeline at gate 25–80 words + 50% sample."""
     docs = load_table(spark, sf_dir, "documents")
     return curate_corpus(docs, min_words=25, max_words=80, sample_rate=0.5)
+
+
+# --------------------------------------------------------------------------
+# corpus mixing
+# --------------------------------------------------------------------------
+
+
+def mix_to_budget(
+    docs: DataFrame,
+    source_col: str,
+    tokens: Column,
+    key: Column,
+    budget_per_source: int | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample each source to a per-source token budget (training-mix
+    rebalancing).  Default budget: the smallest source's token total —
+    "balance every source down to the smallest".
+
+    The per-source keep rate ``min(1, budget / source_total)`` is
+    computed INSIDE the plan — a per-source aggregate broadcast-joined
+    back onto the corpus — so there is no driver collect and the whole
+    mix is one declarative query.  The sample itself is the module's
+    deterministic md5-threshold filter: the rate becomes an 8-hex-char
+    threshold via ``format_string('%08x', floor(rate · 2³²))`` (clamped
+    to ``ffffffff`` so rate 1.0 keeps everything), and a row survives if
+    its hash bucket is ``<=`` the threshold.
+
+    100 TB shape: one partial-agg pass for the totals (20 rows out), a
+    broadcast join, and a map-only filter — the corpus body shuffles
+    zero times.  Token counts are *expected* to land within
+    O(max-doc-tokens · √n) of the budget; exact-budget packing is a
+    different (order-sensitive) operator.
+    """
+    totals = docs.groupBy(source_col).agg(F.sum(tokens).alias("__total"))
+    if budget_per_source is None:
+        totals = totals.crossJoin(
+            F.broadcast(totals.agg(F.min("__total").alias("__budget")))
+        )
+    else:
+        totals = totals.withColumn("__budget", F.lit(budget_per_source))
+    rate = F.least(F.col("__budget") / F.col("__total"), F.lit(1.0))
+    thresholds = totals.select(
+        source_col,
+        F.format_string(
+            "%08x",
+            F.least(F.floor(rate * F.lit(float(2**32))), F.lit(2**32 - 1)).cast("bigint"),
+        ).alias("__thresh"),
+    )
+    return (
+        docs.join(F.broadcast(thresholds), source_col)
+        .where(hash_bucket(key, salt) <= F.col("__thresh"))
+        .drop("__thresh")
+    )
+
+
+def q_mix_sources_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance all 20 document sources to the smallest source's token
+    total; report the post-mix per-source doc and token counts."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", word_count(F.col("text")).cast("int")
+    )
+    mixed = mix_to_budget(docs, "source", F.col("n_tok"), F.col("doc_id"))
+    return mixed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tokens_kept"),
+    )

@@ -22,6 +22,7 @@ from lexam_data_pipeline_spark.ml.dedup import (
 )
 from lexam_data_pipeline_spark.ml.curation import (
     q_curation_pipeline,
+    q_mix_sources_balanced,
     q_pii_redact_stats,
     q_sample_bernoulli,
     q_sample_stratified,
@@ -64,6 +65,7 @@ ML_QUERIES = {
     "q_pii_redact_stats": q_pii_redact_stats,
     "q_url_dedup": q_url_dedup,
     "q_curation_pipeline": q_curation_pipeline,
+    "q_mix_sources_balanced": q_mix_sources_balanced,
 }
 
 _SHINGLES = """
@@ -394,6 +396,32 @@ ML_ORACLES["q_url_dedup"] = f"""
     WITH n AS ({_URL_NORM_SQL})
     SELECT norm_url, min(doc_id) AS canonical_doc, count(*) AS n_dups
     FROM n GROUP BY norm_url
+"""
+
+#: mirrors curation.mix_to_budget balanced-to-min: per-source keep rate
+#: min(1, min_total/total) becomes an 8-hex threshold via printf('%08x',
+#: floor(rate·2³²)) (clamped to ffffffff), keep if md5 bucket <= it.
+ML_ORACLES["q_mix_sources_balanced"] = r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(text, '\S+')) AS n_tok,
+               substr(md5('mix' || cast(doc_id AS VARCHAR)), 1, 8) AS bucket
+        FROM documents
+    ), totals AS (
+        SELECT source, CAST(sum(n_tok) AS BIGINT) AS total FROM t GROUP BY source
+    ), budget AS (
+        SELECT min(total) AS budget FROM totals
+    ), rates AS (
+        SELECT source,
+               printf('%08x',
+                      CAST(least(floor(least(budget / total, 1.0) * 4294967296.0),
+                                 4294967295) AS BIGINT)) AS thresh
+        FROM totals, budget
+    )
+    SELECT t.source, count(*) AS n_docs, CAST(sum(t.n_tok) AS BIGINT) AS tokens_kept
+    FROM t JOIN rates ON t.source = rates.source
+    WHERE t.bucket <= rates.thresh
+    GROUP BY t.source
 """
 
 #: mirrors curation.curate_corpus at gate 25–80 + 50% sample: quality

@@ -107,3 +107,32 @@ def test_curation_pipeline_plan_shape(spark, sf_small):
     )
     assert n_exchanges == 1, f"expected exactly 1 shuffle, saw {n_exchanges}:\n{plan}"
     assert "BatchEvalPython" not in plan and "Python" not in plan
+
+
+def test_mix_to_budget_balances_sources(spark, sf_small):
+    """Balanced mix: the smallest source keeps everything (rate 1.0) and
+    every source's post-mix token total lands near the shared budget."""
+    from lexam_data_pipeline_spark.functions.text import word_count
+    from lexam_data_pipeline_spark.ml.curation import mix_to_budget
+
+    docs = load_table(spark, sf_small, "documents").withColumn(
+        "n_tok", word_count(F.col("text")).cast("int")
+    )
+    totals = {r["source"]: r["t"] for r in docs.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()}
+    budget = min(totals.values())
+    min_source = min(totals, key=totals.get)
+
+    mixed = mix_to_budget(docs, "source", F.col("n_tok"), F.col("doc_id"))
+    kept = {
+        r["source"]: (r["n"], r["t"])
+        for r in mixed.groupBy("source").agg(F.count("*").alias("n"), F.sum("n_tok").alias("t")).collect()
+    }
+    assert len(kept) == len(totals)  # no source dropped entirely
+    assert kept[min_source][1] == budget  # rate-1.0 source keeps every token
+    for src, (_, tok) in kept.items():
+        assert 0.5 * budget <= tok <= 1.5 * budget, (src, tok, budget)
+
+    # corpus body must not shuffle: thresholds broadcast-join onto docs
+    plan = mixed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
