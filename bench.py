@@ -73,6 +73,8 @@ def main() -> None:
         "q_dedup_embedding_blocked",
         "q_curation_pipeline",
         "q_mix_sources_balanced",
+        "q_asof_join_orders",
+        "q_range_join_events",
     ):
         if extra in queries and extra not in names:
             names.append(extra)

@@ -704,3 +704,60 @@ def q_join_5way_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dec_sum("l_extendedprice").alias("revenue"),
         )
     )
+
+
+def q_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the user's most recent order at or
+    before the event time (ties on o_orderdate broken by max o_orderkey),
+    then rolls up per event_type so the oracle compares a compact result.
+
+    The join itself is the union+window carry-forward in
+    :func:`operators.temporal.asof_join` — one shuffle on user_id, no
+    inequality join operator anywhere in the plan."""
+    from lexam_data_pipeline_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    joined = asof_join(
+        ev.withColumnRenamed("user_id", "o_custkey"),
+        orders,
+        on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        carry={"o_orderkey": "asof_orderkey", "o_totalprice": "asof_totalprice"},
+        tiebreak="o_orderkey",
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("asof_orderkey").alias("n_matched"),
+        F.sum("asof_orderkey").cast("bigint").alias("sum_orderkey"),
+        _dec_sum("asof_totalprice").alias("sum_totalprice"),
+    )
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per order, the count/value of the customer's events in
+    the week starting at the order date — bin-blocked equi join
+    (:func:`operators.temporal.range_join_binned`), never a
+    BroadcastNestedLoop theta join."""
+    from lexam_data_pipeline_spark.operators.temporal import range_join_binned
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    week_us = 7 * 24 * 3600 * 1_000_000
+    joined = range_join_binned(
+        orders,
+        ev,
+        on=("o_custkey", "user_id"),
+        interval_start=F.col("o_orderdate"),
+        interval_len_us=week_us,
+        probe_time="ts",
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("event_id").alias("n_events"),
+        F.coalesce(_dec_sum("value"), F.lit(0.0)).alias("total_value"),
+    )

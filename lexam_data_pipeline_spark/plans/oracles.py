@@ -310,4 +310,36 @@ CORE_ORACLES: dict[str, str] = {
         JOIN region   ON n_regionkey = r_regionkey
         GROUP BY 1
     """,
+    # Independent algorithm on purpose: the oracle picks each event's
+    # order with a per-row LATERAL top-1, while the Spark plan is the
+    # union+window carry-forward — agreement checks the semantics, not
+    # the implementation.
+    "q_asof_join_orders": """
+        WITH j AS (
+            SELECT e.event_type, o.o_orderkey, o.o_totalprice
+            FROM events e LEFT JOIN LATERAL (
+                SELECT o_orderkey, o_totalprice FROM orders o
+                WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+                ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+            ) o ON TRUE
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               count(o_orderkey) AS n_matched,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+        FROM j GROUP BY 1
+    """,
+    # DuckDB plans this inequality join natively (IEJoin); the Spark
+    # side gets there via bin blocking — same rows either way.
+    "q_range_join_events": """
+        SELECT o.o_orderkey,
+               count(e.event_id) AS n_events,
+               CAST(coalesce(sum(CAST(e.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_value
+        FROM orders o LEFT JOIN events e
+          ON e.user_id = o.o_custkey
+         AND e.ts >= o.o_orderdate
+         AND e.ts <  o.o_orderdate + INTERVAL 7 DAY
+        GROUP BY 1
+    """,
 }
