@@ -75,6 +75,9 @@ def main() -> None:
         "q_mix_sources_balanced",
         "q_asof_join_orders",
         "q_range_join_events",
+        "q_decontaminate_docs",
+        "q_pack_sequences",
+        "q_repetition_stats",
     ):
         if extra in queries and extra not in names:
             names.append(extra)

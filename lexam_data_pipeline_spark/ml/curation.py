@@ -342,3 +342,73 @@ def q_mix_sources_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("tokens_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# sequence packing
+# --------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    order_col: str,
+    tokens_col: str,
+    seq_len: int,
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Assign each document to the fixed-length training sequence in
+    which it STARTS under greedy concatenation in ``order_col`` order —
+    the standard "concat the corpus, chunk every ``seq_len`` tokens"
+    pretraining layout.  Adds ``tok_start`` (global token offset) and
+    ``seq_id`` (= ``tok_start div seq_len``).
+
+    The global running sum is a TWO-LEVEL prefix sum, never a
+    single-partition window: per-bucket token totals (one partial-agg
+    pass, ``n/bucket_width`` rows out) get a cumulative window on the
+    tiny bucket spine, broadcast back as offsets, and the wide data only
+    ever does a per-bucket window — so the corpus shuffles once by
+    bucket and no executor sorts more than a bucket.  ``order_col`` must
+    be a non-negative integer id; bucket = ``id div bucket_width``.
+    """
+    bucket = (F.col(order_col) / bucket_width).cast("bigint").alias("__bucket")
+    d = docs.withColumn("__bucket", bucket)
+    spine = d.groupBy("__bucket").agg(F.sum(tokens_col).alias("__btok"))
+    w_spine = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = spine.withColumn(
+        "__offset", (F.sum("__btok").over(w_spine) - F.col("__btok")).cast("bigint")
+    ).drop("__btok")
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            "tok_start",
+            (
+                F.col("__offset")
+                + F.sum(tokens_col).over(w_in)
+                - F.col(tokens_col)
+            ).cast("bigint"),
+        )
+        .withColumn("seq_id", (F.col("tok_start") / seq_len).cast("bigint"))
+        .drop("__bucket", "__offset")
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the corpus into 512-token sequences in doc_id order; report
+    per-sequence document count, token mass, and the doc-id span."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", word_count(F.col("text")).cast("int")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tok", seq_len=512, bucket_width=64)
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

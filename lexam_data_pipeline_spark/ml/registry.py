@@ -20,8 +20,10 @@ from lexam_data_pipeline_spark.ml.dedup import (
     q_minhash_lsh_pairs,
     q_simhash_buckets,
 )
+from lexam_data_pipeline_spark.ml.decontam import q_decontaminate_docs
 from lexam_data_pipeline_spark.ml.curation import (
     q_curation_pipeline,
+    q_pack_sequences,
     q_mix_sources_balanced,
     q_pii_redact_stats,
     q_sample_bernoulli,
@@ -32,6 +34,7 @@ from lexam_data_pipeline_spark.ml.ivf import q_knn_ivf
 from lexam_data_pipeline_spark.ml.multimodal import q_multimodal_features
 from lexam_data_pipeline_spark.ml.similarity import q_knn_bruteforce, q_knn_lsh
 from lexam_data_pipeline_spark.ml.textstats import (
+    q_repetition_stats,
     q_doc_fingerprint,
     q_doc_rolling_hash,
     q_lang_id,
@@ -66,6 +69,9 @@ ML_QUERIES = {
     "q_url_dedup": q_url_dedup,
     "q_curation_pipeline": q_curation_pipeline,
     "q_mix_sources_balanced": q_mix_sources_balanced,
+    "q_decontaminate_docs": q_decontaminate_docs,
+    "q_pack_sequences": q_pack_sequences,
+    "q_repetition_stats": q_repetition_stats,
 }
 
 _SHINGLES = """
@@ -440,4 +446,77 @@ ML_ORACLES["q_curation_pipeline"] = r"""
     SELECT doc_id, lang, n_words
     FROM dedup
     WHERE rn = 1 AND substr(md5(cast(doc_id AS VARCHAR)), 1, 8) < '80000000'
+"""
+
+#: mirrors decontam.q_decontaminate_docs: 4-gram shingles (clamped to one
+#: whole-text shingle for <4-word docs, same as _SHINGLES), benchmark =
+#: every 10th doc, count distinct shared grams + distinct bench docs hit.
+ML_ORACLES["q_decontaminate_docs"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 3, 1)),
+                   i -> array_to_string(toks[i:i+3], ' ')))) AS gram
+        FROM toks
+    ), bench AS (
+        SELECT DISTINCT doc_id AS bench_id, gram FROM g WHERE doc_id % 10 = 0
+    ), corpus AS (
+        SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0
+    )
+    SELECT c.doc_id,
+           count(DISTINCT c.gram) AS n_hit_grams,
+           count(DISTINCT b.bench_id) AS n_bench_docs
+    FROM corpus c JOIN bench b USING (gram)
+    GROUP BY c.doc_id
+"""
+
+#: mirrors curation.q_pack_sequences: global token prefix-sum in doc_id
+#: order (the oracle's single window equals the engine's two-level
+#: bucket prefix sum exactly — integer arithmetic, no float folds),
+#: seq_id = start-offset div 512.
+ML_ORACLES["q_pack_sequences"] = r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tok
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tok,
+               CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                    - n_tok AS BIGINT) AS tok_start
+        FROM t
+    )
+    SELECT CAST(floor(tok_start / 512) AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM c GROUP BY 1
+"""
+
+#: mirrors textstats.q_repetition_stats: whitespace tokens, bigram
+#: shingles with the <2-word whole-text clamp, max per-doc bigram count,
+#: frac over greatest(n_words-1, 1).
+ML_ORACLES["q_repetition_stats"] = r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, len(toks) AS n_words,
+               len(list_distinct(toks)) AS n_distinct_words,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 1)),
+                   i -> array_to_string(toks[i:i+1], ' '))) AS gram
+        FROM t
+    ), bc AS (
+        SELECT doc_id, n_words, n_distinct_words, gram, count(*) AS c
+        FROM g GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id, n_words, n_distinct_words,
+           max(c) AS top_bigram_n,
+           count(*) AS n_distinct_bigrams,
+           round(max(c) / greatest(n_words - 1, 1), 6) AS top_bigram_frac
+    FROM bc GROUP BY 1, 2, 3
 """

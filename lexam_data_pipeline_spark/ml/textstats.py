@@ -150,3 +150,40 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rank") <= 3).select(
         "doc_id", "term", "tf", F.col("df").cast("bigint").alias("df"), "weight", "rank"
     )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals: vocabulary
+    ratio and top-bigram concentration (Rae et al. 2021 §A1.1 use
+    duplicate-line and top-n-gram fractions to drop low-quality docs).
+
+    All JVM-side: distinct-word count is an in-plan ``array_distinct``
+    (no shuffle); the top-bigram count is the explode → (doc, gram)
+    count → per-doc max cascade, whose partial aggregation keeps the
+    shuffle at distinct-gram-per-doc cardinality, not corpus tokens.
+    The dominant-bigram fraction is a single IEEE division — exact and
+    engine-portable, no float summation anywhere."""
+    from lexam_data_pipeline_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .withColumn("n_words", F.size("toks"))
+        .withColumn("n_distinct_words", F.size(F.array_distinct("toks")))
+    )
+    grams = base.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.explode(shingles(F.col("toks"), 2)).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "n_words", "n_distinct_words", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_gram.groupBy("doc_id", "n_words", "n_distinct_words").agg(
+        F.max("c").alias("top_bigram_n"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+    ).withColumn(
+        "top_bigram_frac",
+        F.round(F.col("top_bigram_n") / F.greatest(F.col("n_words") - 1, F.lit(1)), 6),
+    )
