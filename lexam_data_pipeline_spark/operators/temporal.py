@@ -147,6 +147,13 @@ def range_join_binned(
     # ALL their exploded bins (a 2-bin interval may match in either), so
     # restore no-match rows via an anti-join on the build-row id — the
     # anti side shuffles only ids + build columns, never probe payloads.
+    # The persist slot stops the union's two consumers from running the
+    # bin join twice (spillable cache; a caller that aggregates anyway
+    # should prefer how="inner" + aggregate-side completion instead —
+    # see plans.fixture_queries.q_range_join_events).
+    from lexam_data_pipeline_spark.operators.caching import persist_slot
+
+    matched = persist_slot(matched, "range_join_binned.matched")
     unmatched = base.join(
         matched.select("__id").distinct(), "__id", "left_anti"
     ).select(

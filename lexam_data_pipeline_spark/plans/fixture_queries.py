@@ -741,7 +741,16 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: per order, the count/value of the customer's events in
     the week starting at the order date — bin-blocked equi join
     (:func:`operators.temporal.range_join_binned`), never a
-    BroadcastNestedLoop theta join."""
+    BroadcastNestedLoop theta join.
+
+    Left-outer semantics (orders with zero events survive at 0) are
+    restored AFTER the aggregation: the inner range join rolls up to one
+    row per matched order, and the order-key spine left-joins that
+    compact aggregate — so the no-match completion touches ``O(orders)``
+    rows, never a second pass over the exploded join (the generic
+    ``how="left"`` path must anti-join before aggregation and pays the
+    join twice; aggregate-side completion is the 100 TB shape whenever
+    the consumer aggregates anyway)."""
     from lexam_data_pipeline_spark.operators.temporal import range_join_binned
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -756,8 +765,14 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_start=F.col("o_orderdate"),
         interval_len_us=week_us,
         probe_time="ts",
+        how="inner",
     )
-    return joined.groupBy("o_orderkey").agg(
+    agg = joined.groupBy("o_orderkey").agg(
         F.count("event_id").alias("n_events"),
-        F.coalesce(_dec_sum("value"), F.lit(0.0)).alias("total_value"),
+        _dec_sum("value").alias("total_value"),
+    )
+    return orders.select("o_orderkey").join(agg, "o_orderkey", "left").select(
+        "o_orderkey",
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
     )
