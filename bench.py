@@ -78,6 +78,10 @@ def main() -> None:
         "q_decontaminate_docs",
         "q_pack_sequences",
         "q_repetition_stats",
+        "q_dedup_segments",
+        "q_mix_temperature",
+        "q_cube_orders",
+        "q_ntile_customers",
     ):
         if extra in queries and extra not in names:
             names.append(extra)

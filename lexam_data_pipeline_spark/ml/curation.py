@@ -412,3 +412,81 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# temperature-weighted source mixing
+# --------------------------------------------------------------------------
+
+
+def temperature_mix(
+    docs: DataFrame,
+    source_col: str,
+    key: Column,
+    tokens_col: str,
+    alpha: float = 0.5,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-flattened source sampling (the GPT-3 / LLaMA mixture
+    move: sample source *s* proportional to ``T_s**alpha`` instead of its
+    raw token mass ``T_s``, ``alpha < 1`` boosting small sources).
+
+    Downsampling-only formulation: the smallest source keeps everything
+    and source *s* keeps the fraction ``(T_min / T_s) ** (1 - alpha)``,
+    which makes kept-token mass proportional to ``T_s ** alpha``.  The
+    keep decision is the engine-portable deterministic hash threshold
+    (see module docstring) with the per-source threshold computed IN the
+    plan from a tiny per-source aggregate — no driver round-trip, so the
+    whole mix is one job.
+
+    ``alpha`` must satisfy ``1 - alpha ∈ {0.5, 1}`` for bit-exact
+    cross-engine thresholds (sqrt and division are correctly rounded
+    IEEE ops everywhere; a general ``pow`` is not) — the operator
+    rejects other values rather than silently losing oracle parity.
+
+    100 TB shape: the totals aggregate is partial-agg'd to ``O(sources)``
+    rows, the min spans those few rows, the rates broadcast-join back
+    onto the corpus, and the filter itself is map-side codegen.
+    """
+    if abs(alpha - 0.5) > 1e-12 and abs(alpha) > 1e-12:
+        raise ValueError(f"alpha must be 0.5 or 0 for engine-exact rates, got {alpha}")
+    totals = docs.groupBy(source_col).agg(
+        F.sum(F.col(tokens_col)).cast("double").alias("__t")
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ratio = F.min("__t").over(w_all) / F.col("__t")
+    rate = F.sqrt(ratio) if alpha == 0.5 else ratio
+    rates = totals.select(
+        source_col,
+        F.lpad(
+            F.lower(
+                F.hex(
+                    F.least(
+                        F.floor(rate * F.lit(float(16**8))).cast("bigint"),
+                        F.lit(16**8 - 1),
+                    )
+                )
+            ),
+            8,
+            "0",
+        ).alias("__thresh"),
+    )
+    return (
+        docs.join(F.broadcast(rates), source_col)
+        .where(hash_bucket(key, salt) < F.col("__thresh"))
+        .drop("__thresh")
+    )
+
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha=0.5 temperature mix over the fixture's skewed sources;
+    reports per-source kept docs + tokens (small sources survive whole,
+    big ones flatten toward sqrt of their share)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", word_count(F.col("text")).cast("bigint")
+    )
+    mixed = temperature_mix(docs, "source", F.col("doc_id"), "n_tok", alpha=0.5)
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tokens_kept"),
+    )

@@ -649,3 +649,75 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("n_copies").cast("bigint").alias("n_copies"))
     )
+
+
+# --------------------------------------------------------------------------
+# segment-level (span) dedup — C4-style cross-document span removal
+# --------------------------------------------------------------------------
+
+
+def segment_dedup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_len: int = 8,
+) -> DataFrame:
+    """Cross-document span dedup (C4 removed duplicated three-sentence
+    spans; RefinedWeb/Dolma dedupe repeated lines): chop every document
+    into non-overlapping ``seg_len``-token segments, keep each distinct
+    segment only at its FIRST occurrence corpus-wide (lowest
+    ``(doc_id, position)``), and report per-document retention.
+
+    Output: one row per doc — ``n_segments``, ``n_kept``,
+    ``tokens_kept`` (token mass surviving span dedup).
+
+    100 TB shape: segmentation is pure codegen (sequence + slice over a
+    materialized token array, no Python); the ONE shuffle keys on
+    ``md5(segment)`` so it carries a 32-byte hash + two ints per
+    segment, never segment text; the winner-per-segment window and the
+    per-doc rollup are partial-agg friendly.  Duplicated-span mass is a
+    small fraction of a web corpus, so the shuffle is ~corpus tokens /
+    seg_len rows of fixed width — linear, skew-free (hash keys).
+    """
+    segs = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+        .withColumn("__toks", tokens("__text"))
+        .withColumn("__n", F.size("__toks"))
+        .withColumn(
+            "__s",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.ceil(F.col("__n") / seg_len), F.lit(1)).cast("int")
+                    - 1,
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            "__s",
+            F.md5(
+                F.concat_ws(" ", F.slice("__toks", F.col("__s") * seg_len + 1, seg_len))
+            ).alias("__h"),
+            F.least(F.lit(seg_len), F.col("__n") - F.col("__s") * seg_len).alias(
+                "__seg_tok"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__h").orderBy("doc_id", "__s")
+    ranked = segs.withColumn("__rn", F.row_number().over(w))
+    kept = (F.col("__rn") == 1).cast("int")
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        F.sum(kept * F.col("__seg_tok")).cast("bigint").alias("tokens_kept"),
+    )
+
+
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-dedup retention sweep at 8-token segments — the fixture's
+    planted exact/near duplicates lose their repeated spans to the
+    earliest copy."""
+    return segment_dedup_stats(load_table(spark, sf_dir, "documents"), seg_len=8)

@@ -17,6 +17,7 @@ from lexam_data_pipeline_spark.ml.dedup import (
     q_dedup_exact,
     q_dedup_keep_best,
     q_dedup_ngram_jaccard,
+    q_dedup_segments,
     q_minhash_lsh_pairs,
     q_simhash_buckets,
 )
@@ -25,6 +26,7 @@ from lexam_data_pipeline_spark.ml.curation import (
     q_curation_pipeline,
     q_pack_sequences,
     q_mix_sources_balanced,
+    q_mix_temperature,
     q_pii_redact_stats,
     q_sample_bernoulli,
     q_sample_stratified,
@@ -72,6 +74,8 @@ ML_QUERIES = {
     "q_decontaminate_docs": q_decontaminate_docs,
     "q_pack_sequences": q_pack_sequences,
     "q_repetition_stats": q_repetition_stats,
+    "q_dedup_segments": q_dedup_segments,
+    "q_mix_temperature": q_mix_temperature,
 }
 
 _SHINGLES = """
@@ -519,4 +523,59 @@ ML_ORACLES["q_repetition_stats"] = r"""
            count(*) AS n_distinct_bigrams,
            round(max(c) / greatest(n_words - 1, 1), 6) AS top_bigram_frac
     FROM bc GROUP BY 1, 2, 3
+"""
+
+#: mirrors dedup.q_dedup_segments: non-overlapping 8-token segments
+#: (>=1 per doc), first corpus-wide occurrence wins by (doc_id, pos);
+#: the Spark side windows on md5(segment) but the winner set is
+#: identical because md5 is injective over the fixture segments.
+ML_ORACLES["q_dedup_segments"] = r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, len(toks) AS n, toks,
+               unnest(generate_series(
+                   0, CAST(greatest(ceil(len(toks) / 8.0), 1) AS INT) - 1)) AS seg
+        FROM t
+    ), g AS (
+        SELECT doc_id, seg,
+               array_to_string(toks[seg * 8 + 1 : seg * 8 + 8], ' ') AS seg_text,
+               least(8, n - seg * 8) AS seg_tok
+        FROM s
+    ), w AS (
+        SELECT doc_id, seg_tok,
+               row_number() OVER (PARTITION BY seg_text ORDER BY doc_id, seg) AS rn
+        FROM g
+    )
+    SELECT doc_id,
+           count(*) AS n_segments,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn = 1 THEN seg_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM w GROUP BY 1
+"""
+
+#: mirrors curation.q_mix_temperature (alpha = 0.5): per-source keep
+#: rate sqrt(T_min / T_s) as an md5 hash threshold.  sqrt and double
+#: division are correctly-rounded IEEE ops, floor-before-cast avoids
+#: DuckDB's round-on-cast, and hex is lowercased/padded on both sides,
+#: so the thresholds are bit-identical across engines.
+ML_ORACLES["q_mix_temperature"] = r"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        FROM documents
+    ), totals AS (
+        SELECT source, CAST(sum(n_tok) AS DOUBLE) AS t FROM d GROUP BY 1
+    ), rates AS (
+        SELECT source,
+               lpad(lower(hex(least(
+                   CAST(floor(sqrt(min(t) OVER () / t) * 4294967296.0) AS BIGINT),
+                   4294967295))), 8, '0') AS thresh
+        FROM totals
+    )
+    SELECT d.source, count(*) AS n_docs, CAST(sum(d.n_tok) AS BIGINT) AS tokens_kept
+    FROM d JOIN rates USING (source)
+    WHERE substr(md5(concat('tmix', CAST(d.doc_id AS VARCHAR))), 1, 8) < rates.thresh
+    GROUP BY 1
 """

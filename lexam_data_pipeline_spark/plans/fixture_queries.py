@@ -776,3 +776,56 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
         F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
     )
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup: order counts and revenue across every combination of
+    (status, priority) including both one-dimension margins and the
+    grand total — the OLAP drill-down surface in one pass.
+
+    Spark's ``cube()`` expands grouping sets BEFORE the shuffle but
+    partial-aggregates each set map-side, so the shuffle carries one
+    partial row per (set, group) — at 100 TB this costs the same as ~4
+    stacked groupBys while scanning once.  ``grouping_id`` (status = MSB)
+    disambiguates real NULLs from margin rows, matching DuckDB's
+    ``GROUPING(a, b)`` bit order."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum("o_totalprice").alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+def q_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation account-balance quartiles: ntile(4) + the bucket's
+    cume_dist ceiling, rolled up per (nation, quartile).
+
+    The window partitions by nation — never a global sort — so executors
+    each sort only their nations' customers; the deterministic
+    (acctbal, custkey) tiebreak makes ntile assignment engine-exact."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    ranked = cust.select(
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("nation"), "quartile"
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _dec_sum("c_acctbal").alias("balance_sum"),
+        F.max("cd").alias("cd_ceiling"),
+    )

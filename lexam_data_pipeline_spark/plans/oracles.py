@@ -342,4 +342,31 @@ CORE_ORACLES: dict[str, str] = {
          AND e.ts <  o.o_orderdate + INTERVAL 7 DAY
         GROUP BY 1
     """,
+    # GROUPING(a, b) packs a as the MSB in DuckDB, matching Spark's
+    # grouping_id() bit order for cube(a, b).
+    "q_cube_orders": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    # cume_dist is rank/n — a single exact IEEE division on both engines
+    # under the unique (acctbal, custkey) ordering.
+    "q_ntile_customers": """
+        WITH r AS (
+            SELECT c_nationkey, c_acctbal,
+                   ntile(4) OVER w AS quartile,
+                   cume_dist() OVER w AS cd
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        )
+        SELECT CAST(c_nationkey AS BIGINT) AS nation, quartile,
+               count(*) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance_sum,
+               max(cd) AS cd_ceiling
+        FROM r GROUP BY 1, 2
+    """,
 }

@@ -80,3 +80,66 @@ def test_pack_sequences_only_spine_single_partitions(spark, sf_small):
     # must come back via broadcast.
     assert plan.count("Exchange SinglePartition") == 1, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_segment_dedup_first_occurrence_wins(spark):
+    from lexam_data_pipeline_spark.ml.dedup import segment_dedup_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # segs: [a b c d], [e f]
+            (2, "a b c d x y z w"),    # first seg duplicates doc 1's
+            (3, "e f"),                # duplicates doc 1's tail segment
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_kept"], r["tokens_kept"])
+        for r in segment_dedup_stats(docs, seg_len=4).collect()
+    }
+    assert got == {1: (2, 2, 6), 2: (2, 1, 4), 3: (1, 0, 0)}
+
+
+def test_temperature_mix_rates(spark):
+    import hashlib
+
+    from lexam_data_pipeline_spark.ml.curation import temperature_mix
+
+    # big: 16 docs x 4 tokens; small: 4 docs x 4 tokens -> rate_big = 0.5
+    rows = [(i, "small" if i < 4 else "big", "w x y z", 4) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string, n_tok long")
+    kept = {
+        r["doc_id"]
+        for r in temperature_mix(docs, "source", F.col("doc_id"), "n_tok").collect()
+    }
+    thresh = {"small": "ffffffff", "big": format(int(0.5 * 16**8), "08x")}
+    expect = {
+        i
+        for i, src, _, _ in rows
+        if hashlib.md5(f"tmix{i}".encode()).hexdigest()[:8] < thresh[src]
+    }
+    assert kept == expect
+    try:
+        temperature_mix(docs, "source", F.col("doc_id"), "n_tok", alpha=0.7)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("alpha=0.7 must be rejected (no engine-exact pow)")
+
+
+def test_cube_and_ntile_invariants(spark, sf_small):
+    from lexam_data_pipeline_spark.plans.fixture_queries import (
+        q_cube_orders,
+        q_ntile_customers,
+    )
+
+    cube = q_cube_orders(spark, sf_small).collect()
+    total = [r for r in cube if r["gid"] == 3]
+    assert len(total) == 1 and total[0]["status"] == "ALL"
+    n_orders = load_table(spark, sf_small, "orders").count()
+    assert total[0]["n_orders"] == n_orders
+    assert sum(r["n_orders"] for r in cube if r["gid"] == 0) == n_orders
+
+    nt = q_ntile_customers(spark, sf_small)
+    top = nt.where(F.col("quartile") == 4).select("cd_ceiling").distinct().collect()
+    assert [r["cd_ceiling"] for r in top] == [1.0]
