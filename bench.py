@@ -82,6 +82,8 @@ def main() -> None:
         "q_mix_temperature",
         "q_cube_orders",
         "q_ntile_customers",
+        "q_lexical_rarity",
+        "q_pretrain_pipeline",
     ):
         if extra in queries and extra not in names:
             names.append(extra)

@@ -490,3 +490,47 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("tokens_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# end-to-end pretraining corpus pipeline
+# --------------------------------------------------------------------------
+
+
+def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composition: quality gate -> benchmark
+    decontamination -> exact dedup -> temperature mix, reported per
+    source — the full pretraining-corpus build in ONE lazy plan.
+
+    Stage order matters (and the oracle replays it exactly): cheap
+    map-side gates run first so every later shuffle sees fewer rows;
+    decontamination's broadcast gram join runs before dedup so a
+    contaminated duplicate can't survive via its clean twin; the
+    temperature thresholds are computed on the CLEANED corpus, not the
+    raw one.  Every stage is a reused operator (word_count /
+    decontaminate / md5-group dedup / temperature_mix) — composition is
+    plan-level, so Catalyst still sees one DAG and prunes columns
+    through all four stages."""
+    from lexam_data_pipeline_spark.ml.decontam import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", word_count(F.col("text")).cast("bigint")
+    )
+    # 1. quality gate (map-side)
+    ok = docs.where(F.col("n_tok") >= 20)
+    # 2. decontamination vs the held-out split (every 10th doc)
+    bench = ok.where(F.col("doc_id") % 10 == 0)
+    corpus = ok.where(F.col("doc_id") % 10 != 0)
+    dirty = decontaminate(corpus, bench, n=6).select("doc_id")
+    clean = corpus.join(dirty, "doc_id", "left_anti")
+    # 3. exact dedup, first (lowest doc_id) copy wins
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = clean.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    )
+    # 4. temperature mix on the cleaned corpus
+    mixed = temperature_mix(deduped, "source", F.col("doc_id"), "n_tok", alpha=0.5)
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tokens_kept"),
+    )

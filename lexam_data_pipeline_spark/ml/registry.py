@@ -27,6 +27,7 @@ from lexam_data_pipeline_spark.ml.curation import (
     q_pack_sequences,
     q_mix_sources_balanced,
     q_mix_temperature,
+    q_pretrain_pipeline,
     q_pii_redact_stats,
     q_sample_bernoulli,
     q_sample_stratified,
@@ -36,6 +37,7 @@ from lexam_data_pipeline_spark.ml.ivf import q_knn_ivf
 from lexam_data_pipeline_spark.ml.multimodal import q_multimodal_features
 from lexam_data_pipeline_spark.ml.similarity import q_knn_bruteforce, q_knn_lsh
 from lexam_data_pipeline_spark.ml.textstats import (
+    q_lexical_rarity,
     q_repetition_stats,
     q_doc_fingerprint,
     q_doc_rolling_hash,
@@ -76,6 +78,8 @@ ML_QUERIES = {
     "q_repetition_stats": q_repetition_stats,
     "q_dedup_segments": q_dedup_segments,
     "q_mix_temperature": q_mix_temperature,
+    "q_lexical_rarity": q_lexical_rarity,
+    "q_pretrain_pipeline": q_pretrain_pipeline,
 }
 
 _SHINGLES = """
@@ -577,5 +581,71 @@ ML_ORACLES["q_mix_temperature"] = r"""
     SELECT d.source, count(*) AS n_docs, CAST(sum(d.n_tok) AS BIGINT) AS tokens_kept
     FROM d JOIN rates USING (source)
     WHERE substr(md5(concat('tmix', CAST(d.doc_id AS VARCHAR))), 1, 8) < rates.thresh
+    GROUP BY 1
+"""
+
+#: mirrors textstats.q_lexical_rarity: corpus term frequencies joined
+#: back per token; mean frequency is exact-int sum / exact count, one
+#: IEEE division.
+ML_ORACLES["q_lexical_rarity"] = r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    ), v AS (
+        SELECT tok, count(*) AS tf FROM tok GROUP BY 1
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(tf) AS BIGINT) AS freq_mass,
+           CAST(sum(tf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tok_freq,
+           CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+    FROM tok JOIN v USING (tok)
+    GROUP BY 1
+"""
+
+#: mirrors curation.q_pretrain_pipeline stage-for-stage: quality gate,
+#: 6-gram decontamination against the every-10th held-out split, exact
+#: dedup by md5(text) with lowest-doc_id winner, then the alpha=0.5
+#: temperature mix with thresholds computed on the cleaned corpus.
+ML_ORACLES["q_pretrain_pipeline"] = r"""
+    WITH d AS (
+        SELECT doc_id, source, text,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        FROM documents
+    ), ok AS (
+        SELECT * FROM d WHERE n_tok >= 20
+    ), t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM ok
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 5, 1)),
+                   i -> array_to_string(toks[i:i+5], ' ')))) AS gram
+        FROM t
+    ), bench AS (
+        SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0
+    ), dirty AS (
+        SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+        WHERE g.doc_id % 10 <> 0
+    ), clean AS (
+        SELECT * FROM ok
+        WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    ), dedup AS (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM clean
+    ), kept AS (
+        SELECT * FROM dedup WHERE rn = 1
+    ), totals AS (
+        SELECT source, CAST(sum(n_tok) AS DOUBLE) AS t FROM kept GROUP BY 1
+    ), rates AS (
+        SELECT source,
+               lpad(lower(hex(least(
+                   CAST(floor(sqrt(min(t) OVER () / t) * 4294967296.0) AS BIGINT),
+                   4294967295))), 8, '0') AS thresh
+        FROM totals
+    )
+    SELECT kept.source, count(*) AS n_docs, CAST(sum(kept.n_tok) AS BIGINT) AS tokens_kept
+    FROM kept JOIN rates USING (source)
+    WHERE substr(md5(concat('tmix', CAST(kept.doc_id AS VARCHAR))), 1, 8) < rates.thresh
     GROUP BY 1
 """

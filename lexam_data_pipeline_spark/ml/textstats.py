@@ -187,3 +187,38 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_bigram_frac",
         F.round(F.col("top_bigram_n") / F.greatest(F.col("n_words") - 1, F.lit(1)), 6),
     )
+
+
+def q_lexical_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring, made engine-exact:
+    instead of a float log-prob sum (libm log is not correctly rounded,
+    so cross-engine parity would break), score each document by exact
+    integer corpus statistics — mean corpus frequency of its tokens and
+    its hapax (corpus-unique token) count.  Low mean frequency / high
+    hapax fraction marks the same junk a unigram-LM perplexity filter
+    targets (CCNet, Wenzek et al. 2019).
+
+    Plan: one aggregate builds the corpus vocabulary (token -> count),
+    which broadcasts onto the exploded corpus; the per-doc rollup
+    partial-aggregates map-side, so the shuffle carries ~one row per
+    (doc, partition), not per token.  At web scale the vocabulary of a
+    cleaned corpus is tens of millions of rows — still broadcastable;
+    if it isn't (no cleaning, all of CC), the join degrades gracefully
+    to a shuffle hash join on the token."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tok.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tf").cast("bigint").alias("freq_mass"),
+            (F.sum("tf").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mean_tok_freq"
+            ),
+            F.sum((F.col("tf") == 1).cast("int")).cast("bigint").alias("n_hapax"),
+        )
+    )

@@ -143,3 +143,34 @@ def test_cube_and_ntile_invariants(spark, sf_small):
     nt = q_ntile_customers(spark, sf_small)
     top = nt.where(F.col("quartile") == 4).select("cd_ceiling").distinct().collect()
     assert [r["cd_ceiling"] for r in top] == [1.0]
+
+
+def test_lexical_rarity_hand_counts(spark, monkeypatch):
+    from lexam_data_pipeline_spark.ml import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "a a b", "en", "s0", 5), (2, "a c", "en", "s0", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(textstats, "load_table", lambda *a, **k: docs)
+    got = {r["doc_id"]: r for r in textstats.q_lexical_rarity(spark, "ignored").collect()}
+    # corpus: a->3, b->1, c->1
+    assert (got[1]["n_tokens"], got[1]["freq_mass"], got[1]["n_hapax"]) == (3, 7, 1)
+    assert (got[2]["n_tokens"], got[2]["freq_mass"], got[2]["n_hapax"]) == (2, 4, 1)
+    assert got[2]["mean_tok_freq"] == 2.0
+
+
+def test_pretrain_pipeline_conservation(spark, sf_small):
+    from lexam_data_pipeline_spark.ml.curation import q_pretrain_pipeline
+    from lexam_data_pipeline_spark.functions.text import word_count
+
+    out = q_pretrain_pipeline(spark, sf_small)
+    docs = load_table(spark, sf_small, "documents")
+    raw = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source")
+        .agg(F.sum(word_count(F.col("text"))).alias("t"))
+        .collect()
+    }
+    for r in out.collect():
+        assert 0 < r["tokens_kept"] <= raw[r["source"]]
