@@ -120,3 +120,36 @@ def stream_curate_corpus(
     return deduped.select(
         "doc_id", "lang", "n_words", redact_pii(F.col("text")).alias("clean_text")
     )
+
+
+def start_streaming_decontamination(
+    docs_stream: DataFrame,
+    benchmark: DataFrame,
+    sink,
+    *,
+    n: int = 4,
+    available_now: bool = True,
+):
+    """Decontaminate ON ARRIVAL: each micro-batch runs the batch
+    :func:`lexam_data_pipeline_spark.ml.decontam.decontaminate` operator
+    against the static benchmark and hands only CLEAN documents to
+    ``sink`` — the ``foreachBatch`` pattern this repo uses wherever a
+    streaming stage needs a multi-step batch plan (see
+    streaming/generation.py).
+
+    Absence-of-overlap cannot be proven by an append-mode stream join
+    (a doc is clean only when NONE of its grams hit), so the per-batch
+    anti-join is the correct streaming shape; the benchmark gram set is
+    broadcast once per batch and the batch is bounded by the trigger,
+    exactly like the 100 TB batch posture.  Returns the StreamingQuery.
+    """
+    from lexam_data_pipeline_spark.ml.decontam import decontaminate
+
+    def process_batch(batch_docs: DataFrame, batch_id: int) -> None:
+        dirty = decontaminate(batch_docs, benchmark, n=n).select("doc_id")
+        sink(batch_docs.join(dirty, "doc_id", "left_anti"))
+
+    writer = docs_stream.writeStream.foreachBatch(process_batch)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

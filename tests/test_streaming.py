@@ -441,3 +441,40 @@ def test_stream_curate_corpus_matches_batch_policies(spark, tmp_path):
     assert sorted(by_id) == [1, 5]  # gate dropped 2; dedup dropped 3 and 4
     assert by_id[1]["n_words"] == 31
     assert by_id[1]["clean_text"].endswith("mail <EMAIL>")  # redacted output
+
+
+def test_stream_decontamination_matches_batch(spark, tmp_path):
+    """Streaming decontamination drops exactly the docs the batch
+    operator flags, across micro-batches."""
+    from lexam_data_pipeline_spark.streaming.dedup import (
+        read_documents_stream,
+        start_streaming_decontamination,
+    )
+
+    d = str(tmp_path / "docs_decontam_stream")
+    os.makedirs(d)
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), os.path.join(d, name))
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    write("b0.parquet", [
+        (1, "a quick brown fox jumps around", "en", "s", 10),   # hits 4-gram
+        (2, "totally clean document body here", "en", "s", 10),
+    ])
+    write("b1.parquet", [
+        (3, "over the lazy dog indeed", "en", "s", 10),          # hits
+        (4, "another clean one entirely", "en", "s", 10),
+    ])
+    out: list[int] = []
+    q = start_streaming_decontamination(
+        read_documents_stream(spark, d, max_files_per_trigger=1),
+        bench,
+        lambda df: out.extend(r["doc_id"] for r in df.select("doc_id").collect()),
+    )
+    q.awaitTermination(120)
+    assert sorted(out) == [2, 4]

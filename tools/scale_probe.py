@@ -41,6 +41,15 @@ PROBES = [
     "q_sessionize",
     "q_groupby_salted",
     "q_join_5way_region",
+    "q_dedup_segments",
+    "q_decontaminate_docs",
+    "q_pack_sequences",
+    "q_repetition_stats",
+    "q_lexical_rarity",
+    "q_mix_temperature",
+    "q_pretrain_pipeline",
+    "q_asof_join_orders",
+    "q_range_join_events",
 ]
 
 OFFSETS = {
