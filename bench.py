@@ -84,6 +84,7 @@ def main() -> None:
         "q_ntile_customers",
         "q_lexical_rarity",
         "q_pretrain_pipeline",
+        "q_knn_ivfpq",
     ):
         if extra in queries and extra not in names:
             names.append(extra)

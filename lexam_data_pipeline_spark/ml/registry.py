@@ -34,6 +34,7 @@ from lexam_data_pipeline_spark.ml.curation import (
     q_url_dedup,
 )
 from lexam_data_pipeline_spark.ml.ivf import q_knn_ivf
+from lexam_data_pipeline_spark.ml.pq import q_knn_ivfpq
 from lexam_data_pipeline_spark.ml.multimodal import q_multimodal_features
 from lexam_data_pipeline_spark.ml.similarity import q_knn_bruteforce, q_knn_lsh
 from lexam_data_pipeline_spark.ml.textstats import (
@@ -60,6 +61,7 @@ ML_QUERIES = {
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_knn_lsh": q_knn_lsh,
     "q_knn_ivf": q_knn_ivf,
+    "q_knn_ivfpq": q_knn_ivfpq,
     "q_text_quality": q_text_quality,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_token_count_regex": q_token_count_regex,

@@ -30,7 +30,7 @@ CORE_QUERIES: dict[str, QueryFn] = {
 #: registry reaches this count from a bare interpreter, so a broken ML
 #: import can't silently shrink the contract (round-1 lesson: 7 keys had
 #: no driver correctness row).
-EXPECTED_QUERY_COUNT = 75
+EXPECTED_QUERY_COUNT = 76
 
 
 def _ml_module(name: str):

@@ -174,3 +174,60 @@ def test_pretrain_pipeline_conservation(spark, sf_small):
     }
     for r in out.collect():
         assert 0 < r["tokens_kept"] <= raw[r["source"]]
+
+
+def test_pack_sequences_hypothesis_conservation(spark):
+    """Property: packing is a prefix-sum — tok_start values are exactly
+    the cumulative sums in id order, for random token counts, any
+    bucket width, including counts of zero."""
+    from hypothesis import given, settings, strategies as st
+
+    from lexam_data_pipeline_spark.ml.curation import pack_sequences
+
+    @settings(max_examples=3, deadline=None, derandomize=True)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=900), min_size=1, max_size=60),
+        st.sampled_from([1, 3, 7, 1000]),
+    )
+    def check(counts, bucket_width):
+        docs = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(counts)], "doc_id long, n_tok int"
+        )
+        out = {
+            r["doc_id"]: (r["tok_start"], r["seq_id"])
+            for r in pack_sequences(
+                docs, "doc_id", "n_tok", seq_len=128, bucket_width=bucket_width
+            ).collect()
+        }
+        start = 0
+        for i, c in enumerate(counts):
+            assert out[i] == (start, start // 128)
+            start += c
+
+    check()
+
+
+def test_segment_dedup_idempotent_on_unique_corpus(spark):
+    """Property: with all-distinct segments nothing is dropped, and
+    token accounting is conserved (sum seg_tok == word count)."""
+    from hypothesis import given, settings, strategies as st
+
+    from lexam_data_pipeline_spark.ml.dedup import segment_dedup_stats
+
+    @settings(max_examples=3, deadline=None, derandomize=True)
+    @given(st.lists(st.integers(min_value=1, max_value=23), min_size=1, max_size=25))
+    def check(lengths):
+        # doc i gets tokens "i_0 i_1 ..." — globally unique segments
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"{i}_{j}" for j in range(n))) for i, n in enumerate(lengths)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r for r in segment_dedup_stats(docs, seg_len=8).collect()
+        }
+        for i, n in enumerate(lengths):
+            r = got[i]
+            assert r["n_kept"] == r["n_segments"] == -(-n // 8)
+            assert r["tokens_kept"] == n
+
+    check()
