@@ -94,25 +94,35 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    run(names[0])  # warmup: JVM + codegen + parquet footer cache
+    try:
+        run(names[0])  # warmup: JVM + codegen + parquet footer cache
+    except Exception:
+        pass
     # warm the Python/Arrow worker pool too (mapInPandas queries would
     # otherwise pay worker fork/startup inside their timed run)
     spark.range(10).mapInPandas(lambda it: it, "id long").write.format(
         "noop"
     ).mode("overwrite").save()
-    timings = {name: round(run(name), 4) for name in names}
+    # One broken query must never zero out the whole round's bench
+    # number — time what runs, report what broke.
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        try:
+            timings[name] = round(run(name), 4)
+        except Exception as exc:  # noqa: BLE001 — keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -54,6 +54,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Integer `div`, NOT `/`: float division routes ~1.7e18 nanos
         # through a double (exact only to 2^53) and lands ±1 µs off.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Parquet `timestamp[us]` (no UTC flag) arrives as TIMESTAMP_NTZ when
+    # the reader's NTZ inference is on — a session-level setting this
+    # engine can't assume.  Under the UTC pin above the cast is the
+    # identity on the stored micros, and it restores the TIMESTAMP type
+    # that `unix_micros`/interval arithmetic require.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

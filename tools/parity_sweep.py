@@ -3,6 +3,11 @@
 `oracle_sql()` twin at one scale factor and report mismatches — the
 in-repo mirror of the driver's correctness gate.
 
+The external harness only verifies the first 50 registered keys per
+round; this sweep covers ALL keys and writes the result to
+``CORRECTNESS_SELF.json`` (driver-row format) so full-contract
+verification is auditable in-repo.
+
 Usage:
     python tools/parity_sweep.py                 # sf0.01 (driver's SF)
     python tools/parity_sweep.py /root/testdata/sf0.1
@@ -10,6 +15,7 @@ Usage:
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 from pathlib import Path
@@ -41,25 +47,66 @@ def main() -> int:
     assert len(queries) == EXPECTED_QUERY_COUNT, (len(queries), EXPECTED_QUERY_COUNT)
     con = testing.duckdb_connection(sf_dir)
     failures = []
+    rows: dict[str, dict] = {}
     t0 = time.time()
-    for key in sorted(oracles):
-        try:
-            result = testing.compare_query(
-                spark, con, key, queries[key], oracles[key], sf_dir
-            )
-            ok = "OK" in str(result)
-        except Exception as exc:  # keep sweeping; report at the end
-            ok, result = False, f"EXC {type(exc).__name__}: {exc}"
-        status = "ok" if ok else "FAIL"
-        print(f"{status:4s} {key}: {str(result)[:160]}")
-        if not ok:
-            failures.append(key)
-    for key in sorted(set(queries) - set(oracles)):
-        n = queries[key](spark, sf_dir).count()
-        print(f"rows {key}: {n} rows (rows-only, no oracle)")
+    for key in queries:  # registration order — same walk the driver does
+        if key in oracles:
+            try:
+                result = testing.compare_query(
+                    spark, con, key, queries[key], oracles[key], sf_dir
+                )
+                ok = result.ok
+                rows[key] = {
+                    "rows_match": result.spark_rows == result.oracle_rows,
+                    "schema_match": not any("columns" in m for m in result.mismatches),
+                    "hash_match": ok,
+                    "spark_rows": result.spark_rows,
+                    "oracle_rows": result.oracle_rows,
+                    "err": None,
+                }
+            except Exception as exc:  # keep sweeping; report at the end
+                ok, result = False, f"EXC {type(exc).__name__}: {exc}"
+                rows[key] = {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": None,
+                    "oracle_rows": None,
+                    "err": str(result)[:500],
+                }
+            status = "ok" if ok else "FAIL"
+            print(f"{status:4s} {key}: {str(result)[:160]}")
+            if not ok:
+                failures.append(key)
+        else:
+            try:
+                n = queries[key](spark, sf_dir).count()
+                rows[key] = {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": n,
+                    "oracle_rows": None,
+                    "err": None,
+                }
+                print(f"rows {key}: {n} rows (rows-only, no oracle)")
+            except Exception as exc:
+                rows[key] = {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": None,
+                    "oracle_rows": None,
+                    "err": f"EXC {type(exc).__name__}: {exc}"[:500],
+                }
+                failures.append(key)
+                print(f"FAIL {key}: {exc}")
+    out = Path(REPO) / "CORRECTNESS_SELF.json"
+    out.write_text(json.dumps({"sf_dir": sf_dir, "results": rows}, indent=1))
     print(
         f"\n{len(oracles)} oracle + {len(queries) - len(oracles)} rows-only keys "
         f"at {sf_dir} in {round(time.time() - t0, 1)}s; failures: {failures or 'none'}"
+        f"\nwrote {out}"
     )
     spark.stop()
     return 1 if failures else 0
