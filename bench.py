@@ -85,6 +85,14 @@ def main() -> None:
         "q_lexical_rarity",
         "q_pretrain_pipeline",
         "q_knn_ivfpq",
+        "q_moving_avg_revenue",
+        "q_first_last_event",
+        "q_grouping_sets",
+        "q_edit_distance",
+        "q_embedding_norms",
+        "q_sentence_stats",
+        "q_chunk_overlap",
+        "q_split_assign",
     ):
         if extra in queries and extra not in names:
             names.append(extra)

@@ -534,3 +534,82 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("tokens_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# context-window chunking & deterministic split assignment
+# --------------------------------------------------------------------------
+
+
+def chunk_windows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows —
+    the pretraining context-window chunker (GPT-style packing keeps a
+    ``window - stride`` token overlap so no span is only ever seen cut
+    in half).
+
+    Pure Catalyst: ``sequence`` generates the chunk starts per row and
+    ``posexplode`` fans them out, so chunking is map-side only — zero
+    shuffles, and at 100 TB each executor chunks its own partition.
+    ``slice`` is 1-based; start offsets are 0-based token positions."""
+    from lexam_data_pipeline_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(stride)
+    )
+    return toks.select(
+        id_col,
+        "__n",
+        "__toks",
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        F.least(F.lit(window), F.col("__n") - F.col("chunk_start"))
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.element_at("__toks", F.col("chunk_start") + 1).alias("first_tok"),
+    )
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk rows for the 32-token / stride-24 context-window
+    chunking of every document (see :func:`chunk_windows`)."""
+    return chunk_windows(load_table(spark, sf_dir, "documents"))
+
+
+def split_assign(key: Column, salt: str = "split") -> Column:
+    """Deterministic train/val/test assignment from the first hex char of
+    ``md5(salt || key)``: 12/16 train, 2/16 val, 2/16 test.
+
+    Hash-based (not rand()-based) for the same reasons as hash_bucket:
+    stable under repartition/retry/engine, and the assignment travels
+    with the row forever — a doc can never leak from test into train on
+    a later pipeline run."""
+    c = F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 1)
+    return (
+        F.when(c.isin(*"0123456789ab"), "train")
+        .when(c.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus split manifest: doc counts and token mass per
+    (source, split) under the deterministic 75/12.5/12.5 hash split."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "split", split_assign(F.col("doc_id"))
+    )
+    return docs.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(word_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )

@@ -23,6 +23,7 @@ from lexam_data_pipeline_spark.ml.dedup import (
 )
 from lexam_data_pipeline_spark.ml.decontam import q_decontaminate_docs
 from lexam_data_pipeline_spark.ml.curation import (
+    q_chunk_overlap,
     q_curation_pipeline,
     q_pack_sequences,
     q_mix_sources_balanced,
@@ -31,6 +32,7 @@ from lexam_data_pipeline_spark.ml.curation import (
     q_pii_redact_stats,
     q_sample_bernoulli,
     q_sample_stratified,
+    q_split_assign,
     q_url_dedup,
 )
 from lexam_data_pipeline_spark.ml.ivf import q_knn_ivf
@@ -82,6 +84,8 @@ ML_QUERIES = {
     "q_mix_temperature": q_mix_temperature,
     "q_lexical_rarity": q_lexical_rarity,
     "q_pretrain_pipeline": q_pretrain_pipeline,
+    "q_chunk_overlap": q_chunk_overlap,
+    "q_split_assign": q_split_assign,
 }
 
 _SHINGLES = """
@@ -584,6 +588,45 @@ ML_ORACLES["q_mix_temperature"] = r"""
     FROM d JOIN rates USING (source)
     WHERE substr(md5(concat('tmix', CAST(d.doc_id AS VARCHAR))), 1, 8) < rates.thresh
     GROUP BY 1
+"""
+
+#: mirrors curation.chunk_windows: starts generate_series(0, n-1, 24),
+#: 1-based slice, chunk length least(32, n - start) — all integer-exact.
+ML_ORACLES["q_chunk_overlap"] = r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, len(toks) AS n, toks,
+               unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(start // 24 AS INT) AS chunk_idx,
+           CAST(start AS INT) AS chunk_start,
+           CAST(least(32, n - start) AS INT) AS n_chunk_tokens,
+           toks[start + 1] AS first_tok
+    FROM s
+"""
+
+#: mirrors curation.split_assign: first hex char of md5('split' || id),
+#: 0-b train / c-d val / e-f test.
+ML_ORACLES["q_split_assign"] = r"""
+    WITH d AS (
+        SELECT source,
+               CASE
+                   WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 1)
+                        BETWEEN '0' AND 'b' THEN 'train'
+                   WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 1)
+                        IN ('c', 'd') THEN 'val'
+                   ELSE 'test'
+               END AS split,
+               len(regexp_extract_all(text, '\S+')) AS n_tok
+        FROM documents
+    )
+    SELECT source, split, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM d GROUP BY 1, 2
 """
 
 #: mirrors textstats.q_lexical_rarity: corpus term frequencies joined

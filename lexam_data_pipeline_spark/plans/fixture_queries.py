@@ -829,3 +829,172 @@ def q_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dec_sum("c_acctbal").alias("balance_sum"),
         F.max("cd").alias("cd_ceiling"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-3 window / string / array coverage  (SURVEY §2.5, §2.8)
+# --------------------------------------------------------------------------
+
+
+def q_moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving revenue per order priority: a RANGE-frame window over
+    event time (SURVEY §2.5; the reference's dashboard charts bucket by
+    day — ref main.py:419-441 — this is the rolling variant).
+
+    Two-level shape: the daily pre-aggregation shuffles once on
+    (priority, day) and collapses ~N orders to ~priorities×days rows, so
+    the RANGE window then sorts only the compact daily series — at 100 TB
+    the window input is thousands of rows per priority, not billions.
+    Decimal daily sums keep the moving total engine-exact; the moving
+    average divides that exact total by an exact row count."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"))
+    # RANGE frame over seconds-since-epoch: whole days, so the -6d..0d
+    # bound is exact integer arithmetic on both engines.
+    w = (
+        Window.partitionBy("priority")
+        .orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    # Emit the day as an ISO string: Spark DATE and DuckDB DATE stringify
+    # differently through pandas ('1998-05-07' vs '... 00:00:00'), and the
+    # compare harness hashes the string form.
+    return daily.select(
+        "priority",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias("rev_7d"),
+        F.round(
+            F.sum("rev_dec").over(w).cast("double") / F.count(F.lit(1)).over(w), 4
+        ).alias("avg_7d"),
+    )
+
+
+def q_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over an explicit full-partition frame: each
+    user's first and last event type (SURVEY §2.5).
+
+    The frame must be UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING — the
+    default frame under an ORDER BY stops at CURRENT ROW, which silently
+    turns last_value into the identity.  The (ts, event_id) tiebreak makes
+    both endpoints engine-deterministic.  The follow-up groupBy collapses
+    per-user constants to one row, so the shuffle out of the window stage
+    carries one row per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    tagged = ev.select(
+        "user_id",
+        F.first_value("event_type").over(w).alias("first_type"),
+        F.last_value("event_type").over(w).alias("last_type"),
+    )
+    return tagged.groupBy("user_id", "first_type", "last_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((returnflag), (linestatus)): two independent
+    aggregation margins in one scan (SURVEY §2.4; the reference issues one
+    GROUP BY per dashboard facet — ref main.py:380-441 — this fuses them).
+
+    Like cube/rollup, Spark expands the sets before the shuffle but
+    partial-aggregates map-side, so the single scan + single shuffle
+    replaces two full passes — the fusion matters exactly when the input
+    is 100 TB and each extra pass is an hour.  grouping() flags (not raw
+    NULLs) distinguish margin rows from data NULLs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("int")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            _dec_sum("l_extendedprice").alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n_items",
+            "revenue",
+        )
+    )
+
+
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Levenshtein drift from the source's canonical (lowest
+    doc_id) document head — template-detection by edit distance (SURVEY
+    §2.8; boilerplate clustering in curation pipelines).
+
+    first_value over (source ORDER BY doc_id) pins the canonical head
+    without a self-join — one shuffle on source, and the O(40²) DP per
+    row runs JVM-side in codegen.  Distances are exact integers, so the
+    per-source mean is an exact int sum over an exact count."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.substring("text", 1, 40).alias("head")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    with_canon = docs.withColumn("canon_head", F.first_value("head").over(w))
+    dist = F.levenshtein("head", "canon_head")
+    return with_canon.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(dist).cast("bigint").alias("total_dist"),
+        F.round(F.sum(dist) / F.count(F.lit(1)), 4).alias("avg_dist"),
+        F.max(dist).cast("int").alias("max_dist"),
+    )
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm and mean component via higher-order array
+    functions (SURVEY §2.8) — transform + sequential-left-fold aggregate,
+    entirely JVM-side (the Arrow/pandas path would pay serialization for
+    arithmetic codegen does better).
+
+    Parity: the fold is ``((0 + x₁²) + x₂²) + ...`` — the same
+    association DuckDB's list_reduce produces — and sqrt/division are
+    correctly-rounded IEEE ops, so results are bit-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm2 = F.aggregate(ed, F.lit(0.0), lambda acc, x: acc + x * x)
+    total = F.aggregate(ed, F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(norm2), 6).alias("l2_norm"),
+        F.round(total / F.size("embedding"), 6).alias("mean_component"),
+    )
+
+
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats: split on '.', drop blank segments,
+    report count / exact mean length / longest (SURVEY §2.8; the sentence
+    tier of a text-quality pipeline).
+
+    Everything stays inside one projection — split, filter, transform,
+    fold — no explode, so there is NO shuffle at all: a pure map-side
+    operator that scales embarrassingly."""
+    docs = load_table(spark, sf_dir, "documents")
+    parts = F.filter(
+        F.split(F.col("text"), r"\."),
+        lambda p: F.length(F.trim(p)) > 0,
+    )
+    lens = F.transform(parts, lambda p: F.length(F.trim(p)))
+    total = F.aggregate(lens, F.lit(0), lambda acc, x: acc + x)
+    return docs.select(
+        "doc_id",
+        F.size(parts).alias("n_sentences"),
+        total.alias("total_sentence_chars"),
+        F.round(total / F.size(parts), 4).alias("avg_sentence_chars"),
+        F.array_max(lens).alias("longest_sentence"),
+    ).filter(F.col("n_sentences") > 0)

@@ -369,4 +369,100 @@ CORE_ORACLES: dict[str, str] = {
                max(cd) AS cd_ceiling
         FROM r GROUP BY 1, 2
     """,
+    # RANGE frame over whole days: the INTERVAL bound and Spark's
+    # seconds-since-epoch rangeBetween(-6*86400, 0) describe the same
+    # window; daily decimal sums keep the moving total exact.
+    "q_moving_avg_revenue": """
+        WITH daily AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(o_orderdate AS DATE) AS day,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT priority, strftime(day, '%Y-%m-%d') AS day,
+               CAST(rev_dec AS DOUBLE) AS revenue,
+               CAST(sum(rev_dec) OVER w AS DOUBLE) AS rev_7d,
+               round(CAST(sum(rev_dec) OVER w AS DOUBLE) / count(*) OVER w, 4)
+                   AS avg_7d
+        FROM daily
+        WINDOW w AS (PARTITION BY priority ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    """,
+    # Explicit UNBOUNDED..UNBOUNDED frame: last_value under the default
+    # frame is the identity — both engines need the full-partition frame.
+    "q_first_last_event": """
+        WITH w AS (
+            SELECT user_id,
+                   first_value(event_type) OVER f AS first_type,
+                   last_value(event_type) OVER f AS last_type
+            FROM events
+            WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, first_type, last_type, count(*) AS n_events
+        FROM w GROUP BY 1, 2, 3
+    """,
+    # gid computed from per-column GROUPING() flags, not GROUPING_ID —
+    # identical bit packing on both engines by construction.
+    "q_grouping_sets": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+                   AS gid,
+               count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    "q_edit_distance": """
+        WITH h AS (
+            SELECT doc_id, source, substr(text, 1, 40) AS head FROM documents
+        ),
+        c AS (
+            SELECT source, head,
+                   first_value(head) OVER (PARTITION BY source ORDER BY doc_id)
+                       AS canon_head
+            FROM h
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(levenshtein(head, canon_head)) AS BIGINT) AS total_dist,
+               round(sum(levenshtein(head, canon_head)) / count(*), 4) AS avg_dist,
+               CAST(max(levenshtein(head, canon_head)) AS INT) AS max_dist
+        FROM c GROUP BY 1
+    """,
+    # list_reduce's implicit fold ((x1+x2)+x3)... matches Spark's
+    # F.aggregate with a 0.0 seed exactly (0.0 + x1 == x1 in IEEE).
+    "q_embedding_norms": """
+        SELECT vec_id, label,
+               CAST(len(embedding) AS INT) AS dim,
+               round(sqrt(list_reduce(
+                   list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                   (a, b) -> a + b)), 6) AS l2_norm,
+               round(list_reduce(
+                   list_transform(embedding, x -> x::DOUBLE),
+                   (a, b) -> a + b) / len(embedding), 6) AS mean_component
+        FROM embeddings
+    """,
+    "q_sentence_stats": """
+        WITH s AS (
+            SELECT doc_id,
+                   list_transform(
+                       list_filter(string_split(text, '.'),
+                                   p -> len(trim(p)) > 0),
+                       p -> len(trim(p))) AS lens
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(lens) AS INT) AS n_sentences,
+               CAST(list_reduce(lens, (a, b) -> a + b) AS INT)
+                   AS total_sentence_chars,
+               round(list_reduce(lens, (a, b) -> a + b) / len(lens), 4)
+                   AS avg_sentence_chars,
+               CAST(list_max(lens) AS INT) AS longest_sentence
+        FROM s
+        WHERE len(lens) > 0
+    """,
 }

@@ -9,6 +9,8 @@ advertises (determinism, threshold nesting, prefilter exactness).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from lexam_data_pipeline_spark.catalog import load_table
@@ -136,3 +138,60 @@ def test_mix_to_budget_balances_sources(spark, sf_small):
     plan = mixed._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunk_windows_covers_every_token_exactly(spark):
+    """Chunk starts step by the stride; the final (possibly short) chunk
+    reaches exactly the last token, and consecutive chunks overlap by
+    window - stride tokens."""
+    from lexam_data_pipeline_spark.ml.curation import chunk_windows
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(100))),  # multiple chunks
+            (2, " ".join(f"t{i}" for i in range(32))),   # exactly one window
+            (3, "solo"),                                 # shorter than window
+            (4, " ".join(f"t{i}" for i in range(25))),   # start lands on n-? edge
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_windows(docs, window=32, stride=24).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,24,48,72,96 — last chunk holds tokens 96..99
+    starts = sorted(r["chunk_start"] for r in by_doc[1])
+    assert starts == [0, 24, 48, 72, 96]
+    last = max(by_doc[1], key=lambda r: r["chunk_start"])
+    assert last["n_chunk_tokens"] == 4 and last["first_tok"] == "t96"
+    # full chunks are exactly `window` long
+    assert all(
+        r["n_chunk_tokens"] == 32 for r in by_doc[1] if r["chunk_start"] <= 68
+    )
+    # doc 2: 32 tokens -> starts 0 and 24 (the tail re-covers the overlap)
+    assert sorted(r["chunk_start"] for r in by_doc[2]) == [0, 24]
+    # doc 3: single short chunk, chunk covers the whole doc
+    assert [(r["chunk_start"], r["n_chunk_tokens"]) for r in by_doc[3]] == [(0, 1)]
+    # doc 4: 25 tokens -> second chunk is the single trailing token
+    assert sorted((r["chunk_start"], r["n_chunk_tokens"]) for r in by_doc[4]) == [
+        (0, 25),
+        (24, 1),
+    ]
+
+
+def test_split_assign_deterministic_and_partitioned(spark):
+    """Same key -> same split on every call; splits partition the corpus
+    with roughly 12/2/2 hex-char mass."""
+    from lexam_data_pipeline_spark.ml.curation import split_assign
+
+    ids = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    a = ids.select("doc_id", split_assign(F.col("doc_id")).alias("s")).collect()
+    b = ids.select("doc_id", split_assign(F.col("doc_id")).alias("s")).collect()
+    assert a == b
+    counts = {}
+    for r in a:
+        counts[r["s"]] = counts.get(r["s"], 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / 4000 == pytest.approx(12 / 16, abs=0.05)
+    assert counts["val"] / 4000 == pytest.approx(2 / 16, abs=0.03)
+    assert counts["test"] / 4000 == pytest.approx(2 / 16, abs=0.03)
