@@ -93,6 +93,12 @@ def main() -> None:
         "q_sentence_stats",
         "q_chunk_overlap",
         "q_split_assign",
+        "q_corr_stats",
+        "q_merge_upsert",
+        "q_kcore_prune",
+        "q_dataset_card",
+        "q_percentile_multi",
+        "q_date_arith",
     ):
         if extra in queries and extra not in names:
             names.append(extra)
@@ -125,6 +131,10 @@ def main() -> None:
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
+        # the headline set grows every round as operators land — compare
+        # rounds on sec_per_query (or per-query entries), not raw total
+        "n_queries": len(timings),
+        "sec_per_query": round(total / max(len(timings), 1), 4),
         "queries": timings,
         "sf": sf,
     }

@@ -998,3 +998,252 @@ def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(total / F.size(parts), 4).alias("avg_sentence_chars"),
         F.array_max(lens).alias("longest_sentence"),
     ).filter(F.col("n_sentences") > 0)
+
+
+# --------------------------------------------------------------------------
+# Round-4 coverage: set ops, listagg, exact correlation, date arithmetic,
+# multi-percentile, CDC merge, iterative graph pruning, corpus cards
+# (SURVEY §2.4, §2.7, §2.8 extensions)
+# --------------------------------------------------------------------------
+
+
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set algebra over two key sets (SURVEY §2.7; the
+    reference only has UNION — ref seed.py:68-131 — and anti-join EXCEPT
+    semantics — ref services/judging.py:42-52; these are the missing two
+    of the set-op triple).
+
+    ``intersect``/``subtract`` are DISTINCT set ops: Spark plans both as
+    aggregate + shuffle on the key with map-side partial distinct, so the
+    shuffle carries unique keys only — at 100 TB the exchanged data is the
+    key cardinality, not the row count."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("bigint").alias("nationkey")
+    )
+    both = cust.intersect(supp).select("nationkey", F.lit("both").alias("tag"))
+    conly = cust.subtract(supp).select(
+        "nationkey", F.lit("customer_only").alias("tag")
+    )
+    sonly = supp.subtract(cust).select(
+        "nationkey", F.lit("supplier_only").alias("tag")
+    )
+    return both.unionByName(conly).unionByName(sonly)
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered listagg: per nation, the sorted distinct market segments as
+    one CSV string (SURVEY §2.4 A11; the reference builds exactly this
+    label string in Python — ref main.py:296-305 ``", ".join(sorted(...))``).
+
+    ``collect_set`` + ``array_sort`` + ``array_join`` keeps the whole
+    reduction JVM-side; the pre-``distinct`` pass means the shuffle into
+    the final aggregate carries unique (nation, segment) pairs — bounded
+    by the label-domain size, not the table."""
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = cust.select(
+        F.col("c_nationkey").cast("bigint").alias("nation"), "c_mktsegment"
+    ).distinct()
+    return pairs.groupBy("nation").agg(
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        ),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+
+
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample stddev per return flag, computed from
+    EXACT decimal moment sums (SURVEY §2.4 A7 extension; the reference's
+    stats tier stops at mean/median — ref experiment_stats.py:51-61).
+
+    Neither engine's built-in ``corr`` is reproducible across partitionings
+    (float accumulation order), so the moments (n, Σx, Σy, Σx², Σy², Σxy)
+    are summed as decimals — exact, order-independent, map-side-combined:
+    ONE shuffle of 6 numbers per group.  The closed-form corr/stddev is
+    then identical IEEE double arithmetic on both engines.  This is also
+    the 100 TB shape: moment sums sketch-combine across any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    stddev_q = F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0))))
+    return m.select(
+        F.col("l_returnflag").alias("returnflag"),
+        n.cast("bigint").alias("n_items"),
+        F.round(corr, 6).alias("corr_qty_price"),
+        F.round(stddev_q, 6).alias("stddev_qty"),
+    )
+
+
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic family: date_trunc / last_day / datediff per
+    order month (SURVEY §2.8 F3/F12 extension; the reference's only date
+    math is the year substring — ref seed.py:90-94).
+
+    All three functions are integer-exact calendar ops, and the month
+    bucket is also the partition-pruning column a date-partitioned 100 TB
+    lake would use — this groupBy compiles to a scan + one shuffle of
+    ~months×4 values."""
+    orders = load_table(spark, sf_dir, "orders")
+    mstart = F.date_trunc("month", F.col("o_orderdate"))
+    enriched = orders.select(
+        F.date_format(mstart, "yyyy-MM-dd").alias("month"),
+        F.dayofmonth(F.last_day(F.col("o_orderdate"))).alias("month_days"),
+        F.datediff(F.to_date(F.col("o_orderdate")), F.to_date(mstart)).alias(
+            "day_offset"
+        ),
+    )
+    return enriched.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("month_days").cast("int").alias("month_days"),
+        F.round(F.sum("day_offset") / F.count(F.lit(1)), 4).alias(
+            "avg_day_offset"
+        ),
+    )
+
+
+def q_percentile_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 of document length per source in ONE aggregate
+    (SURVEY §2.4 A7; ref experiment_stats.py:142-152 computes a lone
+    median in Python).
+
+    ``percentile(col, array(...))`` materializes the sorted-value sketch
+    once per group and reads all three cut points from it — one shuffle,
+    one sort, three quantiles.  Both engines interpolate linearly between
+    adjacent order statistics over exact integers, so results match
+    bit-for-bit.  The documented 100 TB switch is approx_percentile with
+    an error bound (operators/approx.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), pct.alias("p")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.round(F.element_at("p", 1), 4).alias("p25_chars"),
+        F.round(F.element_at("p", 2), 4).alias("p50_chars"),
+        F.round(F.element_at("p", 3), 4).alias("p75_chars"),
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert: apply an update feed over a base snapshot via
+    :func:`operators.merge.merge_upsert` (SURVEY §2.1 S2's missing half —
+    ref seed.py:86-109 only inserts on first sight, never updates).
+
+    Fixture realization: base = orders not divisible by 3; feed = every
+    even order re-priced at an exact decimal 1.1× and flagged 'U'.  The
+    merge is one full-outer join on the key — AQE broadcasts the feed
+    when it fits; a bucketed snapshot would shuffle nothing at all.
+    Prices stay exact: decimal(18,2) × decimal(2,1) is decimal(21,3),
+    losslessly cast to double on both engines — no float rounding."""
+    from lexam_data_pipeline_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    updates = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(2,1)")
+        )
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+    merged = merge_upsert(base, updates, ["o_orderkey"])
+    return merged.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+
+
+def q_kcore_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative bipartite k-core pruning over the supplier–part graph:
+    two rounds of degree-threshold deletion (SURVEY north star; the
+    dedup-cluster family's iterative sibling — graph trimming before
+    expensive pairwise work is how 100 TB similarity graphs get cut down).
+
+    A degree filter is a count-window over the node column, so each of
+    the four prune steps is ``count().over(partitionBy(node)) >= k`` —
+    the whole 2-round cascade compiles to ONE declarative plan (distinct
+    + four window shuffles), no driver-side loop, no persist, and the
+    final union's two aggregate branches re-read the shared prefix via
+    ReusedExchange instead of recomputing it.  The aggregate-then-
+    semi-join alternative costs 2 extra jobs per round plus per-round
+    persists; with a FIXED round count the fused window form is strictly
+    better (for data-dependent convergence loops, see the persisted CC
+    loop at ml/dedup.py:428).  All arithmetic is integer-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    PART_K, SUPP_K = 26, 270
+    wp, ws = Window.partitionBy("p"), Window.partitionBy("s")
+    for _ in range(2):
+        edges = (
+            edges.withColumn("d", F.count(F.lit(1)).over(wp))
+            .filter(F.col("d") >= PART_K)
+            .drop("d")
+            .withColumn("d", F.count(F.lit(1)).over(ws))
+            .filter(F.col("d") >= SUPP_K)
+            .drop("d")
+        )
+    supp_nodes = edges.groupBy("s").agg(F.count(F.lit(1)).alias("degree")).select(
+        F.lit("supplier").alias("side"),
+        F.col("s").alias("node"),
+        F.col("degree").cast("bigint").alias("degree"),
+    )
+    part_nodes = edges.groupBy("p").agg(F.count(F.lit(1)).alias("degree")).select(
+        F.lit("part").alias("side"),
+        F.col("p").alias("node"),
+        F.col("degree").cast("bigint").alias("degree"),
+    )
+    return supp_nodes.unionByName(part_nodes)
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus "dataset card": per (source, lang) doc counts, exact char
+    totals, and share-of-source (SURVEY north star; the per-source summary
+    every training-data release ships — and the reference's dashboard
+    shape, ref main.py:342-407, applied to a corpus).
+
+    One shuffle for the groupBy; the share-of-source window runs over the
+    already-tiny aggregate, not the corpus.  Char totals are exact integer
+    sums; shares divide exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.sum("n_chars") / F.count(F.lit(1)), 4).alias("avg_chars"),
+    )
+    w = Window.partitionBy("source")
+    return per.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        "avg_chars",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias(
+            "share_of_source"
+        ),
+    )

@@ -465,4 +465,126 @@ CORE_ORACLES: dict[str, str] = {
         FROM s
         WHERE len(lens) > 0
     """,
+    # INTERSECT / EXCEPT are DISTINCT set ops on both engines.
+    "q_intersect_except": """
+        WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer),
+             s AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
+        SELECT nationkey, 'both' AS tag FROM (SELECT * FROM c INTERSECT SELECT * FROM s)
+        UNION ALL
+        SELECT nationkey, 'customer_only' AS tag FROM (SELECT * FROM c EXCEPT SELECT * FROM s)
+        UNION ALL
+        SELECT nationkey, 'supplier_only' AS tag FROM (SELECT * FROM s EXCEPT SELECT * FROM c)
+    """,
+    # string_agg with ORDER BY mirrors array_sort + array_join; the
+    # pre-DISTINCT subquery fixes the element set on both engines.
+    "q_string_agg": """
+        WITH d AS (
+            SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment
+            FROM customer
+        )
+        SELECT nation,
+               string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+               count(*) AS n_segments
+        FROM d GROUP BY 1
+    """,
+    # Moments summed as decimals (exact, order-independent); the corr /
+    # stddev closed forms below are the same IEEE double expression the
+    # Spark side evaluates — bit-identical results.
+    "q_corr_stats": """
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                          * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                          * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_returnflag AS returnflag,
+               CAST(n AS BIGINT) AS n_items,
+               round((n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                     6) AS corr_qty_price,
+               round(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS stddev_qty
+        FROM m
+    """,
+    # date_trunc / last_day / date_diff are integer-exact calendar ops on
+    # both engines; avg divides an exact int sum by an exact count.
+    "q_date_arith": """
+        WITH e AS (
+            SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)),
+                            '%Y-%m-%d') AS month,
+                   EXTRACT(day FROM last_day(CAST(o_orderdate AS DATE))) AS month_days,
+                   date_diff('day', date_trunc('month', CAST(o_orderdate AS DATE)),
+                             CAST(o_orderdate AS DATE)) AS day_offset
+            FROM orders
+        )
+        SELECT month, count(*) AS n_orders,
+               CAST(max(month_days) AS INT) AS month_days,
+               round(sum(day_offset) / count(*), 4) AS avg_day_offset
+        FROM e GROUP BY 1
+    """,
+    # quantile_cont interpolates between adjacent order statistics exactly
+    # like Spark's percentile() over exact integers.
+    "q_percentile_multi": """
+        SELECT source, count(*) AS n_docs,
+               round(quantile_cont(n_chars, 0.25), 4) AS p25_chars,
+               round(quantile_cont(n_chars, 0.50), 4) AS p50_chars,
+               round(quantile_cont(n_chars, 0.75), 4) AS p75_chars
+        FROM documents GROUP BY 1
+    """,
+    # MERGE semantics via FULL JOIN + coalesce — the same plan the Spark
+    # operator builds.  decimal(18,2) × decimal(2,1) is exact on both.
+    "q_merge_upsert": """
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 3 != 0
+        ),
+        upd AS (
+            SELECT o_orderkey, 'U' AS o_orderstatus,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE) AS o_totalprice
+            FROM orders WHERE o_orderkey % 2 = 0
+        )
+        SELECT coalesce(u.o_orderkey, b.o_orderkey) AS orderkey,
+               coalesce(u.o_orderstatus, b.o_orderstatus) AS status,
+               coalesce(u.o_totalprice, b.o_totalprice) AS totalprice
+        FROM base b FULL JOIN upd u ON b.o_orderkey = u.o_orderkey
+    """,
+    # Two fixed pruning rounds, all-integer: each CTE pair replicates one
+    # Spark round (part prune then supplier prune).
+    "q_kcore_prune": """
+        WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        e1 AS (SELECT * FROM e0 WHERE p IN
+               (SELECT p FROM e0 GROUP BY p HAVING count(*) >= 26)),
+        e2 AS (SELECT * FROM e1 WHERE s IN
+               (SELECT s FROM e1 GROUP BY s HAVING count(*) >= 270)),
+        e3 AS (SELECT * FROM e2 WHERE p IN
+               (SELECT p FROM e2 GROUP BY p HAVING count(*) >= 26)),
+        e4 AS (SELECT * FROM e3 WHERE s IN
+               (SELECT s FROM e3 GROUP BY s HAVING count(*) >= 270))
+        SELECT 'supplier' AS side, s AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM e4 GROUP BY 2
+        UNION ALL
+        SELECT 'part' AS side, p AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM e4 GROUP BY 2
+    """,
+    # Char totals are exact int sums; shares divide exact integers inside
+    # a window over the compact aggregate.
+    "q_dataset_card": """
+        WITH per AS (
+            SELECT source, lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   round(sum(n_chars) / count(*), 4) AS avg_chars
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT source, lang, n_docs, total_chars, avg_chars,
+               round(n_docs / (sum(n_docs) OVER (PARTITION BY source)), 4)
+                   AS share_of_source
+        FROM per
+    """,
 }
