@@ -115,9 +115,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per document.
 
-    Permutation i is the affine map ``(a_i * h + b_i) mod (2^61-1)`` over
+    Permutation i is the affine map ``(a_i * h + b_i) mod (2^31-1)`` over
     ``xxhash64(shingle)``; coefficients are derived deterministically from
     the permutation index so cluster re-runs are reproducible.
+
+    Shape note (measured, sf0.1): the tempting "no-shuffle" form —
+    ``array_min`` over a ``transform`` of the hashed shingle array — is
+    2-3× SLOWER than this explode + 16-way min-aggregate, because
+    higher-order array functions are interpreted per element while the
+    explode + min path stays inside whole-stage codegen, and the explode
+    shuffle also provides the parallelism a single-split input lacks.
     """
     ex = (
         docs.select(F.col(id_col), tokens(text_col).alias("toks"))
