@@ -99,6 +99,7 @@ def main() -> None:
         "q_dataset_card",
         "q_percentile_multi",
         "q_date_arith",
+        "q_incremental_agg",
     ):
         if extra in queries and extra not in names:
             names.append(extra)

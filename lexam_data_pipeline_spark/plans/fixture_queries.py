@@ -1186,13 +1186,18 @@ def q_kcore_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     A degree filter is a count-window over the node column, so each of
     the four prune steps is ``count().over(partitionBy(node)) >= k`` —
     the whole 2-round cascade compiles to ONE declarative plan (distinct
-    + four window shuffles), no driver-side loop, no persist, and the
-    final union's two aggregate branches re-read the shared prefix via
-    ReusedExchange instead of recomputing it.  The aggregate-then-
-    semi-join alternative costs 2 extra jobs per round plus per-round
-    persists; with a FIXED round count the fused window form is strictly
-    better (for data-dependent convergence loops, see the persisted CC
-    loop at ml/dedup.py:428).  All arithmetic is integer-exact."""
+    + four window shuffles), no driver-side loop, no persist.  The
+    aggregate-then-semi-join alternative costs 2 extra jobs per round
+    plus per-round persists; with a FIXED round count the fused window
+    form is strictly better (for data-dependent convergence loops, see
+    the persisted CC loop at ml/dedup.py:428).
+
+    The per-side degree report then EXPLODES each edge into its two
+    (side, node) roles and aggregates once: a union of two per-side
+    aggregates would execute the cascade twice (exchange reuse does NOT
+    fire across the union branches — verified in tests/test_plans.py,
+    which asserts this plan scans lineitem exactly once).  All
+    arithmetic is integer-exact."""
     li = load_table(spark, sf_dir, "lineitem")
     edges = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
@@ -1208,17 +1213,19 @@ def q_kcore_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("d") >= SUPP_K)
             .drop("d")
         )
-    supp_nodes = edges.groupBy("s").agg(F.count(F.lit(1)).alias("degree")).select(
-        F.lit("supplier").alias("side"),
-        F.col("s").alias("node"),
-        F.col("degree").cast("bigint").alias("degree"),
+    roles = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("supplier").alias("side"), F.col("s").alias("node")
+                ),
+                F.struct(F.lit("part").alias("side"), F.col("p").alias("node")),
+            )
+        ).alias("r")
+    ).select("r.side", "r.node")
+    return roles.groupBy("side", "node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
     )
-    part_nodes = edges.groupBy("p").agg(F.count(F.lit(1)).alias("degree")).select(
-        F.lit("part").alias("side"),
-        F.col("p").alias("node"),
-        F.col("degree").cast("bigint").alias("degree"),
-    )
-    return supp_nodes.unionByName(part_nodes)
 
 
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1245,5 +1252,39 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_chars",
         F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias(
             "share_of_source"
+        ),
+    )
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the table arrives as two
+    arbitrary append batches, each aggregated independently into
+    combinable state and merged (:mod:`operators.incremental`) — the
+    result must equal a from-scratch GROUP BY, which is exactly what the
+    oracle computes (SURVEY §2.4 at 100 TB; the reference re-aggregates
+    everything per request, ref main.py:339-441).
+
+    The equivalence is the point: decimal accumulators make the merge
+    bit-identical to one-shot aggregation no matter how history was
+    batched, so a daily refresh touches only the new batch."""
+    from lexam_data_pipeline_spark.operators.incremental import (
+        merge_state,
+        partial_state,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    batch_a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    batch_b = orders.filter(F.col("o_orderkey") % 2 != 0)
+    state = partial_state(batch_a, ["o_orderstatus"], "o_totalprice")
+    state = merge_state(
+        state, partial_state(batch_b, ["o_orderstatus"], "o_totalprice"),
+        ["o_orderstatus"],
+    )
+    return state.select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("n").alias("n_orders"),
+        F.col("sum_dec").cast("double").alias("revenue"),
+        F.round(F.col("sum_dec").cast("double") / F.col("n"), 4).alias(
+            "avg_price"
         ),
     )

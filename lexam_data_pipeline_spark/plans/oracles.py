@@ -573,6 +573,17 @@ CORE_ORACLES: dict[str, str] = {
         SELECT 'part' AS side, p AS node, CAST(count(*) AS BIGINT) AS degree
         FROM e4 GROUP BY 2
     """,
+    # The oracle aggregates from scratch — a hash-match PROVES the
+    # engine's two-batch partial-aggregate merge is value-identical to
+    # one-shot aggregation (exact decimal accumulators).
+    "q_incremental_agg": """
+        SELECT o_orderstatus AS status,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*), 4) AS avg_price
+        FROM orders GROUP BY 1
+    """,
     # Char totals are exact int sums; shares divide exact integers inside
     # a window over the compact aggregate.
     "q_dataset_card": """

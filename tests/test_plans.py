@@ -56,3 +56,42 @@ def test_dimension_joins_broadcast(spark, sf_small, key):
     plan = _plan(QUERIES[key](spark, sf_small))
     assert "BroadcastHashJoin" in plan, f"{key} should broadcast its dimension side"
     assert "SortMergeJoin" not in plan, f"{key} unexpectedly sort-merge joins at fixture scale"
+
+
+def test_kcore_is_one_fused_single_scan_plan(spark, sf_small):
+    """The 2-round prune must compile to ONE declarative plan that scans
+    lineitem exactly once and plans no joins.  (A union of per-side
+    aggregates executes the whole window cascade twice — exchange reuse
+    does NOT fire across those union branches, measured; the explode-roles
+    form makes the single-scan property structural.)"""
+    plan = _plan(QUERIES["q_kcore_prune"](spark, sf_small))
+    assert plan.count("FileScan") == 1, "prune cascade executed more than once"
+    assert "Join" not in plan, "window-filter form must not plan joins"
+    assert "Union" not in plan, "explode-roles form must not union branches"
+
+
+def test_corr_stats_is_partial_aggregated(spark, sf_small):
+    """Moment sums must partial-aggregate map-side (HashAggregate appears
+    in partial + final mode) so the shuffle carries 6 numbers per group,
+    not the lineitem rows."""
+    df = QUERIES["q_corr_stats"](spark, sf_small)
+    agg = df._jdf.queryExecution().optimizedPlan().toString()
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2, "expected partial+final aggregate"
+    assert "Exchange" in plan
+    # exactly one shuffle: the group-by on returnflag
+    n_exchanges = sum(
+        1 for ln in plan.splitlines() if ln.strip().startswith("+- Exchange")
+        or ln.strip().startswith("Exchange")
+    )
+    assert n_exchanges == 1, f"corr_stats should shuffle once, saw {n_exchanges}\n{agg}"
+
+
+def test_merge_upsert_feed_broadcasts_at_fixture_scale(spark, sf_small):
+    """The CDC feed side is small → AQE/static planning should broadcast
+    it rather than shuffling the snapshot (at fixture scale; a huge feed
+    degrades to a shuffle join on the key, which is also the documented
+    behavior)."""
+    plan = _plan(QUERIES["q_merge_upsert"](spark, sf_small))
+    assert "Join" in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower()

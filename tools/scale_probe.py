@@ -50,6 +50,13 @@ PROBES = [
     "q_pretrain_pipeline",
     "q_asof_join_orders",
     "q_range_join_events",
+    # round 3 additions
+    "q_kcore_prune",
+    "q_merge_upsert",
+    "q_corr_stats",
+    "q_dataset_card",
+    "q_moving_avg_revenue",
+    "q_grouping_sets",
 ]
 
 OFFSETS = {
