@@ -16,6 +16,7 @@ from lexam_data_pipeline_spark.streaming.dedup import (
     stream_dedup_exact,
     stream_dedup_exact_within_watermark,
 )
+from lexam_data_pipeline_spark.streaming.incremental import start_streaming_aggregate
 from lexam_data_pipeline_spark.streaming.stateful import user_activity_tracker
 from lexam_data_pipeline_spark.streaming.progress import (
     ProgressSnapshot,
@@ -35,6 +36,7 @@ __all__ = [
     "run_stream_to_memory",
     "session_counts",
     "sliding_counts",
+    "start_streaming_aggregate",
     "tumbling_counts",
     "user_activity_tracker",
 ]
