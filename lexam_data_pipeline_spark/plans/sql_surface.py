@@ -1,0 +1,128 @@
+"""The ``spark.sql`` surface: core declared queries as Spark SQL texts.
+
+Users of the reference talk to it through SQL-shaped REST filters; a
+Spark migration gives them two equivalent front doors — the DataFrame
+builders in :mod:`plans.fixture_queries` and plain SQL over the
+registered views (:func:`catalog.register_views`).  This module is the
+SQL door for a representative slice of the operator inventory, and
+``tests/test_sql_surface.py`` asserts each text produces EXACTLY the
+rows of its DataFrame twin — both enter the same Catalyst pipeline, so
+this is an API-parity check, not a second engine.
+
+Spark SQL dialect differs from the DuckDB oracle dialect (these are NOT
+the strings in :mod:`plans.oracles`): e.g. ``percentile()`` vs
+``quantile_cont()``, ``date_format`` vs ``strftime``.
+"""
+
+from __future__ import annotations
+
+#: query key → Spark SQL producing the same result as the DataFrame twin.
+SQL_QUERIES: dict[str, str] = {
+    "q_scan_project": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+    """,
+    "q_filter_in": """
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+               l_extendedprice
+        FROM lineitem
+        WHERE l_returnflag IN ('A', 'R') AND l_quantity > 30
+    """,
+    "q_semi_exists": """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    "q_anti_dedup": """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    """,
+    "q_join_3way_agg": """
+        SELECT c.c_mktsegment,
+               count(*) AS n_rows,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    "q_groupby_count": """
+        SELECT o_orderstatus, count(*) AS n_orders FROM orders GROUP BY 1
+    """,
+    "q_top_n": """
+        SELECT p_brand, count(*) AS n_parts
+        FROM part GROUP BY 1
+        ORDER BY n_parts DESC, p_brand ASC
+        LIMIT 10
+    """,
+    "q_share_of_total": """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(count(*) / sum(count(*)) OVER (), 4) AS share
+        FROM orders GROUP BY 1
+    """,
+    "q_window_rank": """
+        SELECT * FROM (
+            SELECT c_mktsegment, c_custkey, c_acctbal,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey)
+                       AS rank_in_segment
+            FROM customer
+        ) WHERE rank_in_segment <= 3
+    """,
+    "q_intersect_except": """
+        WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer),
+             s AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
+        SELECT nationkey, 'both' AS tag FROM (SELECT * FROM c INTERSECT SELECT * FROM s)
+        UNION ALL
+        SELECT nationkey, 'customer_only' AS tag FROM (SELECT * FROM c EXCEPT SELECT * FROM s)
+        UNION ALL
+        SELECT nationkey, 'supplier_only' AS tag FROM (SELECT * FROM s EXCEPT SELECT * FROM c)
+    """,
+    "q_grouping_sets": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+               count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    "q_merge_upsert": """
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 3 != 0
+        ),
+        upd AS (
+            SELECT o_orderkey, 'U' AS o_orderstatus,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE) AS o_totalprice
+            FROM orders WHERE o_orderkey % 2 = 0
+        )
+        SELECT coalesce(u.o_orderkey, b.o_orderkey) AS orderkey,
+               coalesce(u.o_orderstatus, b.o_orderstatus) AS status,
+               coalesce(u.o_totalprice, b.o_totalprice) AS totalprice
+        FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+    """,
+    "q_dataset_card": """
+        WITH per AS (
+            SELECT source, lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   round(sum(n_chars) / count(*), 4) AS avg_chars
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT source, lang, n_docs, total_chars, avg_chars,
+               round(n_docs / (sum(n_docs) OVER (PARTITION BY source)), 4)
+                   AS share_of_source
+        FROM per
+    """,
+    "q_events_tumbling": """
+        SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+}

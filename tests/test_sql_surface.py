@@ -1,0 +1,36 @@
+"""Every Spark SQL surface text must produce exactly its DataFrame
+twin's rows (API parity: two front doors into one Catalyst plan)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lexam_data_pipeline_spark.catalog import register_views
+from lexam_data_pipeline_spark.plans.registry import build_queries
+from lexam_data_pipeline_spark.plans.sql_surface import SQL_QUERIES
+
+QUERIES = build_queries()
+
+
+def _canon(df) -> list:
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(str(r[c]) for c in cols) for r in df.collect()
+    )
+
+
+def test_every_sql_key_has_a_dataframe_twin():
+    missing = set(SQL_QUERIES) - set(QUERIES)
+    assert not missing, f"SQL surface keys without DataFrame twin: {missing}"
+
+
+@pytest.mark.parametrize("key", sorted(SQL_QUERIES))
+def test_sql_matches_dataframe_twin(spark, sf_small, key):
+    register_views(spark, sf_small)
+    sql_df = spark.sql(SQL_QUERIES[key])
+    df = QUERIES[key](spark, sf_small)
+    assert sorted(sql_df.columns) == sorted(df.columns), (
+        sql_df.columns,
+        df.columns,
+    )
+    assert _canon(sql_df) == _canon(df), f"{key}: SQL and DataFrame rows differ"
