@@ -100,6 +100,7 @@ def main() -> None:
         "q_percentile_multi",
         "q_date_arith",
         "q_incremental_agg",
+        "q_knn_batch",
     ):
         if extra in queries and extra not in names:
             names.append(extra)

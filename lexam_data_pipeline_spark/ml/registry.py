@@ -38,7 +38,11 @@ from lexam_data_pipeline_spark.ml.curation import (
 from lexam_data_pipeline_spark.ml.ivf import q_knn_ivf
 from lexam_data_pipeline_spark.ml.pq import q_knn_ivfpq
 from lexam_data_pipeline_spark.ml.multimodal import q_multimodal_features
-from lexam_data_pipeline_spark.ml.similarity import q_knn_bruteforce, q_knn_lsh
+from lexam_data_pipeline_spark.ml.similarity import (
+    q_knn_batch,
+    q_knn_bruteforce,
+    q_knn_lsh,
+)
 from lexam_data_pipeline_spark.ml.textstats import (
     q_lexical_rarity,
     q_repetition_stats,
@@ -61,6 +65,7 @@ ML_QUERIES = {
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash_buckets": q_simhash_buckets,
     "q_knn_bruteforce": q_knn_bruteforce,
+    "q_knn_batch": q_knn_batch,
     "q_knn_lsh": q_knn_lsh,
     "q_knn_ivf": q_knn_ivf,
     "q_knn_ivfpq": q_knn_ivfpq,
@@ -215,6 +220,32 @@ ML_ORACLES: dict[str, str] = {
                round(common / (na + nb - common), 4) AS jaccard
         FROM pairs
         WHERE common / (na + nb - common) >= 0.5
+    """,
+    "q_knn_batch": """
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding AS q_emb
+            FROM embeddings ORDER BY vec_id LIMIT 4
+        ),
+        scored AS (
+            SELECT q.q_id, e.vec_id, e.label,
+                   list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                       i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (x, y) -> x + y)
+                   / (sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                          i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x, y) -> x + y))
+                      * sqrt(list_reduce(list_transform(generate_series(1, len(q.q_emb)),
+                          i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE), (x, y) -> x + y)))
+                   AS cos_raw
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.q_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY cos_raw DESC, vec_id) AS rnk
+            FROM scored
+        )
+        SELECT q_id, vec_id, label, CAST(rnk AS INT) AS rnk,
+               round(cos_raw, 6) AS cosine
+        FROM ranked WHERE rnk <= 5
     """,
     "q_knn_bruteforce": """
         WITH q AS (
