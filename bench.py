@@ -101,6 +101,7 @@ def main() -> None:
         "q_date_arith",
         "q_incremental_agg",
         "q_knn_batch",
+        "q_quality_audit",
     ):
         if extra in queries and extra not in names:
             names.append(extra)

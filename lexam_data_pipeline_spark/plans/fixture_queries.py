@@ -1256,6 +1256,56 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (:mod:`operators.quality`) over a
+    deterministically corrupted orders table: every ``o_orderkey % 97 ==
+    0`` row is re-appended with a NULL custkey, an illegal status, and a
+    negated price — so each check catches a known-nonzero violation set
+    and the oracle (which constructs the identical corruption) verifies
+    the exact counts.  Referential integrity is audited against a parent
+    set missing every 7th order.
+
+    Pass economy is the point (SURVEY §2.4 at 100 TB): the three
+    row-local checks share ONE aggregate scan; uniqueness adds one
+    groupBy; referential integrity one anti-join against broadcast
+    distinct parent keys."""
+    from lexam_data_pipeline_spark.operators.quality import (
+        InSet,
+        NotNull,
+        Range,
+        RefIntegrity,
+        Unique,
+        audit,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    bad = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("bigint").alias("o_custkey"),
+        F.lit("X").alias("o_orderstatus"),
+        (-F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    corrupted = orders.unionByName(bad)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    parents = orders.filter(F.col("o_orderkey") % 7 != 0)
+    return audit(
+        corrupted,
+        [
+            NotNull("o_custkey"),
+            InSet("o_orderstatus", ("O", "F", "P")),
+            Range("o_totalprice", lo=0.0),
+            Unique(("o_orderkey",)),
+        ],
+    ).unionByName(
+        audit(
+            lineitem,
+            [RefIntegrity("l_orderkey", parents, "o_orderkey")],
+        )
+    )
+
+
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance: the table arrives as two
     arbitrary append batches, each aggregated independently into

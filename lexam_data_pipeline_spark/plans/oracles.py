@@ -573,6 +573,38 @@ CORE_ORACLES: dict[str, str] = {
         SELECT 'part' AS side, p AS node, CAST(count(*) AS BIGINT) AS degree
         FROM e4 GROUP BY 2
     """,
+    # The oracle constructs the identical deterministic corruption and
+    # counts each violation class with plain SQL — exact-integer parity
+    # with the compiled multi-check audit.
+    "q_quality_audit": """
+        WITH corrupted AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+            UNION ALL
+            SELECT o_orderkey, NULL AS o_custkey, 'X' AS o_orderstatus,
+                   -o_totalprice AS o_totalprice
+            FROM orders WHERE o_orderkey % 97 = 0
+        ),
+        parents AS (
+            SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 7 != 0
+        )
+        SELECT 'not_null:o_custkey' AS check, CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS n_violations FROM corrupted
+        UNION ALL
+        SELECT 'in_set:o_orderstatus',
+               CAST(count(*) FILTER (o_orderstatus IS NOT NULL
+                    AND o_orderstatus NOT IN ('O','F','P')) AS BIGINT) FROM corrupted
+        UNION ALL
+        SELECT 'range:o_totalprice',
+               CAST(count(*) FILTER (o_totalprice IS NOT NULL AND o_totalprice < 0) AS BIGINT) FROM corrupted
+        UNION ALL
+        SELECT 'unique:o_orderkey',
+               CAST(coalesce(sum(n), 0) AS BIGINT)
+        FROM (SELECT count(*) AS n FROM corrupted GROUP BY o_orderkey HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'ref:l_orderkey->o_orderkey',
+               CAST(count(*) AS BIGINT)
+        FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM parents p WHERE p.o_orderkey = l.l_orderkey)
+    """,
     # The oracle aggregates from scratch — a hash-match PROVES the
     # engine's two-batch partial-aggregate merge is value-identical to
     # one-shot aggregation (exact decimal accumulators).
