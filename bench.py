@@ -102,6 +102,8 @@ def main() -> None:
         "q_incremental_agg",
         "q_knn_batch",
         "q_quality_audit",
+        "q_bitmap_distinct",
+        "q_events_variant",
     ):
         if extra in queries and extra not in names:
             names.append(extra)

@@ -1306,6 +1306,59 @@ def q_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct customers per order status via mergeable bitmap
+    aggregates (SURVEY §2.4 A4 at 100 TB): ``bitmap_construct_agg`` over
+    (status, key-bucket) builds one 4 KB bitmap per 32k-key range, then
+    ``bitmap_or_agg`` + ``bitmap_count`` merges buckets — exact, unlike
+    HLL, and the merge is associative so the heavy first level is
+    entirely map-side partial-aggregated.
+
+    This is THE warehouse pattern for exact COUNT(DISTINCT) at scale:
+    the shuffle carries a few bitmaps per group instead of every raw
+    key, and pre-computed per-partition bitmaps (e.g. stored per
+    ingest batch) merge incrementally — the count-distinct analog of
+    :mod:`operators.incremental`.  The oracle computes the same number
+    the boring way (``count(DISTINCT)``), proving exactness."""
+    orders = load_table(spark, sf_dir, "orders")
+    buckets = orders.groupBy(
+        "o_orderstatus",
+        F.bitmap_bucket_number(F.col("o_custkey")).alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position(F.col("o_custkey"))).alias(
+            "bm"
+        )
+    )
+    return buckets.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_distinct_custkeys")
+    )
+
+
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing on Spark 4's VariantType:
+    ``parse_json`` once into a variant, ``variant_get`` typed paths out
+    (SURVEY §2.8 S3/F ext; the modern engine-native path for open
+    schemas — no explicit struct schema, binary-encoded, predicate-
+    friendly — vs ``from_json`` in q_events_json_extract).
+
+    The rollup groups the extracted int by parity and aggregates it —
+    values, not just structure, cross the variant boundary, so the
+    oracle (DuckDB JSON extraction) verifies typed extraction exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 2 == 0).alias("k_even"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("total_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance: the table arrives as two
     arbitrary append batches, each aggregated independently into

@@ -573,6 +573,27 @@ CORE_ORACLES: dict[str, str] = {
         SELECT 'part' AS side, p AS node, CAST(count(*) AS BIGINT) AS degree
         FROM e4 GROUP BY 2
     """,
+    # The oracle computes the same number the boring way — proving the
+    # bitmap two-level merge is EXACT distinct counting, not a sketch.
+    "q_bitmap_distinct": """
+        SELECT o_orderstatus AS status,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_custkeys
+        FROM orders GROUP BY 1
+    """,
+    # DuckDB json_extract replicates the typed variant path extraction.
+    "q_events_variant": """
+        WITH e AS (
+            SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
+            FROM events
+        )
+        SELECT (k % 2 = 0) AS k_even, event_type,
+               count(*) AS n_events,
+               CAST(sum(k) AS BIGINT) AS total_k,
+               CAST(min(k) AS INT) AS min_k,
+               CAST(max(k) AS INT) AS max_k
+        FROM e WHERE k IS NOT NULL
+        GROUP BY 1, 2
+    """,
     # The oracle constructs the identical deterministic corruption and
     # counts each violation class with plain SQL — exact-integer parity
     # with the compiled multi-check audit.
