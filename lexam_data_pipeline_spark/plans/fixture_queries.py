@@ -1334,6 +1334,26 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct customers per status via Apache DataSketches
+    HLL (``hll_sketch_agg``) — the sketch sibling of
+    :func:`q_bitmap_distinct` for when 4 KB-per-32k-keys bitmaps are too
+    big (billions of keys): fixed ~1 KB sketches, mergeable with
+    ``hll_union_agg`` across partitions/batches/days.
+
+    Rows-only for the driver (DuckDB's HLL is a different
+    implementation, so estimates differ); the error bound IS pytest-
+    enforced instead (tests/test_scale_operators.py: within 3% of exact
+    at lgConfigK=14).  Deterministic for fixed input + lgConfigK —
+    hash-based, no RNG."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("o_custkey"), F.lit(14))
+        ).alias("approx_distinct_custkeys")
+    )
+
+
 def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured processing on Spark 4's VariantType:
     ``parse_json`` once into a variant, ``variant_get`` typed paths out

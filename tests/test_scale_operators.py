@@ -74,3 +74,26 @@ def test_approx_count_distinct_within_rsd(spark, sf_oracle):
         distinct_count("o_custkey", exact=False, rsd=0.02).alias("a"),
     ).collect()[0]
     assert abs(approx - exact) / exact < 0.06  # 3× rsd safety margin
+
+
+def test_hll_distinct_within_3pct_of_exact(spark, sf_oracle):
+    """q_hll_distinct's sketch estimate must land within 3% of the exact
+    per-status distinct count (lgConfigK=14 ≈ 0.8% RSE)."""
+    from lexam_data_pipeline_spark.plans.fixture_queries import q_hll_distinct
+    from lexam_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    est = {
+        r["status"]: r["approx_distinct_custkeys"]
+        for r in q_hll_distinct(spark, sf_oracle).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in load_table(spark, sf_oracle, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for s_, e in est.items():
+        assert abs(e - exact[s_]) / exact[s_] <= 0.03, (s_, e, exact[s_])
