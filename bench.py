@@ -104,6 +104,14 @@ def main() -> None:
         "q_quality_audit",
         "q_bitmap_distinct",
         "q_events_variant",
+        "q_bloom_decontaminate",
+        "q_zorder_layout",
+        "q_join_skew_salted",
+        "q_funnel_steps",
+        "q_retention_cohorts",
+        "q_containment_dedup",
+        "q_sample_weighted",
+        "q_embedding_quantize",
     ):
         if extra in queries and extra not in names:
             names.append(extra)

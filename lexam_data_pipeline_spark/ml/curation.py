@@ -613,3 +613,64 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(word_count(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    key: Column,
+    k: int,
+    salt: str = "ws1",
+) -> DataFrame:
+    """Deterministic weighted top-k sample WITHOUT floating point.
+
+    A-Res weighted reservoir sampling ranks items by ``u^(1/w)`` — but
+    ``ln``/``pow`` are libm calls whose last-ulp behavior differs across
+    engines, which would poison cross-engine reproducibility.  This uses
+    the exact integer-only equivalent: the max of ``w`` iid uniform
+    hashes is distributed as ``u^(1/w)``, so each row's priority is
+    ``max over i<w of md5(salt:key:i)`` — pure string/hash ops, identical
+    everywhere, and items with weight ``w`` win proportionally more.
+
+    Cost: explode factor = E[w] (the weight budget), then a map-side-
+    combinable max per key and an exact top-k (TakeOrderedAndProject).
+    Integer weights only; clamp upstream.
+    """
+    w = weight.cast("int").alias("w")
+    keyed = df.select(key.alias("__k"), w)
+    h = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(f"{salt}:"),
+                F.col("__k").cast("string"),
+                F.lit(":"),
+                F.col("__i").cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    return (
+        keyed.withColumn("__i", F.explode(F.sequence(F.lit(0), F.col("w") - 1)))
+        .withColumn("__h", h)
+        .groupBy("__k", "w")
+        .agg(F.max("__h").alias("priority"))
+        .orderBy(F.desc("priority"), F.asc("__k"))
+        .limit(k)
+    )
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 weighted document sample, weight = 1 + n_chars % 8 (a
+    deterministic stand-in for a quality score).  Longer-weighted docs
+    are proportionally likelier — asserted distributionally in pytest —
+    while the oracle reproduces the exact selection via the identical
+    md5 replication trick."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs,
+        weight=F.lit(1) + F.pmod(F.col("n_chars"), F.lit(8)),
+        key=F.col("doc_id"),
+        k=50,
+    )
+    return out.select(F.col("__k").alias("doc_id"), "w", "priority")

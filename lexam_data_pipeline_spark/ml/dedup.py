@@ -728,3 +728,43 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted exact/near duplicates lose their repeated spans to the
     earliest copy."""
     return segment_dedup_stats(load_table(spark, sf_dir, "documents"), seg_len=8)
+
+
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-dup pairs by exact 3-gram CONTAINMENT ≥ 0.8:
+    ``|A∩B| / |A|`` — the asymmetric complement of Jaccard
+    (:func:`q_dedup_ngram_jaccard`), which is what catches a short doc
+    embedded inside a longer one (quote farms, boilerplate wrappers)
+    that symmetric Jaccard misses because the union is large.
+
+    Same inverted-index shape and ``MAX_DF`` skew cap as the Jaccard
+    operator (window counts, 2 shuffles); the threshold compares exact
+    integers (``5*common >= 4*|A|``) so the score is engine-portable.
+    The oracle applies the identical cap and threshold."""
+    from pyspark.sql import Window
+
+    max_df = 50
+    docs = load_table(spark, sf_dir, "documents")
+    ex = (
+        _doc_shingles(docs)
+        .withColumn("df", F.count("*").over(Window.partitionBy("s")))
+        .filter(F.col("df") <= max_df)
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+        .select("doc_id", "s", "n_sh")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.n_sh").alias("na"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    return pairs.filter(F.col("common") * 5 >= F.col("na") * 4).select(
+        "doc_id_a",
+        "doc_id_b",
+        F.round(F.col("common") / F.col("na"), 4).alias("containment"),
+    )

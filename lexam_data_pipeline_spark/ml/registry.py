@@ -10,6 +10,7 @@ rows-only — the driver records the weaker check and the judge sees which.
 from __future__ import annotations
 
 from lexam_data_pipeline_spark.ml.dedup import (
+    q_containment_dedup,
     q_dedup_clusters,
     q_dedup_clusters_two_phase,
     q_dedup_embedding,
@@ -21,9 +22,11 @@ from lexam_data_pipeline_spark.ml.dedup import (
     q_minhash_lsh_pairs,
     q_simhash_buckets,
 )
+from lexam_data_pipeline_spark.ml.bloom import q_bloom_decontaminate
 from lexam_data_pipeline_spark.ml.decontam import q_decontaminate_docs
 from lexam_data_pipeline_spark.ml.curation import (
     q_chunk_overlap,
+    q_sample_weighted,
     q_curation_pipeline,
     q_pack_sequences,
     q_mix_sources_balanced,
@@ -38,6 +41,7 @@ from lexam_data_pipeline_spark.ml.curation import (
 from lexam_data_pipeline_spark.ml.ivf import q_knn_ivf
 from lexam_data_pipeline_spark.ml.pq import q_knn_ivfpq
 from lexam_data_pipeline_spark.ml.multimodal import q_multimodal_features
+from lexam_data_pipeline_spark.ml.quantize import q_embedding_quantize
 from lexam_data_pipeline_spark.ml.similarity import (
     q_knn_batch,
     q_knn_bruteforce,
@@ -62,6 +66,7 @@ ML_QUERIES = {
     "q_dedup_embedding": q_dedup_embedding,
     "q_dedup_embedding_blocked": q_dedup_embedding_blocked,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_containment_dedup": q_containment_dedup,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash_buckets": q_simhash_buckets,
     "q_knn_bruteforce": q_knn_bruteforce,
@@ -77,12 +82,15 @@ ML_QUERIES = {
     "q_lang_id": q_lang_id,
     "q_multimodal_features": q_multimodal_features,
     "q_sample_bernoulli": q_sample_bernoulli,
+    "q_sample_weighted": q_sample_weighted,
+    "q_embedding_quantize": q_embedding_quantize,
     "q_sample_stratified": q_sample_stratified,
     "q_pii_redact_stats": q_pii_redact_stats,
     "q_url_dedup": q_url_dedup,
     "q_curation_pipeline": q_curation_pipeline,
     "q_mix_sources_balanced": q_mix_sources_balanced,
     "q_decontaminate_docs": q_decontaminate_docs,
+    "q_bloom_decontaminate": q_bloom_decontaminate,
     "q_pack_sequences": q_pack_sequences,
     "q_repetition_stats": q_repetition_stats,
     "q_dedup_segments": q_dedup_segments,
@@ -496,6 +504,32 @@ ML_ORACLES["q_curation_pipeline"] = r"""
 #: mirrors decontam.q_decontaminate_docs: 4-gram shingles (clamped to one
 #: whole-text shingle for <4-word docs, same as _SHINGLES), benchmark =
 #: every 10th doc, count distinct shared grams + distinct bench docs hit.
+#: exact SQL for the BLOOM-prefiltered sweep (ml/bloom.py, %7 split,
+#: 5-grams): the oracle knows nothing about the sketch — a hash-match
+#: proves the prefilter+confirm composite is output-identical to exact
+#: decontamination.
+ML_ORACLES["q_bloom_decontaminate"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 4, 1)),
+                   i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        FROM toks
+    ), bench AS (
+        SELECT DISTINCT doc_id AS bench_id, gram FROM g WHERE doc_id % 7 = 0
+    ), corpus AS (
+        SELECT doc_id, gram FROM g WHERE doc_id % 7 <> 0
+    )
+    SELECT c.doc_id,
+           count(DISTINCT c.gram) AS n_hit_grams,
+           count(DISTINCT b.bench_id) AS n_bench_docs
+    FROM corpus c JOIN bench b USING (gram)
+    GROUP BY c.doc_id
+"""
+
 ML_ORACLES["q_decontaminate_docs"] = r"""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -724,4 +758,82 @@ ML_ORACLES["q_pretrain_pipeline"] = r"""
     FROM kept JOIN rates USING (source)
     WHERE substr(md5(concat('tmix', CAST(kept.doc_id AS VARCHAR))), 1, 8) < rates.thresh
     GROUP BY 1
+"""
+
+#: containment is directional, so the self-join keeps BOTH orders
+#: (a != b) and divides by the left side's rare-shingle vocabulary;
+#: identical MAX_DF cap and integer threshold as the engine.
+ML_ORACLES["q_containment_dedup"] = f"""
+    WITH sh AS ({_SHINGLES}),
+    ex_all AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ),
+    rare AS (
+        SELECT s FROM ex_all GROUP BY s HAVING count(*) <= 50
+    ),
+    ex_rare AS (
+        SELECT doc_id, ex_all.s AS s FROM ex_all JOIN rare USING (s)
+    ),
+    ex AS (
+        SELECT doc_id, s,
+               count(*) OVER (PARTITION BY doc_id) AS n_sh
+        FROM ex_rare
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               a.n_sh AS na, count(*) AS common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT doc_id_a, doc_id_b, round(common / na, 4) AS containment
+    FROM pairs WHERE common * 5 >= na * 4
+"""
+
+#: the md5-replication weighted sample is pure string/hash/integer work,
+#: so the oracle reproduces the EXACT selection (not just its size).
+ML_ORACLES["q_sample_weighted"] = """
+    WITH w AS (
+        SELECT doc_id, CAST(1 + doc_id_w AS INT) AS w FROM (
+            SELECT doc_id, n_chars % 8 AS doc_id_w FROM documents
+        )
+    ),
+    e AS (
+        SELECT doc_id, w, unnest(generate_series(0, w - 1)) AS i FROM w
+    ),
+    h AS (
+        SELECT doc_id, w,
+               substr(md5('ws1:' || CAST(doc_id AS VARCHAR) || ':'
+                          || CAST(i AS VARCHAR)), 1, 8) AS hh
+        FROM e
+    )
+    SELECT doc_id, w, max(hh) AS priority
+    FROM h GROUP BY 1, 2
+    ORDER BY priority DESC, doc_id ASC
+    LIMIT 50
+"""
+
+#: int8 floor-quantization: everything after the per-vector scale is
+#: integer arithmetic — exact across engines.
+ML_ORACLES["q_embedding_quantize"] = """
+    WITH n AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        FROM n
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(e, x -> CAST(floor(x / scale) AS INT)) AS qv
+        FROM s WHERE scale > 0
+    )
+    SELECT vec_id,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv,
+                x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS q_norm2,
+           CAST(list_max(qv) AS INT) AS q_max,
+           CAST(list_min(qv) AS INT) AS q_min
+    FROM q
 """

@@ -1411,3 +1411,157 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_price"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3: layout / skew joins / event analytics  (SURVEY §2 extensions)
+# --------------------------------------------------------------------------
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two order dimensions, rolled
+    up per 256-key Z-cell (:mod:`operators.layout`; SURVEY sink/S6 ext).
+
+    The key interleaves bits of a bounded customer bucket and a bounded
+    price bucket, so sorting by it co-locates rows that are close in
+    BOTH dimensions — the layout that makes parquet min/max stats prune
+    multi-dimensional filters at 100 TB.  Pure integer bit arithmetic in
+    codegen; the oracle regenerates the identical interleave in SQL, so
+    every key (not a sample) is verified exactly."""
+    from lexam_data_pipeline_spark.operators.layout import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(256))
+    y = F.least(F.floor(F.col("o_totalprice") / 2000), F.lit(255)).cast("bigint")
+    z = zorder_key(x, y, bits=8)
+    return (
+        orders.withColumn("zkey", z)
+        .groupBy(F.shiftright(F.col("zkey"), 8).alias("zcell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("zkey").alias("min_zkey"),
+            F.max("zkey").alias("max_zkey"),
+            _dec_sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted fact-to-fact join (:mod:`operators.skew`;
+    SURVEY §2.3 at 100 TB): lineitem ⋈ orders on the order key with the
+    fact side salted 8 ways and the other side replicated per salt, then
+    revenue per order status.
+
+    When one join key carries a disproportionate share of rows (a viral
+    document, a null-ish default key), an unsalted shuffle join puts the
+    whole hot key in ONE task; salting fans it out to ``n_salts`` tasks
+    at the cost of replicating the smaller side's matching rows.  The
+    oracle is the plain join — identical output proves salting is a pure
+    physical rewrite.  (AQE skew-join handles moderate skew at runtime;
+    explicit salting is the deterministic fallback for pathological
+    keys.)"""
+    from lexam_data_pipeline_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = salted_join(
+        li,
+        orders,
+        "l_orderkey",
+        # salt from the fact row's unique line number: rows of ONE hot
+        # order key spread across all 8 salt partitions
+        salt_source=F.col("l_linenumber"),
+        n_salts=8,
+    )
+    return joined.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dec_sum("l_extendedprice").alias("revenue"),
+    )
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel view → click → purchase (product-analytics
+    staple; SURVEY §2.9 ST analog in batch).
+
+    One shuffle total: events group by user into a sorted (ts, type)
+    array, then each step's earliest qualifying timestamp is an array
+    reduction — step N must be strictly AFTER step N-1.  At 100 TB the
+    per-user array is bounded by per-user activity (the same bound
+    sessionization needs), and the rollup to one row is a tree
+    aggregation over user flags.  Exact integers; the oracle does the
+    same with three correlated min-scans."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_type").alias("et")))
+            ).alias("evs")
+        )
+    )
+    t1 = F.array_min(
+        F.transform(
+            F.filter("evs", lambda e: e["et"] == F.lit("view")), lambda e: e["ts"]
+        )
+    )
+    per_user = per_user.withColumn("t1", t1)
+    t2 = F.array_min(
+        F.transform(
+            F.filter(
+                "evs",
+                lambda e: (e["et"] == F.lit("click")) & (e["ts"] > F.col("t1")),
+            ),
+            lambda e: e["ts"],
+        )
+    )
+    per_user = per_user.withColumn("t2", t2)
+    t3 = F.array_min(
+        F.transform(
+            F.filter(
+                "evs",
+                lambda e: (e["et"] == F.lit("purchase")) & (e["ts"] > F.col("t2")),
+            ),
+            lambda e: e["ts"],
+        )
+    )
+    per_user = per_user.withColumn("t3", t3)
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_step_view"),
+        F.count("t2").alias("n_step_click"),
+        F.count("t3").alias("n_step_purchase"),
+        F.round(F.count("t2") / F.count("t1"), 4).alias("conv_view_click"),
+        F.round(F.count("t3") / F.count("t2"), 4).alias("conv_click_purchase"),
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (SURVEY §2.9 ST analog in batch): users
+    cohorted by the Monday-truncated week of their FIRST event; for each
+    (cohort week, whole weeks since cohort) cell, how many distinct
+    users were active.
+
+    Two shuffles (first-event min per user, then distinct cell count) —
+    both map-side combinable.  Offsets are exact integer day arithmetic,
+    so the oracle matches bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohorted = ev.join(first, "user_id").select(
+        "user_id",
+        F.date_format(F.date_trunc("week", F.col("first_ts")), "yyyy-MM-dd").alias(
+            "cohort_week"
+        ),
+        F.floor(
+            F.datediff(
+                F.to_date(F.col("ts")),
+                F.to_date(F.date_trunc("week", F.col("first_ts"))),
+            )
+            / 7
+        ).alias("week_offset"),
+    )
+    return cohorted.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active_users")
+    )

@@ -652,3 +652,79 @@ CORE_ORACLES: dict[str, str] = {
         FROM per
     """,
 }
+
+
+# -- round 3: layout / skew / event-analytics oracles ----------------------
+
+from lexam_data_pipeline_spark.operators.layout import zorder_key_sql  # noqa: E402
+
+_ZKEY = zorder_key_sql("x", "y", bits=8)
+
+# The oracle regenerates the IDENTICAL Morton bit-interleave in SQL
+# (operators/layout.zorder_key_sql — same term order), so every zkey is
+# integer-exact on both engines.
+CORE_ORACLES["q_zorder_layout"] = f"""
+    WITH d AS (
+        SELECT o_totalprice,
+               o_custkey % 256 AS x,
+               CAST(least(floor(o_totalprice / 2000), 255) AS BIGINT) AS y
+        FROM orders
+    ),
+    z AS (SELECT o_totalprice, {_ZKEY} AS zkey FROM d)
+    SELECT zkey >> 8 AS zcell,
+           count(*) AS n_orders,
+           min(zkey) AS min_zkey,
+           max(zkey) AS max_zkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM z GROUP BY 1
+"""
+
+# Plain join — identical output proves the salted rewrite is physical-only.
+CORE_ORACLES["q_join_skew_salted"] = """
+    SELECT o_orderstatus AS status,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+"""
+
+# Three correlated min-scans; each step strictly after the previous.
+CORE_ORACLES["q_funnel_steps"] = """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+    )
+    SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT count(*) FROM s1) AS n_step_view,
+           (SELECT count(*) FROM s2) AS n_step_click,
+           (SELECT count(*) FROM s3) AS n_step_purchase,
+           round(CAST((SELECT count(*) FROM s2) AS DOUBLE)
+                 / (SELECT count(*) FROM s1), 4) AS conv_view_click,
+           round(CAST((SELECT count(*) FROM s3) AS DOUBLE)
+                 / (SELECT count(*) FROM s2), 4) AS conv_click_purchase
+"""
+
+# Monday-truncated cohort weeks; whole-week offsets are exact integer
+# day arithmetic on both engines.
+CORE_ORACLES["q_retention_cohorts"] = """
+    WITH f AS (
+        SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+    )
+    SELECT strftime(date_trunc('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
+           CAST(floor(date_diff('day',
+                                CAST(date_trunc('week', f.first_ts) AS DATE),
+                                CAST(e.ts AS DATE)) / 7) AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS n_active_users
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+"""

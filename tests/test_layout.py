@@ -1,0 +1,113 @@
+"""Z-order layout (operators/layout.py): key correctness and the
+scan-pruning property of the clustered write."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+
+from lexam_data_pipeline_spark.operators.layout import zorder_key, zorder_write
+
+
+def _morton_py(x: int, y: int, bits: int = 8) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_reference_bit_interleave(spark):
+    rows = spark.range(500).select(
+        (F.col("id") * 7 % 256).alias("x"), (F.col("id") * 13 % 256).alias("y")
+    )
+    got = rows.withColumn("z", zorder_key(F.col("x"), F.col("y"))).collect()
+    for r in got:
+        assert r["z"] == _morton_py(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_locality_beats_row_order(spark):
+    """Sorting by the Morton key must cluster BOTH dimensions: within
+    each quarter of the sorted order, the x- and y-spreads should be
+    far below the full range (the property min/max pruning relies on)."""
+    import random
+
+    rnd = random.Random(7)
+    data = [(rnd.randrange(256), rnd.randrange(256)) for _ in range(4000)]
+    df = spark.createDataFrame(data, "x: int, y: int")
+    rows = (
+        df.withColumn("z", zorder_key(F.col("x"), F.col("y")))
+        .orderBy("z")
+        .collect()
+    )
+    n_chunks = 16
+    size = len(rows) // n_chunks
+    areas = []
+    for ci in range(n_chunks):
+        chunk = rows[ci * size : (ci + 1) * size]
+        xs = [r["x"] for r in chunk]
+        ys = [r["y"] for r in chunk]
+        areas.append((max(xs) - min(xs)) * (max(ys) - min(ys)))
+    # a 1/16 Z-curve chunk covers ~a 64x64 cell (possibly straddling a
+    # boundary on ONE axis); an unclustered layout covers ~255*255 per
+    # chunk.  Mean bounding-box area is the robust discriminator.
+    mean_area = sum(areas) / len(areas)
+    assert mean_area < 25000, mean_area
+
+
+def test_zorder_write_produces_disjoint_file_ranges(spark, tmp_path):
+    df = spark.range(2000).select(
+        (F.col("id") % 251).alias("x"), ((F.col("id") * 17) % 249).alias("y")
+    )
+    path = str(tmp_path / "zordered")
+    zorder_write(df, F.col("x"), F.col("y"), path, n_files=4)
+    files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        part = spark.read.parquet(f).withColumn(
+            "z", zorder_key(F.col("x"), F.col("y"))
+        )
+        row = part.agg(F.min("z").alias("lo"), F.max("z").alias("hi")).collect()[0]
+        ranges.append((row["lo"], row["hi"]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "repartitionByRange must give disjoint zkey ranges"
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Distributional check on ml/curation.weighted_sample: items with
+    weight 8 must be selected ~8x as often as weight 1 (binomial slack
+    allowed) — catches a priority formula that ignores the weight."""
+    from lexam_data_pipeline_spark.ml.curation import weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id"), (1 + (F.col("id") % 2) * 7).cast("int").alias("w")
+    )
+    out = weighted_sample(df, F.col("w"), F.col("id"), k=400).collect()
+    heavy = sum(1 for r in out if r["w"] == 8)
+    light = 400 - heavy
+    # expected split ~ 8:1 → ~356 heavy; require at least 5:1
+    assert heavy > light * 5, (heavy, light)
+
+
+def test_quantize_reconstruction_error_bounded(spark, sf_oracle):
+    """|x - q*scale| < scale for every component (floor quantization),
+    i.e. int8 reconstruction is within one quantization step."""
+    from lexam_data_pipeline_spark.catalog import load_table
+    from lexam_data_pipeline_spark.ml.quantize import quantize_embeddings
+
+    emb = load_table(spark, sf_oracle, "embeddings").limit(50)
+    qd = quantize_embeddings(emb)
+    err = qd.select(
+        F.array_max(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.transform("qvec", lambda q: q.cast("double") * F.col("scale")),
+                lambda x, r: F.abs(x - r) / F.col("scale"),
+            )
+        ).alias("steps")
+    ).agg(F.max("steps")).collect()[0][0]
+    assert err < 1.0 + 1e-9, err
