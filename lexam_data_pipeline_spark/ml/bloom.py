@@ -21,11 +21,12 @@ Construction is a pure aggregation (no driver-side hashing):
 2. positions group by 64-bit word index with a ``bit_or`` of the set
    bit — a map-side-combinable aggregate, so at cluster scale each
    executor ships at most ``m/64`` partial words;
-3. the ≤ ``m/64`` words collect to the driver (control-plane, O(m/64) —
-   the same budget class as IVF centroids) and broadcast back as ONE
-   array<bigint> literal.
+3. the ≤ ``m/64`` (w, word) rows stay a DataFrame and broadcast straight
+   into the probe joins — the filter never visits the driver.
 
-The probe is ``k`` element_at + bitwise-AND terms — no join, no UDF.
+The probe is ``k`` broadcast equi-joins on the word index with the bit
+test as a join residual — no UDF, no big array in any row (see
+``bloom_filter`` for why an array-literal probe is a trap).
 
 Reference: the reference engine has no sketch surface; this extends
 SURVEY.md's north-star curation tier (decontamination:
@@ -68,8 +69,24 @@ def bloom_build(
     exact-distinct bitmap aggregate (operators/approx.py).
     """
     n_words = m_bits // 64
+    rows = bloom_build_df(keys, key_col, m_bits, k).collect()
+    arr = [0] * n_words
+    for row in rows:
+        arr[row["w"]] = row["word"]
+    return arr
+
+
+def bloom_build_df(
+    keys: DataFrame, key_col: str, m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K
+) -> DataFrame:
+    """The filter as a (w, word) DataFrame — at most ``m_bits/64`` rows,
+    absent rows meaning all-zero words.  Staying distributed end to end
+    (build aggregate → broadcast probe join) avoids any driver
+    round-trip; at cluster scale the filter never leaves the executors
+    except as one broadcast.
+    """
     pos = F.explode(F.array(*_bit_positions(F.col(key_col), m_bits, k))).alias("pos")
-    words = (
+    return (
         keys.select(pos)
         .select(
             (F.col("pos") / 64).cast("int").alias("w"),
@@ -77,28 +94,18 @@ def bloom_build(
         )
         .groupBy("w")
         .agg(F.expr("bit_or(m)").alias("word"))
-        .collect()
     )
-    arr = [0] * n_words
-    for row in words:
-        arr[row["w"]] = row["word"]
-    return arr
 
 
 def bloom_maybe_contains(
-    key: Column, bloom: list[int], m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K
+    key: Column, words: Column, m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K
 ) -> Column:
-    """True iff all ``k`` bits of ``key`` are set — i.e. "possibly in the
-    set" (false positives at the design fpp, never false negatives).
-
-    ``F.lit(bloom)`` embeds the words as ONE array literal node (not
-    ``m/64`` expressions), so the plan stays small and the probe is k
-    constant-time lookups inside codegen.
-    """
-    lit_words = F.lit(bloom)
+    """True iff all ``k`` bits of ``key`` are set in the ``words``
+    array<bigint> column — i.e. "possibly in the set" (false positives
+    at the design fpp, never false negatives)."""
     terms = []
     for pos in _bit_positions(key, m_bits, k):
-        word = F.element_at(lit_words, (pos / 64).cast("int") + 1)
+        word = F.element_at(words, (pos / 64).cast("int") + 1)
         # shiftleft's Python wrapper only takes an int bit count; the SQL
         # function accepts a column — call it directly.
         mask = F.call_function(
@@ -106,6 +113,52 @@ def bloom_maybe_contains(
         )
         terms.append(word.bitwiseAND(mask) != 0)
     return reduce(lambda a, b: a & b, terms)
+
+
+def bloom_filter(
+    df: DataFrame,
+    key: Column,
+    bloom: DataFrame | list[int],
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Keep only rows whose ``key`` is possibly in the filter — as ``k``
+    chained BROADCAST equi-joins against the (w, word) filter relation.
+
+    Why joins and not an array lookup: shipping the whole filter as an
+    array literal re-converts m/64 elements per evaluation, and a one-row
+    cross join materializes the 32 KB array into EVERY probe row whenever
+    any interpreted expression upstream (e.g. a higher-order shingle
+    transform) breaks whole-stage codegen — measured 4-10x degradation
+    mid-session.  A broadcast hash join keyed on the 4-byte word index
+    touches one 16-byte build row per probe, never copies the filter, and
+    keeps the bit test (``word & mask != 0``) as a join residual.  An
+    absent word index means an all-zero word — the inner join drops those
+    probes, which is exactly the Bloom "bit not set" verdict.  No
+    shuffle; the build side is at most m/64 rows regardless of key count.
+    """
+    if isinstance(bloom, list):
+        words = df.sparkSession.createDataFrame(
+            [(i, w) for i, w in enumerate(bloom) if w != 0], "w: int, word: bigint"
+        )
+    else:
+        words = bloom
+    out = df.withColumn("__bkey", key)
+    for i in range(k):
+        w_i = words.select(
+            F.col("w").alias(f"__wi{i}"), F.col("word").alias(f"__wv{i}")
+        )
+        pos = F.pmod(F.xxhash64(F.col("__bkey"), F.lit(i)), F.lit(m_bits))
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), F.pmod(pos, F.lit(64)).cast("int")
+        )
+        out = out.join(
+            F.broadcast(w_i),
+            ((pos / 64).cast("int") == F.col(f"__wi{i}"))
+            & (F.col(f"__wv{i}").bitwiseAND(mask) != 0),
+            "inner",
+        ).drop(f"__wi{i}", f"__wv{i}")
+    return out.drop("__bkey")
 
 
 def bloom_prefilter_decontaminate(
@@ -133,11 +186,21 @@ def bloom_prefilter_decontaminate(
             .drop("__toks", text_col)
         )
 
-    bench_grams = grams(benchmark, F.col(id_col).alias("bench_id")).distinct()
-    bloom = bloom_build(bench_grams.select("gram").distinct(), "gram", m_bits, k)
-    candidates = grams(corpus, F.col(id_col)).where(
-        bloom_maybe_contains(F.col("gram"), bloom, m_bits, k)
+    from lexam_data_pipeline_spark.operators.caching import persist_slot
+
+    # The bench gram set feeds TWO consumers — the bloom build aggregate
+    # and the exact confirm join — so persist it once (it is the small
+    # side by design; re-shingling the benchmark per consumer doubles
+    # the only non-corpus work in the operator).
+    bench_grams = persist_slot(
+        grams(benchmark, F.col(id_col).alias("bench_id")).distinct(),
+        "bloom.bench_grams",
     )
+    bloom = persist_slot(
+        bloom_build_df(bench_grams.select("gram").distinct(), "gram", m_bits, k),
+        "bloom.words",
+    )
+    candidates = bloom_filter(grams(corpus, F.col(id_col)), F.col("gram"), bloom, m_bits, k)
     return (
         candidates.join(F.broadcast(bench_grams), "gram")
         .groupBy(id_col)

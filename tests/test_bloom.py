@@ -17,7 +17,7 @@ import pytest
 from lexam_data_pipeline_spark.catalog import load_table
 from lexam_data_pipeline_spark.ml.bloom import (
     bloom_build,
-    bloom_maybe_contains,
+    bloom_filter,
     q_bloom_decontaminate,
 )
 from lexam_data_pipeline_spark.ml.decontam import decontaminate
@@ -37,15 +37,15 @@ def test_no_false_negatives(spark, keyed):
     members, _ = keyed
     m_bits, k = 1 << 14, 3
     bloom = bloom_build(members, "k", m_bits, k)
-    missed = members.where(~bloom_maybe_contains(F.col("k"), bloom, m_bits, k)).count()
-    assert missed == 0
+    kept = bloom_filter(members, F.col("k"), bloom, m_bits, k).count()
+    assert kept == members.count()
 
 
 def test_false_positive_rate_near_design(spark, keyed):
     members, probes = keyed
     m_bits, k = 1 << 14, 3  # n=2000, m=16384 -> theoretical fpp ~ 2.4%
     bloom = bloom_build(members, "k", m_bits, k)
-    fp = probes.where(bloom_maybe_contains(F.col("k"), bloom, m_bits, k)).count()
+    fp = bloom_filter(probes, F.col("k"), bloom, m_bits, k).count()
     rate = fp / 20000
     assert 0.0 < rate < 0.08, rate  # >0 proves probes actually test bits
 
