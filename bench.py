@@ -112,6 +112,9 @@ def main() -> None:
         "q_containment_dedup",
         "q_sample_weighted",
         "q_embedding_quantize",
+        "q_heavy_hitters",
+        "q_ab_test",
+        "q_approx_quantiles",
     ):
         if extra in queries and extra not in names:
             names.append(extra)

@@ -23,6 +23,7 @@ from lexam_data_pipeline_spark.ml.dedup import (
     q_simhash_buckets,
 )
 from lexam_data_pipeline_spark.ml.bloom import q_bloom_decontaminate
+from lexam_data_pipeline_spark.ml.cms import q_heavy_hitters
 from lexam_data_pipeline_spark.ml.decontam import q_decontaminate_docs
 from lexam_data_pipeline_spark.ml.curation import (
     q_chunk_overlap,
@@ -91,6 +92,7 @@ ML_QUERIES = {
     "q_mix_sources_balanced": q_mix_sources_balanced,
     "q_decontaminate_docs": q_decontaminate_docs,
     "q_bloom_decontaminate": q_bloom_decontaminate,
+    "q_heavy_hitters": q_heavy_hitters,
     "q_pack_sequences": q_pack_sequences,
     "q_repetition_stats": q_repetition_stats,
     "q_dedup_segments": q_dedup_segments,
@@ -836,4 +838,20 @@ ML_ORACLES["q_embedding_quantize"] = """
            CAST(list_max(qv) AS INT) AS q_max,
            CAST(list_min(qv) AS INT) AS q_min
     FROM q
+"""
+
+#: the oracle computes heavy hitters the expensive way (full GROUP BY
+#: over every token occurrence) — hash-match proves the CMS prefilter +
+#: exact confirm path is output-invariant.
+ML_ORACLES["q_heavy_hitters"] = r"""
+    WITH occ AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ),
+    occ_nz AS (SELECT token FROM occ WHERE len(token) > 0),
+    t AS (SELECT greatest(CAST(floor(count(*) * 0.002) AS BIGINT), 2) AS thr
+          FROM occ_nz)
+    SELECT token, count(*) AS n_occurrences
+    FROM occ_nz GROUP BY 1
+    HAVING count(*) >= (SELECT thr FROM t)
 """

@@ -1565,3 +1565,75 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohorted.groupBy("cohort_week", "week_offset").agg(
         F.countDistinct("user_id").alias("n_active_users")
     )
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test over the events stream (SURVEY §2.4 A12
+    ext.): users split by ``user_id % 2``, conversion = "ever purchased",
+    pooled two-proportion z-score.
+
+    One shuffle (per-user rollup), then a scalar reduction.  Counts are
+    exact integers; the z formula is written symbol-for-symbol the same
+    as the oracle so every double op is IEEE-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    # "converted" = at least 14 purchases — the fixture's per-user
+    # purchase count is ~Poisson(13.3) at every SF, so this splits users
+    # near the median and keeps both rates strictly inside (0, 1) (an
+    # any-purchase definition saturates at 1.0 and the pooled-variance z
+    # denominator hits exact zero).
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    grp = per_user.groupBy(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    a = grp.where(F.col("grp") == "A").select(
+        F.col("n_users").alias("n_a"), F.col("n_converted").alias("c_a")
+    )
+    b = grp.where(F.col("grp") == "B").select(
+        F.col("n_users").alias("n_b"), F.col("n_converted").alias("c_b")
+    )
+    j = a.crossJoin(b)
+    p_a = F.col("c_a") / F.col("n_a")
+    p_b = F.col("c_b") / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    z = (p_a - p_b) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return j.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(p_a, 4).alias("rate_a"),
+        F.round(p_b, 4).alias("rate_b"),
+        F.round(z, 4).alias("z_score"),
+    )
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group quantiles via ``percentile_approx`` (the
+    documented 100 TB switch for q_agg_stats' exact median — SURVEY
+    §2.4 A7): Greenwald-Khanna summaries are mergeable, so the heavy
+    level is map-side partial and the shuffle carries fixed-size
+    summaries, not values.
+
+    Rows-only for the driver (DuckDB's approx algorithm differs); the
+    error bound is pytest-enforced against the exact percentiles
+    instead (tests/test_scale_operators.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
+    )
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(q[0], 2).alias("p25"),
+        F.round(q[1], 2).alias("p50"),
+        F.round(q[2], 2).alias("p75"),
+    )

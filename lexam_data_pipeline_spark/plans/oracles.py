@@ -728,3 +728,30 @@ CORE_ORACLES["q_retention_cohorts"] = """
     FROM events e JOIN f ON e.user_id = f.user_id
     GROUP BY 1, 2
 """
+
+# z written symbol-for-symbol as the Spark plan: identical double ops in
+# identical order → bit-identical, round(…,4) on top.
+CORE_ORACLES["q_ab_test"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                    AS INT) AS converted
+        FROM events GROUP BY 1
+    ),
+    grp AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+               count(*) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_converted
+        FROM per_user GROUP BY 1
+    ),
+    a AS (SELECT n_users AS n_a, n_converted AS c_a FROM grp WHERE grp = 'A'),
+    b AS (SELECT n_users AS n_b, n_converted AS c_b FROM grp WHERE grp = 'B')
+    SELECT n_a, c_a, n_b, c_b,
+           round(c_a / n_a, 4) AS rate_a,
+           round(c_b / n_b, 4) AS rate_b,
+           round((c_a / n_a - c_b / n_b)
+                 / sqrt(((c_a + c_b) / (n_a + n_b))
+                        * (1.0 - (c_a + c_b) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score
+    FROM a, b
+"""
