@@ -115,6 +115,13 @@ def main() -> None:
         "q_heavy_hitters",
         "q_ab_test",
         "q_approx_quantiles",
+        "q_bm25_topk",
+        "q_hybrid_rrf",
+        "q_outlier_mad",
+        "q_winsorized_stats",
+        "q_time_decay",
+        "q_char_class_stats",
+        "q_pagerank",
     ):
         if extra in queries and extra not in names:
             names.append(extra)

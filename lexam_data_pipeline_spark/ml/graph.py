@@ -1,0 +1,103 @@
+"""Iterative graph analytics: PageRank over the order co-purchase graph.
+
+Completes the engine's graph-operator family (connected components in
+``ml/dedup.py``, k-core pruning in ``plans/fixture_queries.q_kcore_prune``)
+with the canonical *weighted-propagation* iteration — the pattern behind
+PageRank, label propagation, and belief-style score spreading used to
+rank sources/domains during corpus curation (e.g. "quality flows from
+curated seed domains").
+
+Graph: bipartite customer↔supplier from ``orders ⋈ lineitem``
+(customer bought from supplier), symmetrized so every node with an edge
+has out-degree ≥ 1 (no dangling-mass correction needed — any mass loss
+would otherwise need the standard redistribution term).
+
+Scale shape: each iteration is ONE shuffle — ``ranks ⋈ edges`` on src
+(edges pre-partitioned by src and cached, so only the small rank table
+moves) then ``groupBy(dst)`` with map-side partial sums.  Rank state is
+2 columns × |V| — it fits executor memory at any corpus size that fits
+the cluster.  Iteration count is fixed (power iteration converges
+geometrically; 3 rounds is plenty for top-k ordering here).
+
+Float summation order across partitions is nondeterministic, so this is
+declared **rows-only** for the driver; ``tests/test_graph.py`` is the
+real oracle — an independent numpy power iteration must agree to 1e-9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lexam_data_pipeline_spark.catalog import load_table
+
+DAMPING = 0.85
+N_ITER = 3
+
+
+def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -> DataFrame:
+    """PageRank over directed ``(src, dst)`` edges; returns ``node, rank``.
+
+    Nodes = every src or dst.  Nodes without out-edges contribute no
+    mass (callers wanting the classic dangling redistribution should
+    symmetrize, as :func:`q_pagerank` does).
+    """
+    edges = edges.select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # out-degree rides along with each edge: one small join, cached once
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges_w = edges.join(out_deg, "src").persist()
+    n_nodes = nodes.count()  # O(1) driver scalar, not a data collect
+    teleport = (1.0 - damping) / n_nodes
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(n_iter):
+        contribs = (
+            edges_w.join(ranks, edges_w.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(teleport) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+    return ranks
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by PageRank on the symmetrized customer↔supplier
+    graph.  Rows-only for the driver (cross-partition float summation);
+    pytest verifies values against an independent numpy power iteration.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # node ids: even = customer, odd = supplier (disjoint namespaces)
+    pairs = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).union(pairs.select(F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")))
+    ranks = pagerank(edges)
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+        .select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.floor(F.col("node") / 2).cast("bigint").alias("key"),
+            F.round("rank", 8).alias("rank"),
+        )
+    )

@@ -39,7 +39,9 @@ from lexam_data_pipeline_spark.ml.curation import (
     q_split_assign,
     q_url_dedup,
 )
+from lexam_data_pipeline_spark.ml.graph import q_pagerank
 from lexam_data_pipeline_spark.ml.ivf import q_knn_ivf
+from lexam_data_pipeline_spark.ml.retrieval import q_bm25_topk, q_hybrid_rrf
 from lexam_data_pipeline_spark.ml.pq import q_knn_ivfpq
 from lexam_data_pipeline_spark.ml.multimodal import q_multimodal_features
 from lexam_data_pipeline_spark.ml.quantize import q_embedding_quantize
@@ -101,6 +103,9 @@ ML_QUERIES = {
     "q_pretrain_pipeline": q_pretrain_pipeline,
     "q_chunk_overlap": q_chunk_overlap,
     "q_split_assign": q_split_assign,
+    "q_bm25_topk": q_bm25_topk,
+    "q_hybrid_rrf": q_hybrid_rrf,
+    "q_pagerank": q_pagerank,
 }
 
 _SHINGLES = """
@@ -854,4 +859,107 @@ ML_ORACLES["q_heavy_hitters"] = r"""
     SELECT token, count(*) AS n_occurrences
     FROM occ_nz GROUP BY 1
     HAVING count(*) >= (SELECT thr FROM t)
+"""
+
+
+# BM25 / hybrid retrieval: rational idf (no libm ln) + floor-scaled int64
+# per-term scores → order-independent sums; constants injected from the
+# SAME Python floats the Spark plan uses (ml/retrieval.py).
+def _bm25_cte() -> str:
+    from lexam_data_pipeline_spark.ml.retrieval import (
+        B,
+        K1,
+        K1_PLUS_1,
+        QUERY_TERMS,
+        SCORE_SCALE,
+    )
+
+    terms_sql = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    return f"""
+        base AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ),
+        docs_t AS (
+            SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) / count(*) AS avgdl
+            FROM docs_t
+        ),
+        postings AS (
+            SELECT doc_id, dl, term, count(*) AS tf
+            FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs_t)
+            WHERE term IN ({terms_sql})
+            GROUP BY doc_id, dl, term
+        ),
+        dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+        scored AS (
+            SELECT p.doc_id,
+                   CAST(floor(((s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                        * ((p.tf * {K1_PLUS_1!r}) / (p.tf + {K1!r} * (1.0 - {B!r} + {B!r} * (p.dl / s.avgdl))))
+                        * {float(SCORE_SCALE)!r}) AS BIGINT) AS s_term
+            FROM postings p JOIN dfs d USING (term) CROSS JOIN stats s
+        ),
+        bm25_t AS (
+            SELECT doc_id, CAST(count(*) AS INT) AS n_terms,
+                   CAST(sum(s_term) AS BIGINT) AS score_scaled
+            FROM scored GROUP BY doc_id
+        )
+    """
+
+
+ML_ORACLES["q_bm25_topk"] = f"""
+    WITH {_bm25_cte()}
+    SELECT doc_id, n_terms, score_scaled,
+           round(score_scaled / 1000000.0, 4) AS bm25
+    FROM bm25_t
+    ORDER BY score_scaled DESC, doc_id ASC
+    LIMIT 10
+"""
+
+ML_ORACLES["q_hybrid_rrf"] = f"""
+    WITH {_bm25_cte()},
+    lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score_scaled DESC, doc_id ASC)
+                    AS INT) AS r_lex
+        FROM bm25_t
+        ORDER BY score_scaled DESC, doc_id ASC
+        LIMIT 50
+    ),
+    q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb
+        FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    cos_t AS (
+        SELECT e.vec_id,
+               list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                   i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(generate_series(1, len(q.q_emb)),
+                      i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE), (x, y) -> x + y)))
+               AS cos
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.q_id
+    ),
+    vec AS (
+        SELECT vec_id AS doc_id,
+               CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS r_vec
+        FROM cos_t
+        ORDER BY cos DESC, vec_id ASC
+        LIMIT 50
+    ),
+    fused AS (
+        SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, r_lex, r_vec,
+               (COALESCE(1000000000 // (60 + r_lex), 0)
+                + COALESCE(1000000000 // (60 + r_vec), 0)) AS rrf_scaled
+        FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    )
+    SELECT doc_id, r_lex, r_vec, CAST(rrf_scaled AS BIGINT) AS rrf_scaled
+    FROM fused
+    ORDER BY rrf_scaled DESC, doc_id ASC
+    LIMIT 10
 """

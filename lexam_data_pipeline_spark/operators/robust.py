@@ -1,0 +1,92 @@
+"""Robust statistics operators: MAD outlier detection, winsorized means.
+
+Extends the reference's stats tier (mean/median/min/max only — ref
+main.py:431-441, experiment_stats.py:51-61) with the outlier-resistant
+estimators a data-quality pipeline needs at corpus scale: flagging price
+anomalies, clipping heavy-tailed quality scores before averaging.
+
+Engine-exactness: values enter as integer cents (``round(x*100)`` —
+same convention as q_agg_stats); medians/quantiles are exact linear
+interpolation over those integers (bit-equal across engines); winsorized
+values are floor-scaled back to integers before summation so aggregation
+order cannot perturb totals.
+
+100 TB notes: exact ``percentile`` needs the group's values materialized
+at one reducer — the groups here are few and the map-side projection is
+2 columns, so the shuffle is narrow.  The documented scale switch is
+``approx_percentile`` (mergeable GK sketches, operators/approx.py) which
+drops the materialization entirely; MAD then becomes approx-MAD with the
+same two-pass shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+def mad_outliers(df: DataFrame, group: str, value: str, k: float = 3.0) -> DataFrame:
+    """Per-group robust outlier count: |x - median| > k * MAD.
+
+    Two exact-median passes (median of values, then median of absolute
+    deviations), joined back by group — groups are low-cardinality, so
+    both joins broadcast.
+    """
+    vals = df.select(F.col(group).alias("g"), _cents(value).alias("v"))
+    med = vals.groupBy("g").agg(F.expr("percentile(v, 0.5D)").alias("med"))
+    dev = vals.join(F.broadcast(med), "g").select(
+        "g", "v", "med", F.abs(F.col("v") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("g").agg(F.expr("percentile(dev, 0.5D)").alias("mad"))
+    flagged = dev.join(F.broadcast(mad), "g")
+    return (
+        flagged.groupBy("g", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(k) * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            F.col("g"),
+            "n_rows",
+            "n_outliers",
+            F.round(F.col("med") / 100, 2).alias("median_value"),
+            F.round(F.col("mad") / 100, 2).alias("mad_value"),
+        )
+    )
+
+
+def winsorized_mean(
+    df: DataFrame, group: str, value: str, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Per-group winsorized mean: clamp to [p_lo, p_hi] then average.
+
+    The clamped value is a double (quantile interpolation), floor-scaled
+    ×100 to int64 before summing — order-independent, oracle-exact.
+    """
+    vals = df.select(F.col(group).alias("g"), _cents(value).alias("v"))
+    cuts = vals.groupBy("g").agg(
+        F.expr(f"percentile(v, array({lo}D, {hi}D))").alias("p")
+    ).select(
+        "g",
+        F.element_at("p", 1).alias("p_lo"),
+        F.element_at("p", 2).alias("p_hi"),
+    )
+    clamped = vals.join(F.broadcast(cuts), "g").select(
+        "g",
+        F.floor(
+            F.least(F.greatest(F.col("v").cast("double"), F.col("p_lo")), F.col("p_hi"))
+            * F.lit(100.0)
+        ).cast("bigint").alias("cv"),
+    )
+    return clamped.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # cents*100 scale → /10000 back to currency units
+        F.round((F.sum("cv") / F.count(F.lit(1))) / F.lit(10000.0), 4).alias(
+            "winsorized_mean"
+        ),
+    )

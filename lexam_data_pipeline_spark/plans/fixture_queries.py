@@ -1637,3 +1637,114 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q[1], 2).alias("p50"),
         F.round(q[2], 2).alias("p75"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3: robust statistics, time-decay aggregation, char-class quality
+# --------------------------------------------------------------------------
+
+
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per return flag: |price - median| >
+    3 * MAD (:func:`operators.robust.mad_outliers`).  Extends the
+    reference's stats tier (ref main.py:431-441 stops at mean/median)
+    with the estimator a corpus-quality gate actually needs — MAD
+    ignores the heavy tail that wrecks stddev-based z-scores.
+
+    Scale: two narrow shuffles (value column only) + two broadcast
+    joins; the documented 100 TB switch is approx_percentile."""
+    from lexam_data_pipeline_spark.operators.robust import mad_outliers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return mad_outliers(li, "l_returnflag", "l_extendedprice").withColumnRenamed(
+        "g", "l_returnflag"
+    )
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per return flag: clamp prices to [p05, p95] then
+    average (:func:`operators.robust.winsorized_mean`) — the standard
+    pre-averaging clip for heavy-tailed quality scores."""
+    from lexam_data_pipeline_spark.operators.robust import winsorized_mean
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return winsorized_mean(li, "l_returnflag", "l_extendedprice").withColumnRenamed(
+        "g", "l_returnflag"
+    )
+
+
+def q_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement per user: ``sum(value / (1 + age_days))``
+    over events — the freshness-weighted score a crawl scheduler or
+    source-mixing policy uses to favor recently-active sources.
+
+    Engine-exactness: the decay weight is rational (no libm ``exp``),
+    ``value * w`` is one deterministic double op, floor-scaled ×1e4 to
+    int64 before the order-independent integer sum.  Scale: pure
+    map-side arithmetic + one groupBy shuffle of (user, int64)."""
+    ev = load_table(spark, sf_dir, "events")
+    age = F.datediff(F.lit("2024-02-01").cast("date"), F.col("ts").cast("date"))
+    w = F.lit(1.0) / (F.lit(1.0) + age)
+    contrib = F.floor((F.col("value") * w) * F.lit(10000.0)).cast("bigint")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(contrib).alias("decayed_scaled"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "decayed_scaled",
+            F.round(F.col("decayed_scaled") / F.lit(10000.0), 4).alias("decayed_value"),
+        )
+    )
+
+
+def q_char_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-class composition + Gini impurity of the
+    class mix — a libm-free text-quality signal (a healthy natural-text
+    corpus has a stable alpha/space/digit profile; tables, code, and
+    boilerplate skew it).  Complements ml/textstats.q_text_quality.
+
+    Gini = 1 - sum(p_i^2) is pure rational arithmetic over exact integer
+    counts → bit-equal across engines (entropy's ``log`` is not).
+    Scale: regexp counting is per-row map work inside codegen; one
+    groupBy(lang) shuffle of 5 integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_alpha = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]"))
+    n_digit = F.regexp_count(F.col("text"), F.lit(r"[0-9]"))
+    n_space = F.regexp_count(F.col("text"), F.lit(r"\s"))
+    counted = docs.select(
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_alpha.cast("bigint").alias("n_alpha"),
+        n_digit.cast("bigint").alias("n_digit"),
+        n_space.cast("bigint").alias("n_space"),
+    )
+    agg = counted.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("c_total"),
+        F.sum("n_alpha").alias("c_alpha"),
+        F.sum("n_digit").alias("c_digit"),
+        F.sum("n_space").alias("c_space"),
+    )
+    p = lambda c: F.col(c) / F.col("c_total")  # noqa: E731
+    p_other = (F.col("c_total") - F.col("c_alpha") - F.col("c_digit") - F.col("c_space")) / F.col(
+        "c_total"
+    )
+    gini = F.lit(1.0) - (
+        p("c_alpha") * p("c_alpha")
+        + p("c_digit") * p("c_digit")
+        + p("c_space") * p("c_space")
+        + p_other * p_other
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "c_alpha",
+        "c_digit",
+        "c_space",
+        F.round(p("c_alpha"), 4).alias("alpha_ratio"),
+        F.round(gini, 4).alias("class_gini"),
+    )

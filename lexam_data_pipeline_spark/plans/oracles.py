@@ -755,3 +755,98 @@ CORE_ORACLES["q_ab_test"] = """
                         * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score
     FROM a, b
 """
+
+# Robust statistics: exact interpolated quantiles over integer cents;
+# deviations are deterministic doubles (fixed op order on exact inputs).
+CORE_ORACLES["q_outlier_mad"] = """
+    WITH vals AS (
+        SELECT l_returnflag AS g,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem
+    ),
+    med_t AS (SELECT g, quantile_cont(v, 0.5) AS med FROM vals GROUP BY 1),
+    dev_t AS (
+        SELECT vals.g, v, med, abs(v - med) AS dev
+        FROM vals JOIN med_t USING (g)
+    ),
+    mad_t AS (SELECT g, quantile_cont(dev, 0.5) AS mad FROM dev_t GROUP BY 1)
+    SELECT dev_t.g AS l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           round(med / 100, 2) AS median_value,
+           round(mad / 100, 2) AS mad_value
+    FROM dev_t JOIN mad_t USING (g)
+    GROUP BY dev_t.g, med, mad
+"""
+
+# Winsorized mean: clamp to exact [p05, p95], floor-scale to int64 so the
+# sum is order-independent, divide back out as the last (deterministic) op.
+CORE_ORACLES["q_winsorized_stats"] = """
+    WITH vals AS (
+        SELECT l_returnflag AS g,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem
+    ),
+    cuts AS (
+        SELECT g, quantile_cont(v, [0.05, 0.95]) AS p FROM vals GROUP BY 1
+    ),
+    clamped AS (
+        SELECT vals.g,
+               CAST(floor(least(greatest(CAST(v AS DOUBLE), p[1]), p[2]) * 100.0)
+                    AS BIGINT) AS cv
+        FROM vals JOIN cuts USING (g)
+    )
+    SELECT g AS l_returnflag,
+           count(*) AS n_rows,
+           round(CAST(sum(cv) AS BIGINT) / count(*) / 10000.0, 4)
+               AS winsorized_mean
+    FROM clamped GROUP BY g
+"""
+
+# Time-decay: rational weight (no libm), one deterministic double multiply
+# per row, floor-scaled to int64 before the order-independent sum.
+CORE_ORACLES["q_time_decay"] = """
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value
+                    * (1.0 / (1.0 + datediff('day', CAST(ts AS DATE),
+                                             DATE '2024-02-01')))
+                    * 10000.0) AS BIGINT)) AS BIGINT) AS decayed_scaled,
+           round(CAST(sum(CAST(floor(value
+                    * (1.0 / (1.0 + datediff('day', CAST(ts AS DATE),
+                                             DATE '2024-02-01')))
+                    * 10000.0) AS BIGINT)) AS BIGINT) / 10000.0, 4)
+               AS decayed_value
+    FROM events GROUP BY user_id
+"""
+
+# Char-class Gini: rational impurity over exact integer counts (no log).
+CORE_ORACLES["q_char_class_stats"] = """
+    WITH counted AS (
+        SELECT lang,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+               CAST(len(regexp_extract_all(text, '\\s')) AS BIGINT) AS n_space
+        FROM documents
+    ),
+    agg AS (
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS c_total,
+               CAST(sum(n_alpha) AS BIGINT) AS c_alpha,
+               CAST(sum(n_digit) AS BIGINT) AS c_digit,
+               CAST(sum(n_space) AS BIGINT) AS c_space
+        FROM counted GROUP BY lang
+    )
+    SELECT lang, n_docs, c_alpha, c_digit, c_space,
+           round(c_alpha / c_total, 4) AS alpha_ratio,
+           round(1.0 - ((c_alpha / c_total) * (c_alpha / c_total)
+                        + (c_digit / c_total) * (c_digit / c_total)
+                        + (c_space / c_total) * (c_space / c_total)
+                        + ((c_total - c_alpha - c_digit - c_space) / c_total)
+                          * ((c_total - c_alpha - c_digit - c_space) / c_total)), 4)
+               AS class_gini
+    FROM agg
+"""
