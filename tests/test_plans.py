@@ -95,3 +95,29 @@ def test_merge_upsert_feed_broadcasts_at_fixture_scale(spark, sf_small):
     plan = _plan(QUERIES["q_merge_upsert"](spark, sf_small))
     assert "Join" in plan
     assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_bm25_topk_is_takeordered_with_broadcast_stats(spark, sf_small):
+    """BM25 must not global-sort: top-k compiles to TakeOrderedAndProject;
+    the df and corpus-stats sides are broadcast, never shuffled joins."""
+    plan = _plan(QUERIES["q_bm25_topk"](spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_outlier_mad_broadcasts_group_medians(spark, sf_small):
+    """The two quantile tables are |groups| rows — they must broadcast
+    back, not shuffle the fact side."""
+    plan = _plan(QUERIES["q_outlier_mad"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_time_decay_is_single_aggregate(spark, sf_small):
+    """Pure map-side arithmetic + one hash aggregate pair — no join, no
+    window, no sort anywhere in the plan."""
+    plan = _plan(QUERIES["q_time_decay"](spark, sf_small))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
