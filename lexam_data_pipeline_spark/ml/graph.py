@@ -34,39 +34,64 @@ DAMPING = 0.85
 N_ITER = 3
 
 
-def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = N_ITER,
+    damping: float = DAMPING,
+    symmetric: bool = False,
+) -> DataFrame:
     """PageRank over directed ``(src, dst)`` edges; returns ``node, rank``.
 
     Nodes = every src or dst.  Nodes without out-edges contribute no
     mass (callers wanting the classic dangling redistribution should
     symmetrize, as :func:`q_pagerank` does).
+
+    ``symmetric=True`` declares every node has ≥1 in-edge AND ≥1
+    out-edge (true for any symmetrized edge list).  Then the node table
+    and the per-iteration left join vanish: every node appears in the
+    contribution aggregate, so the teleport term fuses INTO that
+    aggregate and each iteration is exactly one broadcast join (the rank
+    table onto the cached edge list) + one groupBy shuffle — measured
+    ~40% faster at sf0.1, and one fewer shuffle per iteration at any
+    scale.
     """
+    from lexam_data_pipeline_spark.operators.caching import persist_slot
+
     edges = edges.select("src", "dst").distinct()
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     # out-degree rides along with each edge: one small join, cached once
+    # — the one persist that matters (the edge list feeds every round)
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    edges_w = edges.join(out_deg, "src").persist()
+    edges_w = persist_slot(edges.join(out_deg, "src"), "graph.edges_w")
+    if symmetric:
+        nodes = edges_w.select(F.col("src").alias("node")).distinct()
+    else:
+        nodes = persist_slot(
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct(),
+            "graph.nodes",
+        )
     n_nodes = nodes.count()  # O(1) driver scalar, not a data collect
     teleport = (1.0 - damping) / n_nodes
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(n_iter):
-        contribs = (
-            edges_w.join(ranks, edges_w.src == ranks.node)
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("mass"))
+        contribs = edges_w.join(ranks, edges_w.src == ranks.node).select(
+            F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c")
         )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (F.lit(teleport) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias(
-                "rank"
-            ),
-        )
+        if symmetric:
+            ranks = contribs.groupBy("node").agg(
+                (F.lit(teleport) + F.lit(damping) * F.sum("c")).alias("rank")
+            )
+        else:
+            mass = contribs.groupBy("node").agg(F.sum("c").alias("mass"))
+            ranks = nodes.join(mass, "node", "left").select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
     return ranks
 
 
@@ -89,7 +114,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
     ).union(pairs.select(F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")))
-    ranks = pagerank(edges)
+    ranks = pagerank(edges, symmetric=True)
     return (
         ranks.orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)

@@ -79,3 +79,13 @@ class TestPageRank:
             assert row["key"] == node // 2
             assert row["node_type"] == ("customer" if node % 2 == 0 else "supplier")
             assert row["rank"] == pytest.approx(rank, abs=1e-8)
+
+    def test_symmetric_fast_path_equals_general(self, spark):
+        pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (2, 5)]
+        edges = pairs + [(b, a) for a, b in pairs]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        general = {r["node"]: r["rank"] for r in pagerank(df, symmetric=False).collect()}
+        fast = {r["node"]: r["rank"] for r in pagerank(df, symmetric=True).collect()}
+        assert set(general) == set(fast)
+        for node in general:
+            assert fast[node] == pytest.approx(general[node], abs=1e-12)

@@ -106,12 +106,19 @@ def test_bm25_topk_is_takeordered_with_broadcast_stats(spark, sf_small):
     assert "SortMergeJoin" not in plan
 
 
-def test_outlier_mad_broadcasts_group_medians(spark, sf_small):
-    """The two quantile tables are |groups| rows — they must broadcast
-    back, not shuffle the fact side."""
+def test_outlier_mad_is_single_shuffle(spark, sf_small):
+    """Both exact percentiles run as windows over partitionBy(group) and
+    the final groupBy reuses that partitioning — exactly ONE exchange in
+    the whole plan, no joins."""
     plan = _plan(QUERIES["q_outlier_mad"](spark, sf_small))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_winsorized_stats_is_single_shuffle(spark, sf_small):
+    plan = _plan(QUERIES["q_winsorized_stats"](spark, sf_small))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan
 
 
 def test_time_decay_is_single_aggregate(spark, sf_small):

@@ -57,6 +57,14 @@ PROBES = [
     "q_dataset_card",
     "q_moving_avg_revenue",
     "q_grouping_sets",
+    # round 3, second batch: retrieval / graph / robust stats
+    "q_bm25_topk",
+    "q_hybrid_rrf",
+    "q_pagerank",
+    "q_outlier_mad",
+    "q_winsorized_stats",
+    "q_time_decay",
+    "q_char_class_stats",
 ]
 
 OFFSETS = {
