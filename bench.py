@@ -121,6 +121,7 @@ def main() -> None:
         "q_winsorized_stats",
         "q_time_decay",
         "q_char_class_stats",
+        "q_score_normalize",
         "q_pagerank",
     ):
         if extra in queries and extra not in names:

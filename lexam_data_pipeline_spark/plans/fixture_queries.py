@@ -1748,3 +1748,37 @@ def q_char_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p("c_alpha"), 4).alias("alpha_ratio"),
         F.round(gini, 4).alias("class_gini"),
     )
+
+
+def q_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source score normalization: z-score from exact integer moment
+    sums + percent_rank — the standard pre-mixing normalization step for
+    corpus quality scores (each source's scorer has its own scale; mixing
+    policies need comparable units).  Extends SURVEY §2.4 A7/A15.
+
+    Engine-exact: moments (n, Σx, Σx²) are exact integers summed as
+    window aggregates, the closed-form z is identical IEEE arithmetic on
+    both engines (same shape as q_corr_stats), and percent_rank is
+    rational.  ONE shuffle: all three windows share partitionBy(source),
+    and percent_rank's sort happens within those partitions."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source")
+    wo = Window.partitionBy("source").orderBy("n_chars")
+    stats = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        F.sum("n_chars").over(w).cast("double").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).over(w).cast("double").alias("ss"),
+        F.percent_rank().over(wo).alias("pct"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    z = (F.col("n_chars") - s / n) / F.sqrt((n * ss - s * s) / (n * (n - F.lit(1.0))))
+    return stats.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(z, 4).alias("z_score"),
+        F.round(F.col("pct"), 4).alias("pct_rank"),
+    )

@@ -850,3 +850,23 @@ CORE_ORACLES["q_char_class_stats"] = """
                AS class_gini
     FROM agg
 """
+
+# Score normalization: exact integer window moments → identical closed
+# form; percent_rank is rational ((rank-1)/(n-1)) in both engines.
+CORE_ORACLES["q_score_normalize"] = """
+    WITH w AS (
+        SELECT doc_id, source, n_chars,
+               CAST(count(*) OVER (PARTITION BY source) AS DOUBLE) AS n,
+               CAST(sum(n_chars) OVER (PARTITION BY source) AS DOUBLE) AS s,
+               CAST(sum(n_chars * n_chars) OVER (PARTITION BY source)
+                    AS DOUBLE) AS ss,
+               percent_rank() OVER (PARTITION BY source ORDER BY n_chars)
+                   AS pct
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           round((n_chars - s / n)
+                 / sqrt((n * ss - s * s) / (n * (n - 1.0))), 4) AS z_score,
+           round(pct, 4) AS pct_rank
+    FROM w
+"""

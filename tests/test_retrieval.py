@@ -175,3 +175,29 @@ class TestCharClassStats:
         assert rows["mixed"]["c_digit"] == 6
         expected_gini = 1.0 - ((6 / 8) ** 2 + (1 / 8) ** 2 + (1 / 8) ** 2)
         assert rows["mixed"]["class_gini"] == pytest.approx(expected_gini, abs=1e-4)
+
+
+class TestScoreNormalize:
+    def test_zscore_and_pct_rank(self, spark, tmp_path):
+        import pandas as pd
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["a", "b", "c", "d"],
+                "lang": ["en"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": [10, 20, 30, 40],
+            }
+        )
+        (tmp_path / "sn").mkdir()
+        docs.to_parquet(str(tmp_path / "sn" / "documents.parquet"))
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_score_normalize
+
+        rows = {r["doc_id"]: r for r in q_score_normalize(spark, str(tmp_path / "sn")).collect()}
+        # mean 25, sample std = sqrt(500/3); z of 40 = 15/12.9099 = 1.1619
+        assert rows[4]["z_score"] == pytest.approx(1.1619, abs=1e-4)
+        assert rows[1]["z_score"] == pytest.approx(-1.1619, abs=1e-4)
+        assert rows[1]["pct_rank"] == 0.0
+        assert rows[4]["pct_rank"] == 1.0
+        assert rows[2]["pct_rank"] == pytest.approx(1 / 3, abs=1e-4)

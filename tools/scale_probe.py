@@ -65,6 +65,7 @@ PROBES = [
     "q_winsorized_stats",
     "q_time_decay",
     "q_char_class_stats",
+    "q_score_normalize",
 ]
 
 OFFSETS = {
