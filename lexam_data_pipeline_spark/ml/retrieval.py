@@ -62,6 +62,15 @@ def bm25_scores(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
         F.sum("dl").alias("total_dl"),
     ).select("n_docs", (F.col("total_dl") / F.col("n_docs")).alias("avgdl"))
 
+    # Candidate postings only: the explode is filtered to the query's
+    # terms before the aggregate, so downstream carries one row per
+    # (candidate doc × query term).  The df branch re-derives this
+    # subplan (exchange reuse does not fire across it) — measured CHEAPER
+    # than a persist barrier at fixture scale (0.7 s vs 1.5 s, the
+    # repo-wide "caching is not free" result).  At 100 TB neither shape
+    # applies: df/N/avgdl come from the write-time index stats table, not
+    # a per-query corpus pass — this query keeps them inline so the
+    # oracle can verify the whole formula from raw data.
     postings = (
         base.select("doc_id", "dl", F.explode("toks").alias("term"))
         .filter(F.col("term").isin(*terms))
