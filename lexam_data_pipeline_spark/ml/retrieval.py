@@ -47,6 +47,53 @@ SCORE_SCALE = 1_000_000
 RRF_K = 60
 
 
+def doc_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Index rows for ``docs``: one ``(doc_id, dl, term, tf)`` per
+    distinct term per document — the unit the streaming index maintainer
+    folds in per micro-batch (streaming/retrieval.py)."""
+    base = docs.select("doc_id", tokens(text_col).alias("toks")).select(
+        "doc_id", "toks", F.size("toks").cast("bigint").alias("dl")
+    )
+    return (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row ``(n_docs, total_dl)`` — mergeable by summation."""
+    return docs.select(
+        F.size(tokens(text_col)).cast("bigint").alias("dl")
+    ).agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl"))
+
+
+def score_postings(
+    postings: DataFrame, stats: DataFrame, terms: tuple[str, ...]
+) -> DataFrame:
+    """BM25 over pre-built index rows (``doc_id, dl, term, tf``) and a
+    one-row ``(n_docs, total_dl)`` stats table — the production path: no
+    corpus scan, only index lookups.  Same return shape as
+    :func:`bm25_scores` (which verifies this formula against the DuckDB
+    oracle from raw text)."""
+    cand = postings.filter(F.col("term").isin(*terms))
+    df_tbl = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avg = stats.select(
+        "n_docs", (F.col("total_dl") / F.col("n_docs")).alias("avgdl")
+    )
+    scored = cand.join(F.broadcast(df_tbl), "term").crossJoin(F.broadcast(avg))
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    tf_part = (F.col("tf") * F.lit(K1_PLUS_1)) / (
+        F.col("tf")
+        + F.lit(K1) * (F.lit(1.0) - F.lit(B) + F.lit(B) * (F.col("dl") / F.col("avgdl")))
+    )
+    term_scaled = F.floor(idf * tf_part * F.lit(float(SCORE_SCALE))).cast("bigint")
+    return scored.select("doc_id", "term", term_scaled.alias("s")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms"),
+        F.sum("s").cast("bigint").alias("score_scaled"),
+    )
+
+
 def bm25_scores(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
     """Per-document scaled-integer BM25 score for ``terms``.
 
