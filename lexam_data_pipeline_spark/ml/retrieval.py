@@ -76,6 +76,8 @@ def score_postings(
     corpus scan, only index lookups.  Same return shape as
     :func:`bm25_scores` (which verifies this formula against the DuckDB
     oracle from raw text)."""
+    if not terms:
+        raise ValueError("score_postings requires at least one query term")
     cand = postings.filter(F.col("term").isin(*terms))
     df_tbl = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     avg = stats.select(
@@ -101,6 +103,8 @@ def bm25_scores(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
     ``sum(floor(per_term_bm25 * SCORE_SCALE))`` — exact under any
     aggregation order.
     """
+    if not terms:
+        raise ValueError("bm25_scores requires at least one query term")
     base = docs.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id", "toks", F.size("toks").cast("bigint").alias("dl")
     )

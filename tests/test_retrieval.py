@@ -201,3 +201,27 @@ class TestScoreNormalize:
         assert rows[1]["pct_rank"] == 0.0
         assert rows[4]["pct_rank"] == 1.0
         assert rows[2]["pct_rank"] == pytest.approx(1 / 3, abs=1e-4)
+
+
+class TestBM25EdgeCases:
+    def test_empty_terms_raises(self, spark):
+        docs = _docs(spark, [(1, "a b")])
+        with pytest.raises(ValueError):
+            bm25_scores(docs, ())
+
+    def test_term_absent_everywhere_yields_no_rows(self, spark):
+        docs = _docs(spark, [(1, "a b"), (2, "b c")])
+        assert bm25_scores(docs, ("zzz",)).count() == 0
+
+    def test_identical_docs_score_identically(self, spark):
+        docs = _docs(spark, [(i, "x y z") for i in range(5)])
+        scores = {r["score_scaled"] for r in bm25_scores(docs, ("x",)).collect()}
+        assert len(scores) == 1
+
+    def test_single_doc_corpus(self, spark):
+        docs = _docs(spark, [(7, "x x y")])
+        row = bm25_scores(docs, ("x", "y")).collect()[0]
+        assert row["doc_id"] == 7
+        assert row["n_terms"] == 2
+        # idf = (1 - 1 + 0.5)/(1 + 0.5) = 1/3 > 0: scores stay positive
+        assert row["score_scaled"] > 0
