@@ -2,11 +2,13 @@
 
 Images/audio/video are carried as ``binary`` columns with a metadata
 struct; decode / feature-extraction run as Arrow-batched ``mapInPandas``
-stages.  The actual codec step is STUBBED (image/audio libraries are not in
-this container): ``decode_stub`` raises ``NotImplementedError`` unless
-``deterministic_fake=True``, in which case it produces a reproducible fake
-feature vector so the Spark-side plumbing — schema, batching, partitioning
-— is fully real and testable.
+stages.  Decode is REAL for uncompressed formats (WAV PCM audio and P6
+PPM images — ml/media_codecs.py, stdlib + numpy only, shipped to
+executors by-value so workers need neither this package nor a codec
+library); compressed codecs (JPEG/MP3/H.264) are honestly STUBBED —
+``NotImplementedError`` unless ``deterministic_fake=True``, which
+substitutes a reproducible byte-histogram feature so the Spark-side
+plumbing — schema, batching, partitioning — stays testable everywhere.
 
 Scale design: payloads never pass through Python row-at-a-time; Arrow
 moves whole column batches, and ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -91,19 +93,34 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
 def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    The batch function is fully self-contained (no module-global refs):
-    executor Python workers may not have this package on their path, and
-    cloudpickle serializes closures by value only when nothing points back
-    at the defining module.
+    The batch function must work on executor workers that have neither
+    this package on sys.path nor any codec library: the closure itself
+    is self-contained, and the real-codec module is registered for
+    cloudpickle BY-VALUE serialization, so its functions travel inside
+    the pickle instead of by import path.
+
+    Decode order per payload: real uncompressed codec if the payload
+    sniffs as WAV/PPM (ml/media_codecs.decode_features), else the
+    deterministic fake when allowed, else ``NotImplementedError``
+    (compressed formats need a codec library).
     """
     fake = deterministic_fake
+    from pyspark import cloudpickle
+
+    from lexam_data_pipeline_spark.ml import media_codecs
+
+    cloudpickle.register_pickle_by_value(media_codecs)
+    real_decode = media_codecs.decode_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
         def decode(payload, _media_type):
+            feats = real_decode(payload)
+            if feats is not None:
+                return feats
             if not fake:
-                raise NotImplementedError("media decode needs a codec library")
+                raise NotImplementedError("compressed media decode needs a codec library")
             if payload is None or len(payload) == 0:
                 return [0.0] * 8
             acc = [0] * 8
@@ -164,24 +181,40 @@ def resize_media(
     media: DataFrame, target_w: int, target_h: int, deterministic_fake: bool = True
 ) -> DataFrame:
     """Resize stage: metadata transforms JVM-side, payload re-encode in an
-    Arrow batch.  The codec is stubbed (no PIL/ffmpeg in this container):
-    the deterministic fake truncates/pads the payload proportionally to
-    the pixel-count change so downstream size accounting stays realistic.
+    Arrow batch.  PPM payloads get a REAL nearest-neighbor resize
+    (ml/media_codecs, by-value pickled); compressed formats fall back to
+    the deterministic fake (proportional truncate/pad, so downstream size
+    accounting stays realistic) or raise without it.
     """
     fake = deterministic_fake
     tw, th = int(target_w), int(target_h)
+    from pyspark import cloudpickle
+
+    from lexam_data_pipeline_spark.ml import media_codecs
+
+    cloudpickle.register_pickle_by_value(media_codecs)
+    _sniff = media_codecs.sniff
+    _dec = media_codecs.decode_ppm
+    _enc = media_codecs.encode_ppm
+    _resize = media_codecs.resize_nearest
 
     def run(batches):
         import pandas as _pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("media resize needs a codec library")
             out_payload = []
             for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
                 if payload is None or not w or not h:
                     out_payload.append(None)
                     continue
+                payload = bytes(payload)
+                if _sniff(payload) == "ppm":
+                    out_payload.append(_enc(_resize(_dec(payload), tw, th)))
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "compressed media resize needs a codec library"
+                    )
                 scale = (tw * th) / float(w * h)
                 n = max(1, int(len(payload) * scale))
                 body = (bytes(payload) * (n // max(len(payload), 1) + 1))[:n]

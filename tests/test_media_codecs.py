@@ -1,0 +1,148 @@
+"""Real uncompressed-media codecs (ml/media_codecs.py) and their Spark
+integration: WAV PCM decode, PPM decode/resize, by-value executor
+shipping through mapInPandas."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lexam_data_pipeline_spark.ml.media_codecs import (
+    decode_features,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
+    image_features,
+    resize_nearest,
+    sniff,
+    wav_features,
+)
+
+
+def _sine_wav(rate=8000, seconds=0.5, freq=440.0, amp=0.5) -> bytes:
+    t = np.arange(int(rate * seconds)) / rate
+    return encode_wav(amp * np.sin(2 * np.pi * freq * t), rate)
+
+
+def _gradient_ppm(w=16, h=8) -> bytes:
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    arr[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :] * 10  # R ramps by col
+    arr[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None] * 20  # G ramps by row
+    arr[:, :, 2] = 7
+    return encode_ppm(arr)
+
+
+class TestWav:
+    def test_roundtrip_and_rate(self):
+        payload = _sine_wav()
+        samples, rate = decode_wav(payload)
+        assert rate == 8000
+        assert samples.shape == (4000, 1)
+        assert abs(samples).max() == pytest.approx(0.5, abs=1e-3)
+
+    def test_rms_of_sine_is_amp_over_sqrt2(self):
+        feats = wav_features(_sine_wav(amp=0.8))
+        duration, _, n_ch, rms, peak = feats[:5]
+        assert duration == pytest.approx(0.5)
+        assert n_ch == 1.0
+        assert rms == pytest.approx(0.8 / np.sqrt(2), abs=1e-3)
+        assert peak == pytest.approx(0.8, abs=1e-3)
+        # 8 window energies, all ~rms for a steady tone
+        assert len(feats) == 13
+        assert all(w == pytest.approx(rms, abs=1e-2) for w in feats[5:])
+
+    def test_silence_vs_tone_windows(self):
+        rate = 8000
+        tone = 0.9 * np.sin(2 * np.pi * 440 * np.arange(2000) / rate)
+        signal = np.concatenate([np.zeros(2000), tone])
+        feats = wav_features(encode_wav(signal, rate))
+        assert sum(feats[5:9]) < 0.01  # first half silent
+        assert sum(feats[9:13]) > 1.0  # second half loud
+
+
+class TestPpm:
+    def test_roundtrip(self):
+        payload = _gradient_ppm()
+        arr = decode_ppm(payload)
+        assert arr.shape == (8, 16, 3)
+        assert encode_ppm(arr) == payload
+
+    def test_comment_header(self):
+        arr = np.full((2, 2, 3), 9, dtype=np.uint8)
+        payload = b"P6\n# a comment\n2 2\n255\n" + arr.tobytes()
+        assert (decode_ppm(payload) == 9).all()
+
+    def test_resize_nearest_halves(self):
+        arr = decode_ppm(_gradient_ppm())
+        small = resize_nearest(arr, 8, 4)
+        assert small.shape == (4, 8, 3)
+        # nearest sampling: pixel (r, c) of small == (2r, 2c) of big
+        assert (small == arr[::2, ::2]).all()
+
+    def test_image_features(self):
+        arr = decode_ppm(_gradient_ppm())
+        h, w, r, g, b, *quads = image_features(arr)
+        assert (h, w) == (8.0, 16.0)
+        assert b == pytest.approx(7.0)
+        assert r == pytest.approx(np.arange(16).mean() * 10)
+        assert quads[1] > quads[0]  # right half has higher R → higher luma
+
+
+class TestSniff:
+    def test_sniff_types(self):
+        assert sniff(_sine_wav()) == "wav"
+        assert sniff(_gradient_ppm()) == "ppm"
+        assert sniff(b"\xff\xd8\xff jpeg-ish") is None
+        assert sniff(None) is None
+
+    def test_decode_features_dispatch(self):
+        assert len(decode_features(_sine_wav())) == 13
+        assert len(decode_features(_gradient_ppm())) == 9
+        assert decode_features(b"plain text") is None
+
+
+class TestSparkIntegration:
+    def _media_df(self, spark):
+        rows = [
+            (1, _sine_wav(), "audio", None, None, 0),
+            (2, _gradient_ppm(), "image", 16, 8, 0),
+            (3, b"opaque compressed blob", "video", None, None, 0),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "media_id long, payload binary, media_type string, "
+            "width int, height int, n_bytes long",
+        )
+        return df.withColumn("n_bytes", F.length("payload").cast("bigint"))
+
+    def test_extract_features_real_and_fake_paths(self, spark):
+        from lexam_data_pipeline_spark.ml.multimodal import extract_features
+
+        feats = {
+            r["media_id"]: r["feature"]
+            for r in extract_features(self._media_df(spark)).collect()
+        }
+        assert feats[1] == pytest.approx(wav_features(_sine_wav()), abs=1e-6)
+        assert feats[2] == pytest.approx(
+            image_features(decode_ppm(_gradient_ppm())), abs=1e-4
+        )
+        assert len(feats[3]) == 8  # compressed blob → deterministic fake
+
+    def test_extract_features_strict_raises_on_compressed_only(self, spark):
+        from lexam_data_pipeline_spark.ml.multimodal import extract_features
+
+        real_only = self._media_df(spark).filter(F.col("media_id") != 3)
+        out = extract_features(real_only, deterministic_fake=False).collect()
+        assert len(out) == 2  # real codecs need no fake mode
+
+    def test_resize_really_resizes_ppm(self, spark):
+        from lexam_data_pipeline_spark.ml.multimodal import resize_media
+
+        media = self._media_df(spark).filter(F.col("media_id") == 2)
+        out = resize_media(media, 4, 4).collect()[0]
+        arr = decode_ppm(bytes(out["payload"]))
+        assert arr.shape == (4, 4, 3)
+        big = decode_ppm(_gradient_ppm())
+        assert (arr == big[(np.arange(4) * 8) // 4][:, (np.arange(4) * 16) // 4]).all()
