@@ -146,3 +146,69 @@ class TestSparkIntegration:
         assert arr.shape == (4, 4, 3)
         big = decode_ppm(_gradient_ppm())
         assert (arr == big[(np.arange(4) * 8) // 4][:, (np.arange(4) * 16) // 4]).all()
+
+
+class TestCodecProperties:
+    """Hypothesis roundtrips — pure bytes↔numpy, no Spark in the loop."""
+
+    def test_ppm_roundtrip_random_images(self):
+        from hypothesis import given, settings, strategies as st
+        from hypothesis.extra.numpy import arrays
+
+        @settings(max_examples=50, deadline=None)
+        @given(
+            arrays(
+                np.uint8,
+                st.tuples(
+                    st.integers(1, 12), st.integers(1, 12), st.just(3)
+                ),
+            )
+        )
+        def roundtrip(arr):
+            assert (decode_ppm(encode_ppm(arr)) == arr).all()
+
+        roundtrip()
+
+    def test_wav_roundtrip_random_signals(self):
+        from hypothesis import given, settings, strategies as st
+        from hypothesis.extra.numpy import arrays
+
+        @settings(max_examples=30, deadline=None)
+        @given(
+            arrays(
+                np.float64,
+                st.integers(1, 500),
+                elements=st.floats(-1.0, 1.0 - 1 / 32768, allow_nan=False),
+            ),
+            st.sampled_from([8000, 16000, 44100]),
+        )
+        def roundtrip(signal, rate):
+            decoded, got_rate = decode_wav(encode_wav(signal, rate))
+            assert got_rate == rate
+            assert decoded.shape == (len(signal), 1)
+            # 16-bit quantization error bound
+            assert np.abs(decoded[:, 0] - signal).max() <= 1.5 / 32768
+
+        roundtrip()
+
+    def test_resize_identity_and_idempotence(self):
+        from hypothesis import given, settings, strategies as st
+        from hypothesis.extra.numpy import arrays
+
+        @settings(max_examples=30, deadline=None)
+        @given(
+            arrays(
+                np.uint8,
+                st.tuples(st.integers(1, 10), st.integers(1, 10), st.just(3)),
+            ),
+            st.integers(1, 10),
+            st.integers(1, 10),
+        )
+        def check(arr, tw, th):
+            h, w, _ = arr.shape
+            assert (resize_nearest(arr, w, h) == arr).all()  # identity
+            once = resize_nearest(arr, tw, th)
+            assert once.shape == (th, tw, 3)
+            assert (resize_nearest(once, tw, th) == once).all()  # idempotent
+
+        check()
