@@ -126,3 +126,96 @@ SQL_QUERIES: dict[str, str] = {
         FROM events GROUP BY 1, 2
     """,
 }
+
+# Round-3 surface: retrieval, robust stats, time decay — the same Catalyst
+# plans through the SQL front door.  Constants injected from ml.retrieval
+# so both doors compute with the identical doubles.
+
+
+def _bm25_sql() -> str:
+    from lexam_data_pipeline_spark.ml.retrieval import (
+        B,
+        K1,
+        K1_PLUS_1,
+        QUERY_TERMS,
+        SCORE_SCALE,
+    )
+
+    terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    return f"""
+        WITH base AS (
+            SELECT doc_id, split(trim(text), '\\\\s+') AS toks FROM documents
+        ),
+        docs_t AS (
+            SELECT doc_id, toks, CAST(size(toks) AS BIGINT) AS dl FROM base
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl FROM docs_t
+        ),
+        postings AS (
+            SELECT doc_id, dl, term, count(*) AS tf
+            FROM (SELECT doc_id, dl, explode(toks) AS term FROM docs_t)
+            WHERE term IN ({terms})
+            GROUP BY doc_id, dl, term
+        ),
+        dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+        scored AS (
+            SELECT p.doc_id,
+                   CAST(floor(((s.n_docs - d.df + 0.5D) / (d.df + 0.5D))
+                        * ((p.tf * {K1_PLUS_1!r}D) / (p.tf + {K1!r}D * (1.0D - {B!r}D + {B!r}D * (p.dl / s.avgdl))))
+                        * {float(SCORE_SCALE)!r}D) AS BIGINT) AS s_term
+            FROM postings p JOIN dfs d USING (term) CROSS JOIN stats s
+        ),
+        bm25_t AS (
+            SELECT doc_id, CAST(count(*) AS INT) AS n_terms,
+                   CAST(sum(s_term) AS BIGINT) AS score_scaled
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_terms, score_scaled,
+               round(score_scaled / {float(SCORE_SCALE)!r}D, 4) AS bm25
+        FROM bm25_t
+        ORDER BY score_scaled DESC, doc_id ASC
+        LIMIT 10
+    """
+
+
+SQL_QUERIES["q_bm25_topk"] = _bm25_sql()
+
+SQL_QUERIES["q_outlier_mad"] = """
+    WITH vals AS (
+        SELECT l_returnflag AS g,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem
+    ),
+    wp AS (
+        SELECT g, v, percentile(v, 0.5D) OVER (PARTITION BY g) AS med
+        FROM vals
+    ),
+    wd AS (SELECT g, v, med, abs(v - med) AS dev FROM wp),
+    wm AS (
+        SELECT g, dev, med,
+               percentile(dev, 0.5D) OVER (PARTITION BY g) AS mad
+        FROM wd
+    )
+    SELECT g AS l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           round(first(med) / 100, 2) AS median_value,
+           round(first(mad) / 100, 2) AS mad_value
+    FROM wm GROUP BY g
+"""
+
+SQL_QUERIES["q_time_decay"] = """
+    SELECT user_id,
+           count(*) AS n_events,
+           sum(CAST(floor((value
+                * (1.0D / (1.0D + datediff(CAST('2024-02-01' AS DATE),
+                                           CAST(ts AS DATE)))))
+                * 10000.0D) AS BIGINT)) AS decayed_scaled,
+           round(sum(CAST(floor((value
+                * (1.0D / (1.0D + datediff(CAST('2024-02-01' AS DATE),
+                                           CAST(ts AS DATE)))))
+                * 10000.0D) AS BIGINT)) / 10000.0D, 4) AS decayed_value
+    FROM events GROUP BY user_id
+"""
