@@ -122,6 +122,8 @@ def main() -> None:
         "q_time_decay",
         "q_char_class_stats",
         "q_score_normalize",
+        "q_hard_negatives",
+        "q_length_buckets",
         "q_pagerank",
     ):
         if extra in queries and extra not in names:

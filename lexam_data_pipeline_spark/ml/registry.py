@@ -46,6 +46,7 @@ from lexam_data_pipeline_spark.ml.pq import q_knn_ivfpq
 from lexam_data_pipeline_spark.ml.multimodal import q_multimodal_features
 from lexam_data_pipeline_spark.ml.quantize import q_embedding_quantize
 from lexam_data_pipeline_spark.ml.similarity import (
+    q_hard_negatives,
     q_knn_batch,
     q_knn_bruteforce,
     q_knn_lsh,
@@ -106,6 +107,7 @@ ML_QUERIES = {
     "q_bm25_topk": q_bm25_topk,
     "q_hybrid_rrf": q_hybrid_rrf,
     "q_pagerank": q_pagerank,
+    "q_hard_negatives": q_hard_negatives,
 }
 
 _SHINGLES = """
@@ -962,4 +964,33 @@ ML_ORACLES["q_hybrid_rrf"] = f"""
     FROM fused
     ORDER BY rrf_scaled DESC, doc_id ASC
     LIMIT 10
+"""
+
+
+ML_ORACLES["q_hard_negatives"] = """
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb
+        FROM embeddings ORDER BY vec_id LIMIT 4
+    ),
+    scored AS (
+        SELECT q.q_id, e.vec_id, e.label,
+               list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                   i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(generate_series(1, len(q.q_emb)),
+                      i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE), (x, y) -> x + y)))
+               AS cos_raw
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.q_id
+    ),
+    kept AS (SELECT * FROM scored WHERE cos_raw < 0.95),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_raw DESC, vec_id) AS rnk
+        FROM kept
+    )
+    SELECT q_id, vec_id, label, CAST(rnk AS INT) AS rnk,
+           round(cos_raw, 6) AS cosine
+    FROM ranked WHERE rnk <= 3
 """

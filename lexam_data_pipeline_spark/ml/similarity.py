@@ -168,3 +168,55 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining: per anchor, the top-3 most-similar
+    vectors that are NOT near-duplicates (cos < 0.95) — the standard
+    hard-negative selection for embedding-model training (near-dups
+    would be false negatives; easy negatives teach nothing).
+
+    Same two-level exact top-k as :func:`q_knn_batch` (local per-slice
+    rank, then global rank over survivors), with the dup-exclusion
+    pushed below BOTH rank stages so excluded rows never shuffle.
+    Oracle-exact: the sequential-fold cosine matches DuckDB
+    ``list_reduce`` bit for bit."""
+    k, batch, dup_cos = 3, 4, 0.95
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = (
+        emb.orderBy("vec_id")
+        .limit(batch)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("q_emb")).alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") < F.lit(dup_cos))
+    )
+    from pyspark.sql import Window
+
+    order = [F.desc("cos_raw"), F.asc("vec_id")]
+    local = Window.partitionBy("q_id", F.spark_partition_id()).orderBy(*order)
+    survivors = (
+        scored.withColumn("__lrnk", F.row_number().over(local))
+        .filter(F.col("__lrnk") <= k)
+        .drop("__lrnk")
+    )
+    final = Window.partitionBy("q_id").orderBy(*order)
+    return (
+        survivors.withColumn("rnk", F.row_number().over(final))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )

@@ -1782,3 +1782,43 @@ def q_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_score"),
         F.round(F.col("pct"), 4).alias("pct_rank"),
     )
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing for training-batch efficiency: power-of-2
+    token-count buckets with exact padding-waste accounting (pad every
+    sequence in a bucket to the bucket's capacity -> waste = padded -
+    real).  The report every batching policy is tuned against;
+    complements q_pack_sequences (which ELIMINATES the waste this query
+    MEASURES).
+
+    Engine-exact WITHOUT libm log2: the ceil-to-power-of-2 bucket is
+    ``2^bitlen(n-1)`` computed from the binary-string length of the
+    integer -- pure integer/string ops in both engines.  One narrow
+    shuffle of (bucket, 3 integers)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint")
+    bits = F.length(F.conv((F.col("n_tok") - 1).cast("string"), 10, 2)).cast("int")
+    # shiftleft's Python wrapper only takes an int bit count; the SQL
+    # function accepts a column — call it directly (same as ml/bloom.py)
+    bucket = F.when(F.col("n_tok") <= 1, F.lit(1)).otherwise(
+        F.call_function("shiftleft", F.lit(1), bits)
+    ).cast("bigint")
+    return (
+        docs.select(n_tok.alias("n_tok"))
+        .select("n_tok", bucket.alias("bucket_len"))
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_tok").alias("real_tokens"),
+        )
+        .select(
+            "bucket_len",
+            "n_seqs",
+            "real_tokens",
+            (F.col("n_seqs") * F.col("bucket_len")).alias("padded_tokens"),
+            (F.col("n_seqs") * F.col("bucket_len") - F.col("real_tokens")).alias(
+                "waste_tokens"
+            ),
+        )
+    )

@@ -870,3 +870,24 @@ CORE_ORACLES["q_score_normalize"] = """
            round(pct, 4) AS pct_rank
     FROM w
 """
+
+# Length bucketing: ceil-to-power-of-2 via binary-string length (no libm).
+CORE_ORACLES["q_length_buckets"] = r"""
+    WITH t AS (
+        SELECT CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    b AS (
+        SELECT n_tok,
+               CASE WHEN n_tok <= 1 THEN CAST(1 AS BIGINT)
+                    ELSE CAST(1 << length(bin(n_tok - 1)) AS BIGINT)
+               END AS bucket_len
+        FROM t
+    )
+    SELECT bucket_len,
+           count(*) AS n_seqs,
+           CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+           CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens,
+           CAST(count(*) * bucket_len - sum(n_tok) AS BIGINT) AS waste_tokens
+    FROM b GROUP BY bucket_len
+"""

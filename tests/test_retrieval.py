@@ -225,3 +225,46 @@ class TestBM25EdgeCases:
         assert row["n_terms"] == 2
         # idf = (1 - 1 + 0.5)/(1 + 0.5) = 1/3 > 0: scores stay positive
         assert row["score_scaled"] > 0
+
+
+class TestHardNegatives:
+    def test_excludes_near_duplicates(self, spark, sf_oracle):
+        from lexam_data_pipeline_spark.ml.similarity import q_hard_negatives
+
+        rows = q_hard_negatives(spark, sf_oracle).collect()
+        assert all(r["cosine"] < 0.95 for r in rows)
+        per_anchor = {}
+        for r in rows:
+            per_anchor.setdefault(r["q_id"], []).append(r)
+        assert len(per_anchor) == 4
+        for anchor_rows in per_anchor.values():
+            assert [r["rnk"] for r in sorted(anchor_rows, key=lambda x: x["rnk"])] == [1, 2, 3]
+            cosines = [r["cosine"] for r in sorted(anchor_rows, key=lambda x: x["rnk"])]
+            assert cosines == sorted(cosines, reverse=True)
+
+
+class TestLengthBuckets:
+    def test_bucket_math(self, spark, tmp_path):
+        import pandas as pd
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["w", "a b c", "a b c d", " ".join(["t"] * 9)],
+                "lang": ["en"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": [1, 5, 7, 17],
+            }
+        )
+        (tmp_path / "lb").mkdir()
+        docs.to_parquet(str(tmp_path / "lb" / "documents.parquet"))
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_length_buckets
+
+        rows = {r["bucket_len"]: r for r in q_length_buckets(spark, str(tmp_path / "lb")).collect()}
+        assert rows[1]["n_seqs"] == 1  # 1 token → bucket 1, zero waste
+        assert rows[1]["waste_tokens"] == 0
+        assert rows[4]["n_seqs"] == 2  # 3 and 4 tokens → bucket 4
+        assert rows[4]["real_tokens"] == 7
+        assert rows[4]["waste_tokens"] == 1
+        assert rows[16]["n_seqs"] == 1  # 9 tokens → bucket 16
+        assert rows[16]["waste_tokens"] == 7

@@ -66,6 +66,8 @@ PROBES = [
     "q_time_decay",
     "q_char_class_stats",
     "q_score_normalize",
+    "q_hard_negatives",
+    "q_length_buckets",
 ]
 
 OFFSETS = {
