@@ -124,6 +124,7 @@ def main() -> None:
         "q_score_normalize",
         "q_hard_negatives",
         "q_length_buckets",
+        "q_bpe_tokenize",
         "q_pagerank",
     ):
         if extra in queries and extra not in names:

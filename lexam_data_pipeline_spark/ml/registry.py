@@ -45,6 +45,7 @@ from lexam_data_pipeline_spark.ml.retrieval import q_bm25_topk, q_hybrid_rrf
 from lexam_data_pipeline_spark.ml.pq import q_knn_ivfpq
 from lexam_data_pipeline_spark.ml.multimodal import q_multimodal_features
 from lexam_data_pipeline_spark.ml.quantize import q_embedding_quantize
+from lexam_data_pipeline_spark.ml.tokenizer import q_bpe_tokenize
 from lexam_data_pipeline_spark.ml.similarity import (
     q_hard_negatives,
     q_knn_batch,
@@ -108,6 +109,7 @@ ML_QUERIES = {
     "q_hybrid_rrf": q_hybrid_rrf,
     "q_pagerank": q_pagerank,
     "q_hard_negatives": q_hard_negatives,
+    "q_bpe_tokenize": q_bpe_tokenize,
 }
 
 _SHINGLES = """

@@ -68,6 +68,7 @@ PROBES = [
     "q_score_normalize",
     "q_hard_negatives",
     "q_length_buckets",
+    "q_bpe_tokenize",
 ]
 
 OFFSETS = {
