@@ -125,6 +125,8 @@ def main() -> None:
         "q_hard_negatives",
         "q_length_buckets",
         "q_bpe_tokenize",
+        "q_judge_agreement",
+        "q_pr_curve",
         "q_pagerank",
     ):
         if extra in queries and extra not in names:

@@ -1822,3 +1822,82 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def q_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the marker-voting language classifier
+    (ml/textstats.q_lang_id) and ground truth, as binary is-English
+    judges — the inter-judge agreement statistic the reference's
+    LLM-as-judge tier needs (ref experiment_judgments carries multiple
+    judge_models per answer; the reference never computes agreement).
+
+    kappa = (po - pe) / (1 - pe), all terms rational in exact integer
+    counts from ONE aggregate over the classifier output — engine-exact,
+    no libm.  Scale: one scan + one 1-row reduction."""
+    from lexam_data_pipeline_spark.ml.textstats import q_lang_id
+
+    scored = q_lang_id(spark, sf_dir).select(
+        (F.col("lang") == "en").cast("int").alias("t"),
+        (F.col("predicted_lang") == "en").cast("int").alias("p"),
+    )
+    c = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((F.col("t") == 1) & (F.col("p") == 1)).cast("int")).alias("tp"),
+        F.sum(((F.col("t") == 0) & (F.col("p") == 0)).cast("int")).alias("tn"),
+        F.sum(((F.col("t") == 0) & (F.col("p") == 1)).cast("int")).alias("fp"),
+        F.sum(((F.col("t") == 1) & (F.col("p") == 0)).cast("int")).alias("fn"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("tp") + F.col("tn")) / n
+    pe = (
+        (F.col("tp") + F.col("fp")) * (F.col("tp") + F.col("fn"))
+        + (F.col("tn") + F.col("fn")) * (F.col("tn") + F.col("fp"))
+    ) / (n * n)
+    return c.select(
+        "n",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("tn").cast("bigint").alias("tn"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.round(po, 4).alias("observed_agreement"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 4).alias("kappa"),
+    )
+
+
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall sweep for a threshold classifier (predict
+    'purchase' when ``value >= t``) over a fixed threshold grid — the
+    eval every trained quality-filter needs before a curation rollout
+    (SURVEY north star; ref experiment_stats stops at accuracy).
+
+    Scale shape: ONE wide aggregate computes tp/fp/fn for every
+    threshold as conditional sums (map-side combined, zero extra
+    shuffle), then ``stack`` pivots the single row into per-threshold
+    rows — never a thresholds×events cross join.  All ratios divide
+    exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    thresholds = [25, 50, 100, 150, 200, 250, 300, 350, 400, 450]
+    pos = F.col("event_type") == "purchase"
+    aggs = [F.sum(pos.cast("int")).alias("pos_total")]
+    for t in thresholds:
+        hit = F.col("value") >= t
+        aggs.append(F.sum((pos & hit).cast("int")).alias(f"tp_{t}"))
+        aggs.append(F.sum(((~pos) & hit).cast("int")).alias(f"fp_{t}"))
+    wide = ev.agg(*aggs)
+    stack_args = ", ".join(f"{t}, tp_{t}, fp_{t}" for t in thresholds)
+    long = wide.select(
+        "pos_total",
+        F.expr(
+            f"stack({len(thresholds)}, {stack_args}) AS (threshold, tp, fp)"
+        ),
+    )
+    return long.select(
+        F.col("threshold").cast("int").alias("threshold"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.round(
+            F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(F.lit(0.0)),
+            4,
+        ).alias("precision"),
+        F.round(F.col("tp") / F.col("pos_total"), 4).alias("recall"),
+    )

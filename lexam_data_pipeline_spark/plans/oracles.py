@@ -891,3 +891,74 @@ CORE_ORACLES["q_length_buckets"] = r"""
            CAST(count(*) * bucket_len - sum(n_tok) AS BIGINT) AS waste_tokens
     FROM b GROUP BY bucket_len
 """
+
+# Cohen's kappa over the lang-ID classifier: rational in exact counts.
+CORE_ORACLES["q_judge_agreement"] = """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                              t -> lower(t)) AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(toks, t -> t IN ('the', 'and', 'of', 'to', 'is'))) AS score_en,
+               len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS score_de,
+               len(list_filter(toks, t -> t IN ('le', 'la', 'les', 'et', 'est'))) AS score_fr,
+               len(list_filter(toks, t -> t IN ('el', 'la', 'los', 'y', 'es'))) AS score_es
+        FROM toks
+    ),
+    best_t AS (
+        SELECT *, greatest(score_en, score_de, score_fr, score_es) AS best
+        FROM scored
+    ),
+    pred AS (
+        SELECT CAST(lang = 'en' AS INT) AS t,
+               CAST((CASE WHEN best <= 0 THEN 'unknown'
+                          WHEN score_en = best THEN 'en'
+                          WHEN score_de = best THEN 'de'
+                          WHEN score_fr = best THEN 'fr'
+                          WHEN score_es = best THEN 'es'
+                     END) = 'en' AS INT) AS p
+        FROM best_t
+    ),
+    c AS (
+        SELECT count(*) AS n,
+               CAST(sum(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+               CAST(sum(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM pred
+    )
+    SELECT n, tp, tn, fp, fn,
+           round((tp + tn) / CAST(n AS DOUBLE), 4) AS observed_agreement,
+           round(((tp + tn) / CAST(n AS DOUBLE)
+                  - ((tp + fp) * (tp + fn) + (tn + fn) * (tn + fp))
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0 - ((tp + fp) * (tp + fn) + (tn + fn) * (tn + fp))
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 4) AS kappa
+    FROM c
+"""
+
+# PR sweep: one wide conditional aggregate, pivoted to threshold rows.
+def _pr_curve_oracle() -> str:
+    thresholds = [25, 50, 100, 150, 200, 250, 300, 350, 400, 450]
+    rows = []
+    for t in thresholds:
+        rows.append(f"""
+        SELECT {t} AS threshold,
+               CAST(sum(CASE WHEN event_type = 'purchase' AND value >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN event_type <> 'purchase' AND value >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pos_total
+        FROM events""")
+    union = " UNION ALL ".join(rows)
+    return f"""
+    WITH grid AS ({union})
+    SELECT threshold, tp, fp,
+           round(CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END, 4) AS precision,
+           round(tp / CAST(pos_total AS DOUBLE), 4) AS recall
+    FROM grid
+    """
+
+
+CORE_ORACLES["q_pr_curve"] = _pr_curve_oracle()

@@ -268,3 +268,34 @@ class TestLengthBuckets:
         assert rows[4]["waste_tokens"] == 1
         assert rows[16]["n_seqs"] == 1  # 9 tokens → bucket 16
         assert rows[16]["waste_tokens"] == 7
+
+
+class TestEvalOps:
+    def test_kappa_perfect_agreement(self, spark, tmp_path):
+        import pandas as pd
+
+        # texts whose marker votes exactly match the lang column
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["the cat is here", "der hund ist gut", "the dog is fast", "le chat est la"],
+                "lang": ["en", "de", "en", "fr"],
+                "source": ["s"] * 4,
+                "n_chars": [10] * 4,
+            }
+        )
+        (tmp_path / "ka").mkdir()
+        docs.to_parquet(str(tmp_path / "ka" / "documents.parquet"))
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_judge_agreement
+
+        row = q_judge_agreement(spark, str(tmp_path / "ka")).collect()[0]
+        assert row["observed_agreement"] == 1.0
+        assert row["kappa"] == 1.0
+
+    def test_pr_curve_monotone_recall(self, spark, sf_small):
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_pr_curve
+
+        rows = sorted(q_pr_curve(spark, sf_small).collect(), key=lambda r: r["threshold"])
+        recalls = [r["recall"] for r in rows]
+        assert recalls == sorted(recalls, reverse=True)  # recall falls as t rises
+        assert all(0.0 <= r["precision"] <= 1.0 for r in rows)

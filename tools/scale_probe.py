@@ -69,6 +69,8 @@ PROBES = [
     "q_hard_negatives",
     "q_length_buckets",
     "q_bpe_tokenize",
+    "q_judge_agreement",
+    "q_pr_curve",
 ]
 
 OFFSETS = {
