@@ -39,6 +39,7 @@ def pagerank(
     n_iter: int = N_ITER,
     damping: float = DAMPING,
     symmetric: bool = False,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """PageRank over directed ``(src, dst)`` edges; returns ``node, rank``.
 
@@ -54,10 +55,18 @@ def pagerank(
     table onto the cached edge list) + one groupBy shuffle — measured
     ~40% faster at sf0.1, and one fewer shuffle per iteration at any
     scale.
+
+    ``assume_distinct=True`` skips the defensive edge dedup — correct
+    whenever the caller's edge list is already distinct (e.g. the union
+    of both directions of a distinct pair set over disjoint node
+    namespaces, as in :func:`q_pagerank`); saves one full shuffle of
+    the edge list.
     """
     from lexam_data_pipeline_spark.operators.caching import persist_slot
 
-    edges = edges.select("src", "dst").distinct()
+    edges = edges.select("src", "dst")
+    if not assume_distinct:
+        edges = edges.distinct()
     # out-degree rides along with each edge: one small join, cached once
     # — the one persist that matters (the edge list feeds every round)
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
@@ -114,7 +123,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
     ).union(pairs.select(F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")))
-    ranks = pagerank(edges, symmetric=True)
+    # the two directions live in disjoint even/odd namespaces, so the
+    # union of the distinct pair set is distinct by construction
+    ranks = pagerank(edges, symmetric=True, assume_distinct=True)
     return (
         ranks.orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
