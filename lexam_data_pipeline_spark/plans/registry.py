@@ -100,8 +100,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # round so no never-checked key loses its slot): q_bm25_topk,
     # q_hybrid_rrf, q_outlier_mad, q_winsorized_stats, q_time_decay,
     # q_char_class_stats, q_pagerank, q_score_normalize, q_hard_negatives,
-    # q_length_buckets — all parity-swept in
-    # CORRECTNESS_SELF.json meanwhile.)
+    # q_length_buckets, q_bpe_tokenize, q_judge_agreement, q_pr_curve —
+    # all parity-swept in CORRECTNESS_SELF.json meanwhile, at sf0.001,
+    # sf0.01 AND sf0.1.)
     # (rotated out: q_embedding_norms (trivial norm map, parity-swept) and
     # q_knn_lsh, q_simhash_buckets, q_knn_ivf and
     # q_minhash_lsh_pairs (rows-only rows in r01, recall pytest-bounded),
