@@ -81,6 +81,8 @@ def pagerank(
             "graph.nodes",
         )
     n_nodes = nodes.count()  # O(1) driver scalar, not a data collect
+    if n_nodes == 0:  # empty graph: empty ranking, schema preserved
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     teleport = (1.0 - damping) / n_nodes
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))

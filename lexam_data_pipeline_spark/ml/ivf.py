@@ -135,6 +135,9 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is data-dependent; tests/test_dedup_sketches.py bounds its
     top-10 overlap against q_knn_bruteforce)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    qhead = emb.orderBy("vec_id").limit(1).collect()
+    if not qhead:  # empty corpus: no query vector, no index — empty result
+        return spark.createDataFrame([], "vec_id long, cluster int, cosine double")
     key = (sf_dir, 16, 3)
     if _IVF_CACHE.get("key") == key:
         assigned, centroids = _IVF_CACHE["index"]
@@ -145,7 +148,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             _IVF_CACHE["index"][0].unpersist()
         _IVF_CACHE["key"] = key
         _IVF_CACHE["index"] = (assigned, centroids)
-    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    qrow = qhead[0]
     query_vec = [float(x) for x in qrow["embedding"]]
     return ivf_search(
         assigned.filter(F.col("vec_id") != qrow["vec_id"]), centroids, query_vec

@@ -194,6 +194,11 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-10 for the lowest-vec_id query vector (rows-only;
     tests/test_pq.py bounds recall vs q_knn_bruteforce)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    qhead = emb.orderBy("vec_id").limit(1).collect()
+    if not qhead:  # empty corpus: no query vector, no index — empty result
+        return spark.createDataFrame(
+            [], "vec_id long, cluster int, adc double, cosine double"
+        )
     key = (sf_dir, 16, 8, 16)
     if _PQ_CACHE.get("key") == key:
         encoded, centroids, books = _PQ_CACHE["index"]
@@ -204,7 +209,7 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             _PQ_CACHE["index"][0].unpersist()
         _PQ_CACHE["key"] = key
         _PQ_CACHE["index"] = (encoded, centroids, books)
-    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    qrow = qhead[0]
     query_vec = [float(x) for x in qrow["embedding"]]
     return ivfpq_search(
         encoded.filter(F.col("vec_id") != qrow["vec_id"]),

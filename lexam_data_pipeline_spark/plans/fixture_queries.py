@@ -1533,8 +1533,14 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t1").alias("n_step_view"),
         F.count("t2").alias("n_step_click"),
         F.count("t3").alias("n_step_purchase"),
-        F.round(F.count("t2") / F.count("t1"), 4).alias("conv_view_click"),
-        F.round(F.count("t3") / F.count("t2"), 4).alias("conv_click_purchase"),
+        # when(>0): 0/0 would raise under ANSI on an empty corpus; NULL
+        # matches the oracle's SQL division semantics on real data
+        F.round(
+            F.when(F.count("t1") > 0, F.count("t2") / F.count("t1")), 4
+        ).alias("conv_view_click"),
+        F.round(
+            F.when(F.count("t2") > 0, F.count("t3") / F.count("t2")), 4
+        ).alias("conv_click_purchase"),
     )
 
 
