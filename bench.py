@@ -127,6 +127,7 @@ def main() -> None:
         "q_bpe_tokenize",
         "q_judge_agreement",
         "q_pr_curve",
+        "q_kfold_assign",
         "q_pagerank",
     ):
         if extra in queries and extra not in names:

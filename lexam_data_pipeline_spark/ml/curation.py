@@ -674,3 +674,33 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=50,
     )
     return out.select(F.col("__k").alias("doc_id"), "w", "priority")
+
+
+def kfold_assign(key: Column, k: int = 5, salt: str = "fold") -> Column:
+    """Deterministic k-fold assignment (cross-validation / sharded
+    evaluation): fold i gets the hash buckets in [i/k, (i+1)/k).
+
+    Built on the same proven primitive as hash_sample/split_assign —
+    fixed-width lowercase hex compares numerically, so the fold is a sum
+    of k-1 threshold comparisons: pure string ops, engine-exact, stable
+    under repartition/retry, and a row's fold never changes across
+    pipeline runs (no eval-set leakage)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = hash_bucket(key, salt)
+    fold = F.lit(0)
+    for i in range(1, k):
+        fold = fold + (h >= F.lit(hex_threshold(i / k))).cast("int")
+    return fold.alias("fold")
+
+
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold manifest over documents: docs and token mass per fold —
+    the shard plan for cross-validated filter training or parallel eval."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "fold", kfold_assign(F.col("doc_id"), k=5)
+    )
+    return docs.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(word_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )

@@ -27,6 +27,7 @@ from lexam_data_pipeline_spark.ml.cms import q_heavy_hitters
 from lexam_data_pipeline_spark.ml.decontam import q_decontaminate_docs
 from lexam_data_pipeline_spark.ml.curation import (
     q_chunk_overlap,
+    q_kfold_assign,
     q_sample_weighted,
     q_curation_pipeline,
     q_pack_sequences,
@@ -110,6 +111,7 @@ ML_QUERIES = {
     "q_pagerank": q_pagerank,
     "q_hard_negatives": q_hard_negatives,
     "q_bpe_tokenize": q_bpe_tokenize,
+    "q_kfold_assign": q_kfold_assign,
 }
 
 _SHINGLES = """
@@ -996,3 +998,22 @@ ML_ORACLES["q_hard_negatives"] = """
            round(cos_raw, 6) AS cosine
     FROM ranked WHERE rnk <= 3
 """
+
+
+def _kfold_oracle(k: int = 5, salt: str = "fold") -> str:
+    from lexam_data_pipeline_spark.ml.curation import hex_threshold
+
+    cases = " ".join(
+        f"+ CASE WHEN substring(md5(concat('{salt}', CAST(doc_id AS VARCHAR))), 1, 8)"
+        f" >= '{hex_threshold(i / k)}' THEN 1 ELSE 0 END"
+        for i in range(1, k)
+    )
+    return rf"""
+        SELECT (0 {cases}) AS fold,
+               count(*) AS n_docs,
+               CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    """
+
+
+ML_ORACLES["q_kfold_assign"] = _kfold_oracle()

@@ -195,3 +195,31 @@ def test_split_assign_deterministic_and_partitioned(spark):
     assert counts["train"] / 4000 == pytest.approx(12 / 16, abs=0.05)
     assert counts["val"] / 4000 == pytest.approx(2 / 16, abs=0.03)
     assert counts["test"] / 4000 == pytest.approx(2 / 16, abs=0.03)
+
+
+class TestKFold:
+    def test_kfold_partition_properties(self, spark, sf_small):
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.ml.curation import kfold_assign
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, sf_small, "documents")
+        folded = docs.withColumn("fold", kfold_assign(F.col("doc_id"), k=5))
+        counts = {r["fold"]: r["count"] for r in folded.groupBy("fold").count().collect()}
+        assert set(counts) == {0, 1, 2, 3, 4}  # every fold populated
+        n = sum(counts.values())
+        assert n == docs.count()  # a partition: no row lost or duplicated
+        assert max(counts.values()) < 2 * min(counts.values())  # near-uniform
+        # stability: re-computation assigns identical folds
+        again = docs.withColumn("fold", kfold_assign(F.col("doc_id"), k=5))
+        assert folded.select("doc_id", "fold").exceptAll(
+            again.select("doc_id", "fold")
+        ).count() == 0
+
+    def test_k_must_be_at_least_two(self, spark):
+        import pytest as _pytest
+        from lexam_data_pipeline_spark.ml.curation import kfold_assign
+        from pyspark.sql import functions as F
+
+        with _pytest.raises(ValueError):
+            kfold_assign(F.col("x"), k=1)
