@@ -100,7 +100,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # round so no never-checked key loses its slot): q_bm25_topk,
     # q_hybrid_rrf, q_outlier_mad, q_winsorized_stats, q_time_decay,
     # q_char_class_stats, q_pagerank, q_score_normalize, q_hard_negatives,
-    # q_length_buckets, q_bpe_tokenize, q_judge_agreement, q_pr_curve —
+    # q_length_buckets, q_bpe_tokenize, q_judge_agreement, q_pr_curve,
+    # q_kfold_assign —
     # all parity-swept in CORRECTNESS_SELF.json meanwhile, at sf0.001,
     # sf0.01 AND sf0.1.)
     # (rotated out: q_embedding_norms (trivial norm map, parity-swept) and
