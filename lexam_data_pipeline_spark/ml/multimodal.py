@@ -116,7 +116,15 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataF
         import pandas as _pd
 
         def decode(payload, _media_type):
-            feats = real_decode(payload)
+            try:
+                feats = real_decode(payload)
+            except Exception:
+                # sniffed as WAV/PPM but malformed/unsupported-depth: in
+                # fake mode degrade like any undecodable payload instead
+                # of failing the task (fake mode's no-raise contract)
+                if not fake:
+                    raise
+                feats = None
             if feats is not None:
                 return feats
             if not fake:
@@ -209,8 +217,12 @@ def resize_media(
                     continue
                 payload = bytes(payload)
                 if _sniff(payload) == "ppm":
-                    out_payload.append(_enc(_resize(_dec(payload), tw, th)))
-                    continue
+                    try:
+                        out_payload.append(_enc(_resize(_dec(payload), tw, th)))
+                        continue
+                    except Exception:
+                        if not fake:  # malformed PPM: fake mode degrades
+                            raise
                 if not fake:
                     raise NotImplementedError(
                         "compressed media resize needs a codec library"

@@ -903,9 +903,13 @@ def _bm25_cte() -> str:
         dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
         scored AS (
             SELECT p.doc_id,
-                   CAST(floor(((s.n_docs - d.df + 0.5) / (d.df + 0.5))
-                        * ((p.tf * {K1_PLUS_1!r}) / (p.tf + {K1!r} * (1.0 - {B!r} + {B!r} * (p.dl / s.avgdl))))
-                        * {float(SCORE_SCALE)!r}) AS BIGINT) AS s_term
+                   -- every float literal cast: DuckDB types bare 2.2 as
+                   -- DECIMAL(2,1), whose exact-then-convert arithmetic can
+                   -- differ from Spark's double path by 1 ulp — enough to
+                   -- flip floor() at integer boundaries
+                   CAST(floor(((s.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+                        * ((p.tf * {K1_PLUS_1!r}::DOUBLE) / (p.tf + {K1!r}::DOUBLE * (1.0::DOUBLE - {B!r}::DOUBLE + {B!r}::DOUBLE * (p.dl / s.avgdl))))
+                        * {float(SCORE_SCALE)!r}::DOUBLE) AS BIGINT) AS s_term
             FROM postings p JOIN dfs d USING (term) CROSS JOIN stats s
         ),
         bm25_t AS (

@@ -72,9 +72,11 @@ def _decontaminate(df: DataFrame, spec: dict) -> DataFrame:
     id_col = spec.get("id_col", "doc_id")
     bench = df.sparkSession.table(spec["benchmark_table"]) if "benchmark_table" in spec else None
     if bench is None:
-        # benchmark defined as a predicate over the corpus itself
+        # benchmark defined as a predicate over the corpus itself; NULL
+        # predicate rows belong to the corpus side (plain NOT() would
+        # silently drop them from both sides)
         bench = df.where(spec["benchmark"])
-        df = df.where(f"NOT ({spec['benchmark']})")
+        df = df.where(f"NOT coalesce(({spec['benchmark']}), false)")
     hits = decontaminate(df, bench, id_col=id_col, n=spec.get("n", 8))
     return df.join(hits.select(id_col), id_col, "left_anti")
 

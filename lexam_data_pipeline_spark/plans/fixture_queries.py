@@ -1689,7 +1689,12 @@ def q_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 before the order-independent integer sum.  Scale: pure
     map-side arithmetic + one groupBy shuffle of (user, int64)."""
     ev = load_table(spark, sf_dir, "events")
-    age = F.datediff(F.lit("2024-02-01").cast("date"), F.col("ts").cast("date"))
+    # clamp to 0: an event after the reference date must weigh like "now",
+    # not divide by zero (age=-1) or go negative
+    age = F.greatest(
+        F.datediff(F.lit("2024-02-01").cast("date"), F.col("ts").cast("date")),
+        F.lit(0),
+    )
     w = F.lit(1.0) / (F.lit(1.0) + age)
     contrib = F.floor((F.col("value") * w) * F.lit(10000.0)).cast("bigint")
     return (
@@ -1745,14 +1750,15 @@ def q_char_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         + p("c_space") * p("c_space")
         + p_other * p_other
     )
+    nonzero = F.col("c_total") > 0  # all-empty-text groups: NULL, not 0/0
     return agg.select(
         "lang",
         "n_docs",
         "c_alpha",
         "c_digit",
         "c_space",
-        F.round(p("c_alpha"), 4).alias("alpha_ratio"),
-        F.round(gini, 4).alias("class_gini"),
+        F.round(F.when(nonzero, p("c_alpha")), 4).alias("alpha_ratio"),
+        F.round(F.when(nonzero, gini), 4).alias("class_gini"),
     )
 
 
@@ -1780,7 +1786,12 @@ def q_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(wo).alias("pct"),
     )
     n, s, ss = F.col("n"), F.col("s"), F.col("ss")
-    z = (F.col("n_chars") - s / n) / F.sqrt((n * ss - s * s) / (n * (n - F.lit(1.0))))
+    # zero variance (or a single-doc source) → no z-score, not a 0-division
+    # (ANSI mode raises on x/0.0; the oracle's CASE yields NULL identically)
+    z = F.when(
+        n * ss - s * s > 0,
+        (F.col("n_chars") - s / n) / F.sqrt((n * ss - s * s) / (n * (n - F.lit(1.0)))),
+    )
     return stats.select(
         "doc_id",
         "source",
@@ -1866,7 +1877,10 @@ def q_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fp").cast("bigint").alias("fp"),
         F.col("fn").cast("bigint").alias("fn"),
         F.round(po, 4).alias("observed_agreement"),
-        F.round((po - pe) / (F.lit(1.0) - pe), 4).alias("kappa"),
+        # pe=1 (homogeneous labels) → kappa undefined, not a 0/0 crash
+        F.round(
+            F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)), 4
+        ).alias("kappa"),
     )
 
 
@@ -1905,5 +1919,7 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(F.lit(0.0)),
             4,
         ).alias("precision"),
-        F.round(F.col("tp") / F.col("pos_total"), 4).alias("recall"),
+        F.round(
+            F.when(F.col("pos_total") > 0, F.col("tp") / F.col("pos_total")), 4
+        ).alias("recall"),
     )

@@ -810,12 +810,12 @@ CORE_ORACLES["q_time_decay"] = """
     SELECT user_id,
            count(*) AS n_events,
            CAST(sum(CAST(floor(value
-                    * (1.0 / (1.0 + datediff('day', CAST(ts AS DATE),
-                                             DATE '2024-02-01')))
+                    * (1.0 / (1.0 + greatest(datediff('day', CAST(ts AS DATE),
+                                                      DATE '2024-02-01'), 0)))
                     * 10000.0) AS BIGINT)) AS BIGINT) AS decayed_scaled,
            round(CAST(sum(CAST(floor(value
-                    * (1.0 / (1.0 + datediff('day', CAST(ts AS DATE),
-                                             DATE '2024-02-01')))
+                    * (1.0 / (1.0 + greatest(datediff('day', CAST(ts AS DATE),
+                                                      DATE '2024-02-01'), 0)))
                     * 10000.0) AS BIGINT)) AS BIGINT) / 10000.0, 4)
                AS decayed_value
     FROM events GROUP BY user_id
@@ -841,12 +841,14 @@ CORE_ORACLES["q_char_class_stats"] = """
         FROM counted GROUP BY lang
     )
     SELECT lang, n_docs, c_alpha, c_digit, c_space,
-           round(c_alpha / c_total, 4) AS alpha_ratio,
-           round(1.0 - ((c_alpha / c_total) * (c_alpha / c_total)
+           round(CASE WHEN c_total > 0 THEN c_alpha / c_total END, 4) AS alpha_ratio,
+           round(CASE WHEN c_total > 0 THEN
+                 1.0 - ((c_alpha / c_total) * (c_alpha / c_total)
                         + (c_digit / c_total) * (c_digit / c_total)
                         + (c_space / c_total) * (c_space / c_total)
                         + ((c_total - c_alpha - c_digit - c_space) / c_total)
-                          * ((c_total - c_alpha - c_digit - c_space) / c_total)), 4)
+                          * ((c_total - c_alpha - c_digit - c_space) / c_total))
+                 END, 4)
                AS class_gini
     FROM agg
 """
@@ -865,8 +867,10 @@ CORE_ORACLES["q_score_normalize"] = """
         FROM documents
     )
     SELECT doc_id, source, n_chars,
-           round((n_chars - s / n)
-                 / sqrt((n * ss - s * s) / (n * (n - 1.0))), 4) AS z_score,
+           round(CASE WHEN n * ss - s * s > 0
+                      THEN (n_chars - s / n)
+                           / sqrt((n * ss - s * s) / (n * (n - 1.0)))
+                 END, 4) AS z_score,
            round(pct, 4) AS pct_rank
     FROM w
 """
@@ -932,11 +936,14 @@ CORE_ORACLES["q_judge_agreement"] = """
     )
     SELECT n, tp, tn, fp, fn,
            round((tp + tn) / CAST(n AS DOUBLE), 4) AS observed_agreement,
-           round(((tp + tn) / CAST(n AS DOUBLE)
-                  - ((tp + fp) * (tp + fn) + (tn + fn) * (tn + fp))
-                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
-                 / (1.0 - ((tp + fp) * (tp + fn) + (tn + fn) * (tn + fp))
-                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 4) AS kappa
+           round(CASE WHEN ((tp + fp) * (tp + fn) + (tn + fn) * (tn + fp))
+                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+                      THEN ((tp + tn) / CAST(n AS DOUBLE)
+                            - ((tp + fp) * (tp + fn) + (tn + fn) * (tn + fp))
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                           / (1.0 - ((tp + fp) * (tp + fn) + (tn + fn) * (tn + fp))
+                                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 END, 4) AS kappa
     FROM c
 """
 
@@ -956,7 +963,7 @@ def _pr_curve_oracle() -> str:
     WITH grid AS ({union})
     SELECT threshold, tp, fp,
            round(CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END, 4) AS precision,
-           round(tp / CAST(pos_total AS DOUBLE), 4) AS recall
+           round(CASE WHEN pos_total > 0 THEN tp / CAST(pos_total AS DOUBLE) END, 4) AS recall
     FROM grid
     """
 

@@ -113,8 +113,14 @@ class SnapshotTable:
     def delete_where(self, predicate: Column) -> int:
         """Predicate delete as a retained-rows rewrite (ref
         routers/generation.py:78-80's bulk delete) — a new version, so
-        readers of older versions are unaffected (MVCC)."""
-        retained = self.read().filter(~predicate)
+        readers of older versions are unaffected (MVCC).
+
+        SQL DELETE semantics: only rows where the predicate is TRUE are
+        deleted — predicate-NULL rows are RETAINED (``~pred`` alone would
+        silently drop them)."""
+        from pyspark.sql import functions as F
+
+        retained = self.read().filter(~predicate.eqNullSafe(F.lit(True)))
         return self.write(retained, mode="overwrite")
 
     def upsert(self, updates: DataFrame, key: str) -> int:
@@ -155,7 +161,9 @@ class SnapshotTable:
         """Drop manifests older than the last ``keep_last`` versions and
         unlink data directories nothing references; returns removed dirs."""
         vs = self.versions()
-        keep_vs = vs[-keep_last:]
+        # NOT vs[-keep_last:]: Python's -0 slice would keep EVERY version's
+        # dirs referenced while the loop below deletes every manifest
+        keep_vs = vs[-keep_last:] if keep_last > 0 else []
         referenced: set[str] = set()
         for v in keep_vs:
             referenced.update(self._manifest(v)["dirs"])

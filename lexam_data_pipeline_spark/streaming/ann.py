@@ -46,6 +46,9 @@ def start_streaming_ivf_ingest(
     """
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
+        # dedup inside the batch too (at-least-once sources can repeat a
+        # vec_id within one trigger)
+        batch = batch.dropDuplicates(["vec_id"])
         prev = read_state()
         if prev is not None:
             seen = prev.select("vec_id").distinct()

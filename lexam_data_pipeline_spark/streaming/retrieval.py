@@ -54,6 +54,10 @@ def start_streaming_index(
     """
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
+        # first-sight-wins INSIDE the batch too: an at-least-once source
+        # may deliver the same doc twice within one trigger, which would
+        # double tf and n_docs
+        batch = batch.dropDuplicates(["doc_id"])
         prev_postings = read_postings()
         if prev_postings is not None:
             # first-sight wins: an already-indexed doc re-delivered by a
