@@ -210,12 +210,12 @@ SQL_QUERIES["q_time_decay"] = """
     SELECT user_id,
            count(*) AS n_events,
            sum(CAST(floor((value
-                * (1.0D / (1.0D + datediff(CAST('2024-02-01' AS DATE),
-                                           CAST(ts AS DATE)))))
+                * (1.0D / (1.0D + greatest(datediff(CAST('2024-02-01' AS DATE),
+                                              CAST(ts AS DATE)), 0))))
                 * 10000.0D) AS BIGINT)) AS decayed_scaled,
            round(sum(CAST(floor((value
-                * (1.0D / (1.0D + datediff(CAST('2024-02-01' AS DATE),
-                                           CAST(ts AS DATE)))))
+                * (1.0D / (1.0D + greatest(datediff(CAST('2024-02-01' AS DATE),
+                                              CAST(ts AS DATE)), 0))))
                 * 10000.0D) AS BIGINT)) / 10000.0D, 4) AS decayed_value
     FROM events GROUP BY user_id
 """
