@@ -128,6 +128,8 @@ def main() -> None:
         "q_judge_agreement",
         "q_pr_curve",
         "q_kfold_assign",
+        "q_hourly_anomalies",
+        "q_cooccur_lift",
         "q_pagerank",
     ):
         if extra in queries and extra not in names:

@@ -1923,3 +1923,96 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("pos_total") > 0, F.col("tp") / F.col("pos_total")), 4
         ).alias("recall"),
     )
+
+
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly report: per event type, how many hourly
+    activity buckets sit beyond 2.5 sigma of that type's hourly mean —
+    the monitoring query every ingest pipeline runs over its own volume
+    telemetry (ST2 analog; ref progress.py tracks rates but never
+    baselines them).
+
+    Engine-exact: hourly counts are integers; mean/std come from exact
+    integer window moments (same shape as q_score_normalize); the z
+    comparison is identical IEEE arithmetic in both engines, guarded
+    against zero variance.  Two shuffles: the hourly rollup, then the
+    per-type moments window + final aggregate on the same partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type")
+    m = (
+        hourly.withColumn("n", F.count(F.lit(1)).over(w).cast("double"))
+        .withColumn("s", F.sum("cnt").over(w).cast("double"))
+        .withColumn("ss", F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("double"))
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    z = F.when(
+        n * ss - s * s > 0,
+        (F.col("cnt") - s / n) / F.sqrt((n * ss - s * s) / (n * (n - F.lit(1.0)))),
+    )
+    flagged = m.withColumn("z", z)
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.when(F.abs(F.col("z")) > 2.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_anomalous"),
+        F.round(F.max(F.abs(F.col("z"))), 4).alias("max_abs_z"),
+    )
+
+
+def q_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term co-occurrence lift: top-15 word pairs by
+    ``P(a,b) / (P(a)·P(b))`` over document-level presence — the
+    log-free PMI twin used to mine collocations / topic seeds during
+    corpus analysis.
+
+    Lift is rational in exact integer doc counts, floor-scaled to int64
+    (order-independent); deterministic (lift, a, b) tiebreak before the
+    LIMIT.  Scale: pairs explode as presence-pairs per doc — O(v²) in
+    DISTINCT terms per doc, the standard cap being a df ceiling as in
+    q_dedup_ngram_jaccard; the pair aggregate is map-side combined and
+    the top-k compiles to TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("ts")
+    )
+    n_docs = toks.agg(F.count(F.lit(1)).alias("n_docs"))
+    terms = toks.select("doc_id", F.explode("ts").alias("t")).filter(F.col("t") != "")
+    term_n = terms.groupBy(F.col("t")).agg(F.count(F.lit(1)).alias("tn"))
+    pairs = (
+        terms.alias("x")
+        .join(terms.alias("y"), "doc_id")
+        .filter(F.col("x.t") < F.col("y.t"))
+        .groupBy(F.col("x.t").alias("a"), F.col("y.t").alias("b"))
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+    )
+    an = term_n.select(F.col("t").alias("a"), F.col("tn").alias("a_n"))
+    bn = term_n.select(F.col("t").alias("b"), F.col("tn").alias("b_n"))
+    scored = (
+        pairs.join(F.broadcast(an), "a")
+        .join(F.broadcast(bn), "b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "a",
+            "b",
+            "pair_n",
+            F.floor(
+                ((F.col("pair_n") * F.col("n_docs")) / (F.col("a_n") * F.col("b_n")))
+                * F.lit(1000000.0)
+            ).cast("bigint").alias("lift_scaled"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("lift_scaled"), F.asc("a"), F.asc("b"))
+        .limit(15)
+        .select(
+            "a",
+            "b",
+            "pair_n",
+            "lift_scaled",
+            F.round(F.col("lift_scaled") / F.lit(1000000.0), 4).alias("lift"),
+        )
+    )

@@ -969,3 +969,66 @@ def _pr_curve_oracle() -> str:
 
 
 CORE_ORACLES["q_pr_curve"] = _pr_curve_oracle()
+
+# Hourly anomaly z from exact integer window moments; zero-variance nulls.
+CORE_ORACLES["q_hourly_anomalies"] = """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, cnt,
+               CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n,
+               CAST(sum(cnt) OVER (PARTITION BY event_type) AS DOUBLE) AS s,
+               CAST(sum(cnt * cnt) OVER (PARTITION BY event_type) AS DOUBLE) AS ss
+        FROM hourly
+    ),
+    flagged AS (
+        SELECT event_type,
+               CASE WHEN n * ss - s * s > 0
+                    THEN (cnt - s / n) / sqrt((n * ss - s * s) / (n * (n - 1.0)))
+               END AS z
+        FROM m
+    )
+    SELECT event_type,
+           count(*) AS n_hours,
+           CAST(sum(CASE WHEN abs(z) > 2.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anomalous,
+           round(max(abs(z)), 4) AS max_abs_z
+    FROM flagged GROUP BY event_type
+"""
+
+# Co-occurrence lift: rational in exact doc counts, floor-scaled int64.
+CORE_ORACLES["q_cooccur_lift"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ts
+        FROM documents
+    ),
+    n_t AS (SELECT count(*) AS n_docs FROM toks),
+    terms AS (
+        SELECT doc_id, unnest(ts) AS t FROM toks
+    ),
+    terms_f AS (SELECT doc_id, t FROM terms WHERE t <> ''),
+    term_n AS (SELECT t, count(*) AS tn FROM terms_f GROUP BY t),
+    pairs AS (
+        SELECT x.t AS a, y.t AS b, count(*) AS pair_n
+        FROM terms_f x JOIN terms_f y ON x.doc_id = y.doc_id AND x.t < y.t
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT a, b, pair_n,
+               CAST(floor(((pair_n * n_docs) / (an.tn * bn.tn)) * 1000000.0::DOUBLE)
+                    AS BIGINT) AS lift_scaled
+        FROM pairs
+        JOIN term_n an ON an.t = pairs.a
+        JOIN term_n bn ON bn.t = pairs.b
+        CROSS JOIN n_t
+    )
+    SELECT a, b, pair_n, lift_scaled,
+           round(lift_scaled / 1000000.0::DOUBLE, 4) AS lift
+    FROM scored
+    ORDER BY lift_scaled DESC, a ASC, b ASC
+    LIMIT 15
+"""

@@ -299,3 +299,51 @@ class TestEvalOps:
         recalls = [r["recall"] for r in rows]
         assert recalls == sorted(recalls, reverse=True)  # recall falls as t rises
         assert all(0.0 <= r["precision"] <= 1.0 for r in rows)
+
+
+class TestAnalyticsOps:
+    def test_hourly_anomalies_flags_planted_spike(self, spark, tmp_path):
+        import pandas as pd
+
+        rows = []
+        eid = 0
+        for h in range(24):  # steady baseline: 5 events/hour
+            for i in range(5):
+                rows.append((eid, f"2024-01-01 {h:02d}:10:{i:02d}", 1, "view", 1.0, "{}"))
+                eid += 1
+        for i in range(100):  # planted spike in hour 12
+            rows.append((eid, f"2024-01-01 12:30:{i % 60:02d}", 1, "view", 1.0, "{}"))
+            eid += 1
+        ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+        ev["ts"] = pd.to_datetime(ev["ts"])
+        (tmp_path / "an").mkdir()
+        ev.to_parquet(str(tmp_path / "an" / "events.parquet"))
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_hourly_anomalies
+
+        row = q_hourly_anomalies(spark, str(tmp_path / "an")).collect()[0]
+        assert row["n_anomalous"] == 1
+        assert row["max_abs_z"] > 4.0
+
+    def test_cooccur_lift_prefers_exclusive_pairs(self, spark, tmp_path):
+        import pandas as pd
+
+        texts = ["alpha beta filler"] * 5 + ["gamma filler", "delta filler"] * 5
+        docs = pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+        (tmp_path / "co").mkdir()
+        docs.to_parquet(str(tmp_path / "co" / "documents.parquet"))
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_cooccur_lift
+
+        rows = q_cooccur_lift(spark, str(tmp_path / "co")).collect()
+        top = rows[0]
+        # alpha+beta always co-occur and only with each other → highest lift
+        assert (top["a"], top["b"]) == ("alpha", "beta")
+        n = len(texts)
+        assert top["lift"] == pytest.approx(n / 5, abs=1e-4)  # P(ab)N/(5·5)·... = 15/5

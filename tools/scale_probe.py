@@ -71,6 +71,8 @@ PROBES = [
     "q_bpe_tokenize",
     "q_judge_agreement",
     "q_pr_curve",
+    "q_hourly_anomalies",
+    "q_cooccur_lift",
 ]
 
 OFFSETS = {
