@@ -237,6 +237,21 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def dedup_exact_keep_first(
+    df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Exact content dedup, lowest-id survivor: ONE window over
+    ``md5(text)`` — the shuffle carries a 16-byte hash + key, never the
+    document body.  Shared by curate_corpus and the declarative pipeline
+    compiler (pipeline/declarative.py)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     text_col: str = "text",
@@ -262,10 +277,7 @@ def curate_corpus(
     gated = docs.withColumn("n_words", word_count(F.col(text_col)).cast("int")).where(
         F.col("n_words").between(min_words, max_words)
     )
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
-    deduped = (
-        gated.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
-    )
+    deduped = dedup_exact_keep_first(gated, text_col, id_col)
     if sample_rate is not None:
         deduped = hash_sample(deduped, F.col(id_col), sample_rate)
     return deduped.select(id_col, "lang", "n_words")

@@ -102,6 +102,17 @@ def bm25_scores(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
     Returns ``doc_id, n_terms, score_scaled`` where ``score_scaled`` is
     ``sum(floor(per_term_bm25 * SCORE_SCALE))`` — exact under any
     aggregation order.
+
+    Builds candidate postings + corpus stats inline and delegates the
+    scoring formula to :func:`score_postings` (one implementation, two
+    paths: this raw-corpus one the oracle verifies, and the maintained-
+    index one streaming/retrieval.py serves).  The explode is filtered
+    to the query's terms BEFORE the aggregate, so downstream carries one
+    row per (candidate doc × query term); the df branch re-derives that
+    subplan — measured cheaper than a persist barrier at fixture scale
+    (0.7 s vs 1.5 s, the repo-wide "caching is not free" result).  At
+    100 TB neither shape applies: df/N/avgdl come from the write-time
+    index stats table, not a per-query corpus pass.
     """
     if not terms:
         raise ValueError("bm25_scores requires at least one query term")
@@ -111,36 +122,14 @@ def bm25_scores(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),
-    ).select("n_docs", (F.col("total_dl") / F.col("n_docs")).alias("avgdl"))
-
-    # Candidate postings only: the explode is filtered to the query's
-    # terms before the aggregate, so downstream carries one row per
-    # (candidate doc × query term).  The df branch re-derives this
-    # subplan (exchange reuse does not fire across it) — measured CHEAPER
-    # than a persist barrier at fixture scale (0.7 s vs 1.5 s, the
-    # repo-wide "caching is not free" result).  At 100 TB neither shape
-    # applies: df/N/avgdl come from the write-time index stats table, not
-    # a per-query corpus pass — this query keeps them inline so the
-    # oracle can verify the whole formula from raw data.
+    )
     postings = (
         base.select("doc_id", "dl", F.explode("toks").alias("term"))
         .filter(F.col("term").isin(*terms))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_tbl = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-    scored = postings.join(F.broadcast(df_tbl), "term").crossJoin(F.broadcast(stats))
-    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    tf_part = (F.col("tf") * F.lit(K1_PLUS_1)) / (
-        F.col("tf")
-        + F.lit(K1) * (F.lit(1.0) - F.lit(B) + F.lit(B) * (F.col("dl") / F.col("avgdl")))
-    )
-    term_scaled = F.floor(idf * tf_part * F.lit(float(SCORE_SCALE))).cast("bigint")
-    return scored.select("doc_id", "term", term_scaled.alias("s")).groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_terms"),
-        F.sum("s").cast("bigint").alias("score_scaled"),
-    )
+    return score_postings(postings, stats, terms)
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,7 +35,7 @@ projections across stages.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from lexam_data_pipeline_spark.functions.text import word_count
 from lexam_data_pipeline_spark.operators.observe import PipelineAudit
@@ -56,13 +56,10 @@ def _pii_redact(df: DataFrame, spec: dict) -> DataFrame:
 
 
 def _dedup_exact(df: DataFrame, spec: dict) -> DataFrame:
-    col = spec.get("text_col", "text")
-    id_col = spec.get("id_col", "doc_id")
-    w = Window.partitionBy(F.md5(F.col(col))).orderBy(F.col(id_col))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+    from lexam_data_pipeline_spark.ml.curation import dedup_exact_keep_first
+
+    return dedup_exact_keep_first(
+        df, spec.get("text_col", "text"), spec.get("id_col", "doc_id")
     )
 
 
