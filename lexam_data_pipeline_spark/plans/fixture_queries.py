@@ -1078,10 +1078,16 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    corr = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    # correlation/stddev are undefined at n=1 or zero variance — NULL,
+    # not an ANSI 0/0 (single-row-fuzz regression; oracle CASE matches)
+    corr = F.when(
+        (n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0),
+        (n * sxy - sx * sy)
+        / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
     )
-    stddev_q = F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0))))
+    stddev_q = F.when(
+        n > 1.0, F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0))))
+    )
     return m.select(
         F.col("l_returnflag").alias("returnflag"),
         n.cast("bigint").alias("n_items"),

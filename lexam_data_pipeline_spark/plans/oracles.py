@@ -506,10 +506,13 @@ CORE_ORACLES: dict[str, str] = {
         )
         SELECT l_returnflag AS returnflag,
                CAST(n AS BIGINT) AS n_items,
-               round((n * sxy - sx * sy)
-                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
-                     6) AS corr_qty_price,
-               round(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS stddev_qty
+               round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                          THEN (n * sxy - sx * sy)
+                               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                     END, 6) AS corr_qty_price,
+               round(CASE WHEN n > 1.0
+                          THEN sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
+                     END, 6) AS stddev_qty
         FROM m
     """,
     # date_trunc / last_day / date_diff are integer-exact calendar ops on

@@ -172,3 +172,41 @@ class TestMultimodalMalformedPayloads:
         )
         out = resize_media(media, 2, 2).collect()
         assert len(out) == 1  # degraded to proportional fake, no crash
+
+
+class TestSingleRowFuzz:
+    """All queries must survive single-row tables (the n=1 degenerate
+    that breaks sample-variance denominators)."""
+
+    @pytest.fixture(scope="class")
+    def one_row_sf_dir(self, tmp_path_factory) -> str:
+        import duckdb
+        from lexam_data_pipeline_spark.catalog import FIXTURE_TABLES
+
+        d = tmp_path_factory.mktemp("sf_one")
+        con = duckdb.connect()
+        for t in FIXTURE_TABLES:
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+                f" LIMIT 1) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        return str(d)
+
+    def test_corr_stats_single_row_nulls(self, spark, one_row_sf_dir):
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_corr_stats
+
+        row = q_corr_stats(spark, one_row_sf_dir).collect()[0]
+        assert row["n_items"] == 1
+        assert row["corr_qty_price"] is None  # undefined, not 0/0
+        assert row["stddev_qty"] is None
+
+    def test_every_query_survives_single_rows(self, spark, one_row_sf_dir):
+        from lexam_data_pipeline_spark.plans.registry import build_queries
+
+        failures = []
+        for key, fn in build_queries().items():
+            try:
+                fn(spark, one_row_sf_dir).collect()
+            except Exception as exc:  # noqa: BLE001 — collecting evidence
+                failures.append(f"{key}: {type(exc).__name__}")
+        assert not failures, failures
