@@ -239,3 +239,41 @@ def test_two_phase_cc_matches_label_propagation(spark):
         for r in connected_components(df, "src", "dst", algorithm="two_phase").collect()
     }
     assert lp == tp
+
+
+def test_minhash_estimates_jaccard_within_bound(spark):
+    """The estimator property itself: signature-agreement rate must
+    approximate the true shingle Jaccard.  k=64 permutations give a
+    standard error of ~1/sqrt(64) = 0.125; assert within 3 SE."""
+    import math
+
+    from lexam_data_pipeline_spark.functions.text import shingle_set, tokens
+    from lexam_data_pipeline_spark.ml.dedup import minhash_signatures
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    variants = {
+        1: base,
+        2: base,                                  # identical → J = 1
+        3: base + " extra words appended here",   # high overlap
+        4: "totally different content with none shared at all okay",  # ~0
+    }
+    docs = spark.createDataFrame(
+        list(variants.items()), "doc_id long, text string"
+    )
+    k = 64
+    sigs = {
+        r["doc_id"]: [r[f"mh_{i}"] for i in range(k)]
+        for r in minhash_signatures(docs, k=k).collect()
+    }
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select(
+            "doc_id", shingle_set(tokens("text")).alias("sh")
+        ).collect()
+    }
+    se3 = 3.0 / math.sqrt(k)
+    for a, b in [(1, 2), (1, 3), (1, 4)]:
+        true_j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / k
+        assert abs(est - true_j) <= se3, (a, b, true_j, est)
