@@ -130,6 +130,7 @@ def main() -> None:
         "q_kfold_assign",
         "q_hourly_anomalies",
         "q_cooccur_lift",
+        "q_majority_vote",
         "q_pagerank",
     ):
         if extra in queries and extra not in names:

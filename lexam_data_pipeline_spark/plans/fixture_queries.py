@@ -2022,3 +2022,35 @@ def q_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("lift_scaled") / F.lit(1000000.0), 4).alias("lift"),
         )
     )
+
+
+def q_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-consistency by majority vote (SURVEY §2.4 A13 extension —
+    ref experiment_stats.py:262-284 computes only unanimity; majority
+    vote is the standard n_answers>1 aggregation): per customer with ≥3
+    orders, the modal order status, its vote count, and its share.
+
+    Mode = row_number over (votes desc, status asc) — deterministic
+    tiebreak both engines.  Two shuffles: the (key, status) vote count,
+    then ONE key-partitioned exchange shared by both windows (rank and
+    total); share divides exact integers."""
+    orders = load_table(spark, sf_dir, "orders")
+    votes = orders.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("votes"), F.asc("o_orderstatus")
+    )
+    wt = Window.partitionBy("o_custkey")
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_orders", F.sum("votes").over(wt))
+        .filter((F.col("rn") == 1) & (F.col("n_orders") >= 3))
+        .select(
+            "o_custkey",
+            F.col("o_orderstatus").alias("modal_status"),
+            "votes",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.round(F.col("votes") / F.col("n_orders"), 4).alias("vote_share"),
+        )
+    )

