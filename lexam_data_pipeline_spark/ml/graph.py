@@ -33,6 +33,11 @@ from lexam_data_pipeline_spark.catalog import load_table
 DAMPING = 0.85
 N_ITER = 3
 
+#: truncate the rank DataFrame's lineage every k iterations — without
+#: this the plan tree grows linearly with n_iter (fine at 3, a
+#: Catalyst-analysis blowup by ~20); same pattern as ml/dedup._two_phase_cc
+CHECKPOINT_EVERY = 5
+
 
 def pagerank(
     edges: DataFrame,
@@ -40,6 +45,7 @@ def pagerank(
     damping: float = DAMPING,
     symmetric: bool = False,
     assume_distinct: bool = False,
+    tol: float | None = None,
 ) -> DataFrame:
     """PageRank over directed ``(src, dst)`` edges; returns ``node, rank``.
 
@@ -61,6 +67,14 @@ def pagerank(
     of both directions of a distinct pair set over disjoint node
     namespaces, as in :func:`q_pagerank`); saves one full shuffle of
     the edge list.
+
+    Long runs: every :data:`CHECKPOINT_EVERY` iterations the rank table
+    is ``localCheckpoint``-ed, truncating lineage so plan depth stays
+    O(CHECKPOINT_EVERY) regardless of ``n_iter``.  With ``tol`` set, the
+    checkpoint boundary also evaluates the L1 rank delta (one extra
+    narrow join per boundary, not per iteration) and stops early once
+    ``sum(|r_t - r_{t-k}|) < tol`` — geometric convergence makes the
+    k-step delta a sound stand-in for the 1-step one.
     """
     from lexam_data_pipeline_spark.operators.caching import persist_slot
 
@@ -86,7 +100,8 @@ def pagerank(
     teleport = (1.0 - damping) / n_nodes
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(n_iter):
+    prev_ranks = None  # ranks at the last checkpoint boundary
+    for i in range(n_iter):
         contribs = edges_w.join(ranks, edges_w.src == ranks.node).select(
             F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c")
         )
@@ -103,6 +118,21 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
                 ).alias("rank"),
             )
+        at_boundary = (i + 1) % CHECKPOINT_EVERY == 0 and (i + 1) < n_iter
+        if at_boundary:
+            ranks = ranks.localCheckpoint()  # truncate lineage
+            if tol is not None:
+                if prev_ranks is not None:
+                    delta = (
+                        ranks.join(
+                            prev_ranks.withColumnRenamed("rank", "prev"), "node"
+                        )
+                        .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))))
+                        .collect()[0][0]
+                    )
+                    if delta is not None and delta < tol:
+                        break
+                prev_ranks = ranks
     return ranks
 
 

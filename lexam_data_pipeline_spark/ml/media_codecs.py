@@ -1,10 +1,9 @@
-"""Real decoders for uncompressed media formats — stdlib + numpy only.
+"""Real media decoders — stdlib + numpy only.
 
 The multimodal operators (ml/multimodal.py) carry media as opaque binary
-columns.  Compressed codecs (JPEG/PNG/MP3/H.264) need libraries this
-container doesn't ship, so those stay honestly stubbed — but the
-*uncompressed* interchange formats are pure byte layout, and decoding
-them needs nothing beyond the standard library:
+columns.  Codecs needing external libraries (JPEG/MP3/H.264) stay
+honestly stubbed — but these formats decode with nothing beyond the
+standard library:
 
 * **WAV (RIFF PCM)** — stdlib ``wave`` + numpy ``frombuffer``: sample
   rate, channel count, duration, RMS loudness, windowed energy
@@ -12,6 +11,10 @@ them needs nothing beyond the standard library:
 * **PPM (P6)** — 15-line header parse + one ``reshape``: full RGB
   pixel access, nearest-neighbor resize via numpy index sampling,
   channel/quadrant feature extraction.
+* **PNG (8-bit, non-interlaced)** — stdlib ``zlib`` inflate + the five
+  spec scanline filters (None/Sub/Up/Average/Paeth) with per-chunk CRC
+  verification; encoder can emit any filter type so tests exercise
+  every unfiltering path.
 
 Everything here is a pure ``bytes → numpy`` function with no Spark
 dependency; ml/multimodal.py lifts them into Arrow-batched
@@ -22,7 +25,9 @@ workers need neither this package on sys.path nor any codec library).
 from __future__ import annotations
 
 import io
+import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -32,13 +37,15 @@ import numpy as np
 
 
 def sniff(payload: bytes | None) -> str | None:
-    """Detect a decodable uncompressed format, else None."""
+    """Detect a decodable format, else None."""
     if not payload:
         return None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:2] == b"P6":
         return "ppm"
+    if payload[:8] == PNG_SIG:
+        return "png"
     return None
 
 
@@ -152,6 +159,184 @@ def image_features(arr: np.ndarray) -> list[float]:
     return [float(x) for x in [h, w, *f.reshape(-1, 3).mean(axis=0), *quads]]
 
 
+# --------------------------------------------------------------------------
+# PNG (pure stdlib: zlib inflate + spec filters incl. Paeth)
+# --------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: channels per PNG color type (8-bit depth only; no palette)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) pairs, verifying each chunk's CRC32."""
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+
+
+def _paeth_predictor(a: int, b: int, c: int) -> int:
+    """PNG spec Paeth: closest of left/up/up-left to a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG → uint8 array (h, w, channels).
+
+    Pure stdlib: chunk walk + CRC verify, one ``zlib.decompress`` of the
+    concatenated IDATs, then per-scanline unfiltering (types 0-4 per the
+    spec).  None/Up are vectorized; Sub is a per-lane prefix sum mod 256;
+    Average/Paeth recurse on the previous *reconstructed* byte so they run
+    as per-byte loops — acceptable because this is a fixture-scale codec
+    proving the Spark plumbing end-to-end; a production corpus decode
+    would swap in a C codec behind the same ``bytes → ndarray`` signature.
+    """
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    width = height = None
+    channels = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise NotImplementedError(f"{depth}-bit PNG not supported")
+            if color not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG color type {color} (palette) not supported")
+            if interlace:
+                raise NotImplementedError("Adam7 interlacing not supported")
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += data
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    bpp = channels
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        )
+        if ftype == 0:  # None
+            recon = line.copy()
+        elif ftype == 2:  # Up
+            recon = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype == 1:  # Sub: per-lane prefix sum mod 256
+            lanes = line.reshape(width, bpp).astype(np.int64)
+            recon = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif ftype == 3:  # Average
+            recon = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(recon[i - bpp]) if i >= bpp else 0
+                recon[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            recon = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(recon[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                recon[i] = (int(line[i]) + _paeth_predictor(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = recon
+        prev = recon
+    return out.reshape(height, width, channels)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """8-bit PNG encoder (inverse of :func:`decode_png`); ``filter_type``
+    selects the per-scanline filter so tests can exercise every
+    unfiltering path including Paeth."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, channels = arr.shape
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    bpp = channels
+    flat = arr.reshape(h, w * bpp).astype(np.int32)
+    lines = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        recon = flat[y]
+        left = np.zeros_like(recon)
+        left[bpp:] = recon[:-bpp]
+        upleft = np.zeros_like(prev)
+        upleft[bpp:] = prev[:-bpp]
+        if filter_type == 0:
+            filt = recon
+        elif filter_type == 1:
+            filt = recon - left
+        elif filter_type == 2:
+            filt = recon - prev
+        elif filter_type == 3:
+            filt = recon - (left + prev) // 2
+        elif filter_type == 4:
+            pred = np.array(
+                [
+                    _paeth_predictor(int(a), int(b), int(c))
+                    for a, b, c in zip(left, prev, upleft)
+                ],
+                dtype=np.int32,
+            )
+            filt = recon - pred
+        else:
+            raise ValueError(f"filter type {filter_type} invalid")
+        lines.append(filter_type)
+        lines += (filt % 256).astype(np.uint8).tobytes()
+        prev = recon
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _to_rgb(arr: np.ndarray) -> np.ndarray:
+    """Grayscale/alpha variants → (h, w, 3) for :func:`image_features`."""
+    ch = arr.shape[2]
+    if ch == 1:
+        return np.repeat(arr, 3, axis=2)
+    if ch == 2:  # gray + alpha: drop alpha
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    if ch == 4:  # RGBA: drop alpha
+        return arr[:, :, :3]
+    return arr
+
+
 def decode_features(payload: bytes | None) -> list[float] | None:
     """Features for any sniffable payload, else None (caller falls back
     to the stub or raises for compressed formats)."""
@@ -160,4 +345,6 @@ def decode_features(payload: bytes | None) -> list[float] | None:
         return wav_features(payload)
     if kind == "ppm":
         return image_features(decode_ppm(payload))
+    if kind == "png":
+        return image_features(_to_rgb(decode_png(payload)))
     return None

@@ -2,10 +2,11 @@
 
 Images/audio/video are carried as ``binary`` columns with a metadata
 struct; decode / feature-extraction run as Arrow-batched ``mapInPandas``
-stages.  Decode is REAL for uncompressed formats (WAV PCM audio and P6
-PPM images — ml/media_codecs.py, stdlib + numpy only, shipped to
-executors by-value so workers need neither this package nor a codec
-library); compressed codecs (JPEG/MP3/H.264) are honestly STUBBED —
+stages.  Decode is REAL for WAV PCM audio, P6 PPM images, and 8-bit PNG
+(zlib + Paeth unfiltering — ml/media_codecs.py, stdlib + numpy only,
+shipped to executors by-value so workers need neither this package nor a
+codec library); codecs needing external libraries (JPEG/MP3/H.264) are
+honestly STUBBED —
 ``NotImplementedError`` unless ``deterministic_fake=True``, which
 substitutes a reproducible byte-histogram feature so the Spark-side
 plumbing — schema, batching, partitioning — stays testable everywhere.
@@ -90,6 +91,68 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def media_table_real(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL decodable formats, synthesized
+    deterministically from each document's bytes: image rows carry an
+    8×8 PNG (Paeth-filtered so decode exercises the full filter path),
+    audio rows a 16-bit PCM WAV, video rows a PPM frame.  This makes the
+    whole multimodal tier run with ``deterministic_fake=False`` — every
+    payload goes through a real ``bytes → ndarray`` codec.
+
+    The synthesis itself is an Arrow-batched stage (same shape a real
+    ingest's transcode step would have); media_codecs travels by value so
+    executors need no importable package.
+    """
+    import numpy as _np
+
+    from pyspark import cloudpickle
+
+    from lexam_data_pipeline_spark.ml import media_codecs
+
+    cloudpickle.register_pickle_by_value(media_codecs)
+    _enc_png = media_codecs.encode_png
+    _enc_wav = media_codecs.encode_wav
+    _enc_ppm = media_codecs.encode_ppm
+
+    def run(batches):
+        import numpy as np
+        import pandas as _pd
+
+        def synth(doc_id, raw):
+            # 192 deterministic bytes derived from the text
+            seed = np.frombuffer((raw * (192 // max(len(raw), 1) + 1))[:192], dtype=np.uint8)
+            if doc_id % 3 == 0:  # image: 8x8 RGB PNG, Paeth filter
+                return _enc_png(seed.reshape(8, 8, 3), filter_type=4), "image"
+            if doc_id % 3 == 1:  # audio: 96-sample 16-bit mono WAV
+                samples = (seed.astype(np.float64)[:96] - 128.0) / 128.0
+                return _enc_wav(samples, rate=8000), "audio"
+            return _enc_ppm(seed.reshape(8, 8, 3)), "video"  # frame as PPM
+
+        for pdf in batches:
+            payloads, types = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or " ").encode("utf-8") or b" "
+                p, t = synth(int(doc_id), raw)
+                payloads.append(p)
+                types.append(t)
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": types,
+                    "width": _pd.Series([8] * len(pdf), dtype="int32"),
+                    "height": _pd.Series([8] * len(pdf), dtype="int32"),
+                    "n_bytes": _pd.Series([len(p) for p in payloads], dtype="int64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run,
+        schema="media_id long, payload binary, media_type string, "
+        "width int, height int, n_bytes long",
+    )
+
+
 def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
@@ -153,12 +216,13 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataF
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end multimodal plumbing on fixture data (rows-only check):
-    binary payload column → mapInPandas decode stub → typed features →
-    per-media-type aggregate."""
+    """End-to-end multimodal tier on fixture data (rows-only check):
+    synthesize REAL payloads (PNG/WAV/PPM, media_table_real) → Arrow
+    decode through the actual codecs (``deterministic_fake=False`` — no
+    fake path anywhere) → typed features → per-media-type aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    media = media_table_from_documents(docs)
-    feats = extract_features(media, deterministic_fake=True)
+    media = media_table_real(docs)
+    feats = extract_features(media, deterministic_fake=False)
     return feats.groupBy("media_type").agg(
         F.count("*").alias("n_media"),
         F.sum("n_bytes").alias("total_bytes"),
@@ -204,6 +268,9 @@ def resize_media(
     _sniff = media_codecs.sniff
     _dec = media_codecs.decode_ppm
     _enc = media_codecs.encode_ppm
+    _dec_png = media_codecs.decode_png
+    _enc_png = media_codecs.encode_png
+    _to_rgb = media_codecs._to_rgb
     _resize = media_codecs.resize_nearest
 
     def run(batches):
@@ -216,12 +283,18 @@ def resize_media(
                     out_payload.append(None)
                     continue
                 payload = bytes(payload)
-                if _sniff(payload) == "ppm":
+                kind = _sniff(payload)
+                if kind in ("ppm", "png"):
                     try:
-                        out_payload.append(_enc(_resize(_dec(payload), tw, th)))
+                        if kind == "ppm":
+                            out_payload.append(_enc(_resize(_dec(payload), tw, th)))
+                        else:
+                            out_payload.append(
+                                _enc_png(_resize(_to_rgb(_dec_png(payload)), tw, th))
+                            )
                         continue
                     except Exception:
-                        if not fake:  # malformed PPM: fake mode degrades
+                        if not fake:  # malformed image: fake mode degrades
                             raise
                 if not fake:
                     raise NotImplementedError(

@@ -86,10 +86,52 @@ def train_bpe_from_counts(counts: list[tuple[str, int]], n_merges: int) -> list[
     return merges
 
 
-def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text") -> list[tuple[str, str]]:
+#: default cap on the vocabulary collected to the driver.  At 100 TB the
+#: distinct-word table is 10^8–10^9 rows (URLs, hex hashes, typos); an
+#: uncapped ``collect`` OOMs the driver.  1M words ≈ tens of MB of driver
+#: state and is far above any tokenizer training vocabulary (HF trainers
+#: apply the same ``min_frequency``/vocab-size bounds), so fixture merges
+#: are byte-identical with or without the cap.
+DEFAULT_MAX_WORDS = 1_000_000
+
+
+def capped_word_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_freq: int = 1,
+    max_words: int | None = DEFAULT_MAX_WORDS,
+) -> DataFrame:
+    """:func:`word_counts` bounded for driver collection.
+
+    ``min_freq`` prunes the heavy tail map-side-combined counts cheaply;
+    ``max_words`` is a TakeOrdered top-K (freq desc, word asc for
+    determinism) so the driver never holds more than ``max_words`` rows
+    regardless of corpus size.
+    """
+    wc = word_counts(docs, text_col)
+    if min_freq > 1:
+        wc = wc.where(F.col("freq") >= min_freq)
+    if max_words is not None:
+        wc = wc.orderBy(F.col("freq").desc(), F.col("word")).limit(max_words)
+    return wc
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_freq: int = 1,
+    max_words: int | None = DEFAULT_MAX_WORDS,
+) -> list[tuple[str, str]]:
     """Distributed word count → driver-side merge loop (O(vocab) state,
-    the same split HF tokenizer training uses)."""
-    counts = [(r["word"], r["freq"]) for r in word_counts(docs, text_col).collect()]
+    the same split HF tokenizer training uses).
+
+    The collect is bounded by ``min_freq``/``max_words`` (default 1M
+    top-frequency words) so driver memory is O(cap), not O(distinct
+    words in the corpus).
+    """
+    wc = capped_word_counts(docs, text_col, min_freq=min_freq, max_words=max_words)
+    counts = [(r["word"], r["freq"]) for r in wc.collect()]
     return train_bpe_from_counts(counts, n_merges)
 
 
@@ -149,7 +191,10 @@ def apply_bpe(docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "t
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
+    # Alias the chosen column to the literal name the closure reads, so a
+    # non-default text_col works (the closure hard-coding pdf["text"] with
+    # text_col="body" used to KeyError at runtime).
+    return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
         run, schema="doc_id long, n_words long, n_tokens long"
     )
 

@@ -62,6 +62,55 @@ def mad_outliers(df: DataFrame, group: str, value: str, k: float = 3.0) -> DataF
     )
 
 
+def mad_outliers_approx(
+    df: DataFrame,
+    group: str,
+    value: str,
+    k: float = 3.0,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The 100 TB switch for :func:`mad_outliers`: approx percentiles.
+
+    Same output schema and semantics (|x - median| > k * MAD per group),
+    but both medians come from ``percentile_approx`` — mergeable
+    Greenwald-Khanna summaries, so the heavy level is a map-side partial
+    and NO reducer ever materializes a group: memory per task is
+    O(accuracy), independent of group size.  That removes the one
+    straggler risk the exact plan has (a hot group lands on one reducer,
+    SCALE.md's worst 10× ratio).
+
+    Plan: two narrow groupBy shuffles of ``(group, int64)`` + two
+    broadcast joins of the tiny per-group stats (|groups| rows).
+    Rank error ≤ 1/accuracy; with integer-cents inputs and group sizes
+    below ``accuracy`` the GK summary is EXACT, which is what the
+    rows-only fixture's pytest bound exploits (tests/test_scale_operators.py
+    asserts equality to :func:`mad_outliers` at fixture scale and a
+    bounded deviation at coarse accuracy).
+    """
+    vals = df.select(F.col(group).alias("g"), _cents(value).alias("v"))
+    med = vals.groupBy("g").agg(
+        F.percentile_approx("v", F.lit(0.5), F.lit(accuracy)).alias("med")
+    )
+    dev = vals.join(F.broadcast(med), "g").withColumn(
+        "dev", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = dev.groupBy("g").agg(
+        F.percentile_approx("dev", F.lit(0.5), F.lit(accuracy)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "g")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(k) * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+            F.round(F.first("med") / 100, 2).alias("median_value"),
+            F.round(F.first("mad") / 100, 2).alias("mad_value"),
+        )
+    )
+
+
 def winsorized_mean(
     df: DataFrame, group: str, value: str, lo: float = 0.05, hi: float = 0.95
 ) -> DataFrame:

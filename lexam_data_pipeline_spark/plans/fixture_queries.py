@@ -1673,6 +1673,25 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_outlier_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified 100 TB switch for :func:`q_outlier_mad`: both medians
+    via mergeable ``percentile_approx`` sketches, so no reducer ever
+    materializes a group (memory O(accuracy) per task, no hot-group
+    straggler).  Same output schema as the exact twin.
+
+    Rows-only for the driver (DuckDB's approx-quantile algorithm
+    differs); tests/test_scale_operators.py pins it to the exact twin at
+    fixture scale (GK summaries are exact below ``accuracy`` rows) and
+    bounds the deviation at deliberately coarse accuracy — mirroring the
+    q_approx_quantiles pattern."""
+    from lexam_data_pipeline_spark.operators.robust import mad_outliers_approx
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return mad_outliers_approx(li, "l_returnflag", "l_extendedprice").withColumnRenamed(
+        "g", "l_returnflag"
+    )
+
+
 def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized mean per return flag: clamp prices to [p05, p95] then
     average (:func:`operators.robust.winsorized_mean`) — the standard

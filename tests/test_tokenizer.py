@@ -8,6 +8,7 @@ import pytest
 from lexam_data_pipeline_spark.ml.tokenizer import (
     EOW,
     apply_bpe,
+    capped_word_counts,
     encode_word,
     q_bpe_tokenize,
     train_bpe,
@@ -87,7 +88,64 @@ class TestEncoding:
         assert encode_word("ab", {}) == ["a", "b", EOW]
 
 
+class TestBoundedCollect:
+    """The driver-side collect in train_bpe must be capped: at 100 TB the
+    distinct-word table is 10^8+ rows and an uncapped collect OOMs the
+    driver (round-3 verdict item 1)."""
+
+    def _heavy_tail_docs(self, spark):
+        # 400 singleton "hash-like" words (the unbounded tail) + a small
+        # head of genuinely frequent words.
+        head = " ".join(["alpha"] * 50 + ["beta"] * 30 + ["gamma"] * 20)
+        tail_rows = [(i + 2, f"w{i:04d}x{i % 7}") for i in range(400)]
+        rows = [(1, head)] + tail_rows
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_collect_bounded_by_max_words(self, spark):
+        docs = self._heavy_tail_docs(spark)
+        capped = capped_word_counts(docs, max_words=50).collect()
+        assert len(capped) <= 50
+        # the head survives the cap (top-frequency words win)
+        kept = {r["word"] for r in capped}
+        assert {"alpha", "beta", "gamma"} <= kept
+
+    def test_min_freq_prunes_singletons(self, spark):
+        docs = self._heavy_tail_docs(spark)
+        capped = capped_word_counts(docs, min_freq=2, max_words=None).collect()
+        assert {r["word"] for r in capped} == {"alpha", "beta", "gamma"}
+
+    def test_fixture_merges_identical_with_and_without_cap(self, spark, sf_small):
+        from lexam_data_pipeline_spark.catalog import load_table
+
+        docs = load_table(spark, sf_small, "documents").limit(80)
+        uncapped = train_bpe(docs, 12, max_words=None)
+        capped = train_bpe(docs, 12)  # default 1M cap
+        assert capped == uncapped
+
+    def test_cap_determinism_on_frequency_ties(self, spark):
+        # tie-broken by word asc: cap of 2 over 3 equal-freq words must
+        # always keep the lexicographically smallest two
+        docs = spark.createDataFrame(
+            [(1, "bb aa cc"), (2, "cc aa bb")], "doc_id long, text string"
+        )
+        kept = {r["word"] for r in capped_word_counts(docs, max_words=2).collect()}
+        assert kept == {"aa", "bb"}
+
+
 class TestSparkIntegration:
+    def test_apply_bpe_respects_text_col(self, spark):
+        # regression: the Arrow closure used to hard-code pdf["text"],
+        # so any non-default text_col raised KeyError at runtime
+        docs = spark.createDataFrame(
+            [(1, "low low newest")], "doc_id long, body string"
+        )
+        merges = [("l", "o"), ("lo", "w")]
+        row = apply_bpe(docs, merges, text_col="body").collect()[0]
+        assert row["n_words"] == 3
+        ranks = {p: i for i, p in enumerate(merges)}
+        want = 2 * len(encode_word("low", ranks)) + len(encode_word("newest", ranks))
+        assert row["n_tokens"] == want
+
     def test_apply_matches_driver_encoding(self, spark):
         rows = [(1, "low low newest"), (2, "widest new lower")]
         docs = spark.createDataFrame(rows, "doc_id long, text string")
