@@ -78,3 +78,80 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_write_bucketed(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    path: str,
+    bits: int = 8,
+    cell_bits: int = 2,
+) -> None:
+    """Z-order layout with DIRECTORY-level pruning: partition the output
+    by the top ``2*cell_bits`` bits of the Morton key.
+
+    Those top bits are exactly the interleave of x's and y's top
+    ``cell_bits`` bits, so each directory is a square cell in (x, y)
+    space — a reader that decomposes its x/y box into cells
+    (:func:`zbuckets_for_box`) prunes whole directories from the file
+    index, on top of the row-group stats pruning that the within-file
+    sort already provides.  2^(2*cell_bits) directories (default 16):
+    coarse enough that files stay large, fine enough to skip most of
+    the table for selective boxes.
+    """
+    shift = 2 * (bits - cell_bits)
+    (
+        df.withColumn("__zkey", zorder_key(x, y, bits))
+        .withColumn("zbucket", F.shiftright(F.col("__zkey"), shift))
+        .repartition("zbucket")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .partitionBy("zbucket")
+        .parquet(path)
+    )
+
+
+def zbuckets_for_box(
+    x_lo: int, x_hi: int, y_lo: int, y_hi: int, bits: int = 8, cell_bits: int = 2
+) -> list[int]:
+    """Decompose an inclusive (x, y) box into the Z-cell buckets it
+    intersects — the reader-side rewrite that turns a box predicate into
+    a partition filter over :func:`zorder_write_bucketed` output.
+
+    Each bucket id's bits de-interleave into the cell's (x, y)
+    coordinates; a cell of side ``2^(bits - cell_bits)`` intersects the
+    box iff its square overlaps it.  O(4^cell_bits) driver work —
+    constants, no data touched.
+    """
+    side = 1 << (bits - cell_bits)
+    out = []
+    for bucket in range(1 << (2 * cell_bits)):
+        xc = yc = 0
+        for i in range(cell_bits):
+            xc |= ((bucket >> (2 * i)) & 1) << i
+            yc |= ((bucket >> (2 * i + 1)) & 1) << i
+        cx_lo, cx_hi = xc * side, (xc + 1) * side - 1
+        cy_lo, cy_hi = yc * side, (yc + 1) * side - 1
+        if cx_lo <= x_hi and x_lo <= cx_hi and cy_lo <= y_hi and y_lo <= cy_hi:
+            out.append(bucket)
+    return out
+
+
+def read_zorder_box(
+    spark, path: str, x_lo: int, x_hi: int, y_lo: int, y_hi: int,
+    bits: int = 8, cell_bits: int = 2,
+    x_col: str = "x", y_col: str = "y",
+) -> DataFrame:
+    """Read a :func:`zorder_write_bucketed` table restricted to an
+    inclusive (x, y) box: the bucket IN-list becomes a partition filter
+    (directories skipped in the file index), the x/y predicates remain
+    for exactness and parquet row-group pruning."""
+    buckets = zbuckets_for_box(x_lo, x_hi, y_lo, y_hi, bits, cell_bits)
+    df = spark.read.parquet(path)
+    return df.filter(
+        F.col("zbucket").isin(buckets)
+        & F.col(x_col).between(x_lo, x_hi)
+        & F.col(y_col).between(y_lo, y_hi)
+    )

@@ -62,13 +62,38 @@ class PipelineAudit:
         deadline = time.monotonic() + timeout_s
         out: dict[str, dict | None] = {}
         for name, obs in self._gates.items():
-            while True:
-                done = obs._jo is not None and obs._jo.future().isCompleted()
-                if done or time.monotonic() >= deadline:
-                    break
-                time.sleep(0.05)
-            out[name] = dict(obs.get) if done else None
+            out[name] = self._get_within(obs, deadline)
         return out
+
+    @staticmethod
+    def _get_within(obs: Observation, deadline: float) -> dict | None:
+        """Fetch one observation's metrics, bounded by ``deadline``.
+
+        Preferred path polls the observation's JVM future — a private
+        attribute (``Observation._jo``) stable across the PySpark
+        3.3→4.x line but still internal, so any AttributeError/py4j
+        surprise degrades to racing the blocking ``Observation.get``
+        against the deadline on a daemon thread (daemon so a
+        never-executed subtree can't pin interpreter exit) instead of
+        raising or silently stalling every ``report()``.
+        """
+        import time
+
+        try:
+            jo = obs._jo
+            while not (jo is not None and jo.future().isCompleted()):
+                if time.monotonic() >= deadline:
+                    return None
+                time.sleep(0.05)
+            return dict(obs.get)
+        except Exception:
+            import threading
+
+            box: list[dict] = []
+            t = threading.Thread(target=lambda: box.append(dict(obs.get)), daemon=True)
+            t.start()
+            t.join(timeout=max(0.0, deadline - time.monotonic()))
+            return box[0] if box else None
 
     def retention(
         self, upstream: str, downstream: str, timeout_s: float = 5.0

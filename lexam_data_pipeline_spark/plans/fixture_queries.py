@@ -1988,6 +1988,13 @@ def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: co-occurrence blow-up guards: per-doc distinct-term ceiling (bounds
+#: the worst single document's O(v²) pair fan-out) and document-frequency
+#: ceiling (drops stopword-grade terms).  Mirrored verbatim in the oracle.
+COOCCUR_MAX_TERMS_PER_DOC = 256
+COOCCUR_MAX_DF = 1000
+
+
 def q_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term co-occurrence lift: top-15 word pairs by
     ``P(a,b) / (P(a)·P(b))`` over document-level presence — the
@@ -1996,20 +2003,41 @@ def q_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Lift is rational in exact integer doc counts, floor-scaled to int64
     (order-independent); deterministic (lift, a, b) tiebreak before the
-    LIMIT.  Scale: pairs explode as presence-pairs per doc — O(v²) in
-    DISTINCT terms per doc, the standard cap being a df ceiling as in
-    q_dedup_ngram_jaccard; the pair aggregate is map-side combined and
-    the top-k compiles to TakeOrderedAndProject."""
+    LIMIT.
+
+    Scale: pairs explode as presence-pairs per doc — O(v²) in DISTINCT
+    terms per doc — so BOTH standard caps are applied before the
+    self-join (and mirrored exactly in the oracle): a deterministic
+    per-doc ceiling of ``COOCCUR_MAX_TERMS_PER_DOC`` lexicographically
+    smallest distinct terms (bounds the worst single document), and a
+    document-frequency ceiling ``COOCCUR_MAX_DF`` dropping
+    stopword-grade terms that explode pair counts while carrying no
+    lift signal (same mitigation as q_dedup_ngram_jaccard).  The pair
+    aggregate is map-side combined and the top-k compiles to
+    TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("ts")
+        "doc_id",
+        F.slice(
+            F.array_sort(
+                F.array_remove(F.array_distinct(F.split(F.trim("text"), r"\s+")), "")
+            ),
+            1,
+            COOCCUR_MAX_TERMS_PER_DOC,
+        ).alias("ts"),
     )
     n_docs = toks.agg(F.count(F.lit(1)).alias("n_docs"))
-    terms = toks.select("doc_id", F.explode("ts").alias("t")).filter(F.col("t") != "")
+    terms = toks.select("doc_id", F.explode("ts").alias("t"))
     term_n = terms.groupBy(F.col("t")).agg(F.count(F.lit(1)).alias("tn"))
+    # df ceiling as an ANTI-join against the high-df terms: that set is
+    # small by construction (few terms exceed the ceiling) so it stays
+    # broadcast-able at any corpus size, whereas the kept vocabulary grows
+    # with the corpus
+    stop = term_n.filter(F.col("tn") > COOCCUR_MAX_DF).select("t")
+    kept = terms.join(F.broadcast(stop), "t", "left_anti")
     pairs = (
-        terms.alias("x")
-        .join(terms.alias("y"), "doc_id")
+        kept.alias("x")
+        .join(kept.alias("y"), "doc_id")
         .filter(F.col("x.t") < F.col("y.t"))
         .groupBy(F.col("x.t").alias("a"), F.col("y.t").alias("b"))
         .agg(F.count(F.lit(1)).alias("pair_n"))

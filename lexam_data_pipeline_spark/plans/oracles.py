@@ -1006,18 +1006,24 @@ CORE_ORACLES["q_hourly_anomalies"] = """
 CORE_ORACLES["q_cooccur_lift"] = r"""
     WITH toks AS (
         SELECT doc_id,
-               list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ts
+               (list_sort(list_filter(
+                    list_distinct(regexp_split_to_array(trim(text), '\s+')),
+                    x -> x <> '')))[1:256] AS ts
         FROM documents
     ),
     n_t AS (SELECT count(*) AS n_docs FROM toks),
-    terms AS (
+    terms_f AS (
         SELECT doc_id, unnest(ts) AS t FROM toks
     ),
-    terms_f AS (SELECT doc_id, t FROM terms WHERE t <> ''),
     term_n AS (SELECT t, count(*) AS tn FROM terms_f GROUP BY t),
+    stop AS (SELECT t FROM term_n WHERE tn > 1000),
+    kept AS (
+        SELECT doc_id, t FROM terms_f
+        WHERE t NOT IN (SELECT t FROM stop)
+    ),
     pairs AS (
         SELECT x.t AS a, y.t AS b, count(*) AS pair_n
-        FROM terms_f x JOIN terms_f y ON x.doc_id = y.doc_id AND x.t < y.t
+        FROM kept x JOIN kept y ON x.doc_id = y.doc_id AND x.t < y.t
         GROUP BY 1, 2
     ),
     scored AS (

@@ -36,6 +36,51 @@ from pyspark.sql import DataFrame, functions as F
 from lexam_data_pipeline_spark.ml.retrieval import corpus_stats, doc_postings
 
 
+def parquet_state_store(
+    spark, path: str
+) -> tuple[Callable[[], DataFrame | None], Callable[[DataFrame], None]]:
+    """Versioned parquet state with an atomic pointer swap — the safe
+    implementation of the read/write callback contract below.
+
+    Layout: each write lands in a fresh ``v{n}`` subdirectory; a
+    ``_CURRENT`` marker file names the live version and is flipped with
+    ``os.replace`` (atomic on POSIX) only AFTER the new version is fully
+    written.  A writer therefore never touches the directory a
+    still-lazy reader plan points at, old versions stay readable for
+    plans in flight, and a crash mid-write leaves ``_CURRENT`` on the
+    previous good version.  (On an object store, replace the marker flip
+    with the store's conditional-put equivalent.)
+    """
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    marker = os.path.join(path, "_CURRENT")
+
+    def _current() -> str | None:
+        try:
+            with open(marker) as fh:
+                return fh.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def read() -> DataFrame | None:
+        v = _current()
+        if v is None:
+            return None
+        return spark.read.parquet(os.path.join(path, v))
+
+    def write(df: DataFrame) -> None:
+        v = _current()
+        nxt = "v0" if v is None else f"v{int(v[1:]) + 1}"
+        df.write.mode("overwrite").parquet(os.path.join(path, nxt))
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(nxt)
+        os.replace(tmp, marker)
+
+    return read, write
+
+
 def start_streaming_index(
     stream: DataFrame,
     read_postings: Callable[[], DataFrame | None],
@@ -48,8 +93,14 @@ def start_streaming_index(
 ):
     """Maintain the BM25 index under a micro-batched document stream.
 
-    The read/write callbacks abstract the two state tables (parquet with
-    atomic swap in production, in-memory holders in tests).  Returns the
+    The read/write callbacks abstract the two state tables.  CALLBACK
+    CONTRACT: the DataFrame passed to a write callback is LAZY and still
+    references the files the matching read callback returned this batch —
+    a write implementation must never overwrite the location it just
+    read from (Spark would read the inputs while deleting them).  Use
+    :func:`parquet_state_store`, which satisfies the contract with
+    versioned directories and an atomic pointer swap; in-memory test
+    holders satisfy it trivially by materializing.  Returns the
     StreamingQuery.
     """
 

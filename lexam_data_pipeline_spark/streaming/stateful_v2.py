@@ -27,13 +27,40 @@ from pyspark.sql import DataFrame
 from lexam_data_pipeline_spark.streaming.stateful import OUTPUT_SCHEMA, STATE_SCHEMA
 
 
+def tws_available() -> bool:
+    """Runtime capability probe for ``transformWithStateInPandas``.
+
+    The API's driver↔worker state protocol is protobuf-based but pyspark
+    does not declare the dependency, so absence surfaces as a deep
+    worker-side stack mid-query.  Probe up front instead; callers (and
+    the test suite) branch on this rather than env-gating.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def user_activity_tracker_v2(events: DataFrame) -> DataFrame:
     """Per-user running totals via ``transformWithStateInPandas``.
 
     Emits the v1 schema (``final`` always False — no timers here).  The
     processor class is defined INSIDE the builder so cloudpickle ships
     it by value (same vanilla-session constraint as v1).
+
+    Raises ``RuntimeError`` immediately when the runtime lacks the API's
+    protobuf dependency (:func:`tws_available`) — a clear driver-side
+    error beats the opaque executor stack the query would die with.
     """
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf, which this "
+            "runtime does not provide; use streaming.stateful."
+            "user_activity_tracker (applyInPandasWithState) — same semantics, "
+            "test-pinned row-for-row"
+        )
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 

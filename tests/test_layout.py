@@ -111,3 +111,110 @@ def test_quantize_reconstruction_error_bounded(spark, sf_oracle):
         ).alias("steps")
     ).agg(F.max("steps")).collect()[0][0]
     assert err < 1.0 + 1e-9, err
+
+
+class TestReaderPruning:
+    """Reader-side evidence for the layout tier (round-3 verdict item 8):
+    the z-ordered layout must let a reader SKIP data, not just write
+    prettily-clustered files."""
+
+    def _table(self, spark, n=100_000):
+        return spark.range(n).select(
+            (F.col("id") % 251).alias("x"),
+            ((F.col("id") * 7) % 241).alias("y"),
+            F.col("id").alias("v"),
+        )
+
+    @staticmethod
+    def _scan_metrics(df):
+        """Execute df and return the leaf scan node's SQL metrics."""
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan()
+
+        def leaves(node):
+            k = node.children().size()
+            if k == 0:
+                return [node]
+            out = []
+            for i in range(k):
+                out += leaves(node.children().apply(i))
+            return out
+
+        for leaf in leaves(plan):
+            if "Scan" in leaf.nodeName():
+                m, vals, it = leaf.metrics(), {}, leaf.metrics().keys().iterator()
+                while it.hasNext():
+                    k = it.next()
+                    vals[k] = m.apply(k).value()
+                return vals
+        raise AssertionError("no scan node found")
+
+    def test_rowgroup_skipping_beats_unsorted_layout(self, spark, tmp_path):
+        """Same rows, same predicate: the z-ordered files' min/max stats
+        let the parquet reader emit at most ~60% of rows, while the
+        unsorted control emits all of them."""
+        from lexam_data_pipeline_spark.operators.layout import zorder_write
+
+        df = self._table(spark)
+        zp, up = str(tmp_path / "z"), str(tmp_path / "u")
+        zorder_write(df, F.col("x"), F.col("y"), zp, n_files=8)
+        df.repartition(8).write.mode("overwrite").parquet(up)
+        pred = (F.col("x") >= 10) & (F.col("x") < 20)
+        z_rows = self._scan_metrics(spark.read.parquet(zp).filter(pred))["numOutputRows"]
+        u_rows = self._scan_metrics(spark.read.parquet(up).filter(pred))["numOutputRows"]
+        n = df.count()
+        assert u_rows == n  # unsorted: stats are useless, scan emits everything
+        assert z_rows <= 0.6 * n  # z-ordered: whole row groups skipped
+
+    def test_zbuckets_for_box_matches_bruteforce(self):
+        from lexam_data_pipeline_spark.operators.layout import zbuckets_for_box
+
+        bits, cell_bits = 6, 2
+        for box in [(0, 5, 0, 5), (10, 40, 3, 17), (0, 63, 0, 63), (32, 32, 48, 48)]:
+            x_lo, x_hi, y_lo, y_hi = box
+            want = set()
+            for x in range(x_lo, x_hi + 1):
+                for y in range(y_lo, y_hi + 1):
+                    z = 0
+                    for i in range(bits):
+                        z |= ((x >> i) & 1) << (2 * i)
+                        z |= ((y >> i) & 1) << (2 * i + 1)
+                    want.add(z >> (2 * (bits - cell_bits)))
+            got = set(zbuckets_for_box(x_lo, x_hi, y_lo, y_hi, bits, cell_bits))
+            assert got == want, box
+
+    def test_bucketed_read_prunes_partitions_and_is_exact(self, spark, tmp_path):
+        """The box reader must (a) list FEWER directories than the table
+        has (InMemoryFileIndex pruning, visible as the plan's partition
+        count) and (b) return exactly the rows a full-scan filter does."""
+        from lexam_data_pipeline_spark.operators.layout import (
+            read_zorder_box,
+            zorder_write_bucketed,
+        )
+
+        df = self._table(spark)
+        path = str(tmp_path / "zb")
+        zorder_write_bucketed(df, F.col("x"), F.col("y"), path)
+        box = dict(x_lo=0, x_hi=50, y_lo=0, y_hi=50)
+        got = read_zorder_box(spark, path, **box)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        # the bucket IN-list must land in PartitionFilters (file-index
+        # pruning), not in the post-scan data filters
+        assert "PartitionFilters: [isnotnull(zbucket" in plan
+        # and the executed scan reads strictly fewer files than the table
+        # (inputFiles() reports the PRE-pruning listing, so measure the
+        # physical scan's numFiles metric instead)
+        n_all = self._scan_metrics(spark.read.parquet(path))["numFiles"]
+        n_got = self._scan_metrics(got)["numFiles"]
+        assert n_got < n_all
+        # the (0..50)² box touches only the low-x/low-y cells: with
+        # cell_bits=2 (4×4 grid of 64-wide cells) that is exactly cell
+        # (0,0) → 1 of 16 directories
+        assert n_got <= n_all // 4
+        want = sorted(
+            (r["x"], r["y"], r["v"])
+            for r in spark.read.parquet(path)
+            .filter(F.col("x").between(0, 50) & F.col("y").between(0, 50))
+            .collect()
+        )
+        assert sorted((r["x"], r["y"], r["v"]) for r in got.collect()) == want

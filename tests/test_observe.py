@@ -83,3 +83,37 @@ class TestPipelineAudit:
         assert jobs_run("three-gate", observed) == n_one
         rep = three.report()
         assert rep["a"]["rows"] > rep["c"]["rows"] > 0
+
+    def test_degraded_path_when_private_api_gone(self):
+        """If a future PySpark drops Observation._jo, report() must still
+        return metrics (bounded blocking get on a daemon thread), and a
+        never-completing observation must yield None by the deadline
+        instead of hanging."""
+        import time
+
+        from lexam_data_pipeline_spark.operators.observe import PipelineAudit
+
+        class FakeObs:
+            @property
+            def _jo(self):
+                raise AttributeError("removed in this pyspark")
+
+            @property
+            def get(self):
+                return {"rows": 7}
+
+        assert PipelineAudit._get_within(FakeObs(), time.monotonic() + 1.0) == {"rows": 7}
+
+        class NeverObs:
+            @property
+            def _jo(self):
+                raise AttributeError("removed in this pyspark")
+
+            @property
+            def get(self):
+                time.sleep(60)
+                return {}
+
+        t0 = time.monotonic()
+        assert PipelineAudit._get_within(NeverObs(), time.monotonic() + 0.3) is None
+        assert time.monotonic() - t0 < 2.0
