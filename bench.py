@@ -132,6 +132,12 @@ def main() -> None:
         "q_cooccur_lift",
         "q_majority_vote",
         "q_pagerank",
+        "q_outlier_mad_approx",
+        "q_skyline_pareto",
+        "q_triangle_count",
+        "q_scd2_intervals",
+        "q_event_transitions",
+        "q_multimodal_features",
     ):
         if extra in queries and extra not in names:
             names.append(extra)

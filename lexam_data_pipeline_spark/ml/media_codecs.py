@@ -46,6 +46,8 @@ def sniff(payload: bytes | None) -> str | None:
         return "ppm"
     if payload[:8] == PNG_SIG:
         return "png"
+    if payload[:2] == b"BM":
+        return "bmp"
     return None
 
 
@@ -325,6 +327,55 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+# --------------------------------------------------------------------------
+# BMP (24-bit uncompressed, BITMAPINFOHEADER)
+# --------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → uint8 (h, w, 3) RGB.
+
+    Pure byte layout: 14-byte file header (pixel-data offset), 40-byte
+    BITMAPINFOHEADER, then bottom-up BGR scanlines padded to 4 bytes.
+    Negative height means top-down (also handled)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, depth = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if depth != 24:
+        raise NotImplementedError(f"{depth}-bit BMP not supported")
+    if compression != 0:
+        raise NotImplementedError("compressed BMP (RLE/bitfields) not supported")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=data_off
+    ).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_bmp` (bottom-up, 24-bit)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    img = np.zeros((h, stride), dtype=np.uint8)
+    img[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # RGB → BGR, bottom-up
+    data = img.tobytes()
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    info_hdr = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return file_hdr + info_hdr + data
+
+
 def _to_rgb(arr: np.ndarray) -> np.ndarray:
     """Grayscale/alpha variants → (h, w, 3) for :func:`image_features`."""
     ch = arr.shape[2]
@@ -347,4 +398,6 @@ def decode_features(payload: bytes | None) -> list[float] | None:
         return image_features(decode_ppm(payload))
     if kind == "png":
         return image_features(_to_rgb(decode_png(payload)))
+    if kind == "bmp":
+        return image_features(decode_bmp(payload))
     return None

@@ -270,6 +270,8 @@ def resize_media(
     _enc = media_codecs.encode_ppm
     _dec_png = media_codecs.decode_png
     _enc_png = media_codecs.encode_png
+    _dec_bmp = media_codecs.decode_bmp
+    _enc_bmp = media_codecs.encode_bmp
     _to_rgb = media_codecs._to_rgb
     _resize = media_codecs.resize_nearest
 
@@ -284,13 +286,17 @@ def resize_media(
                     continue
                 payload = bytes(payload)
                 kind = _sniff(payload)
-                if kind in ("ppm", "png"):
+                if kind in ("ppm", "png", "bmp"):
                     try:
                         if kind == "ppm":
                             out_payload.append(_enc(_resize(_dec(payload), tw, th)))
-                        else:
+                        elif kind == "png":
                             out_payload.append(
                                 _enc_png(_resize(_to_rgb(_dec_png(payload)), tw, th))
+                            )
+                        else:
+                            out_payload.append(
+                                _enc_bmp(_resize(_dec_bmp(payload), tw, th))
                             )
                         continue
                     except Exception:

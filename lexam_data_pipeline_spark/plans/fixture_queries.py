@@ -2101,3 +2101,224 @@ def q_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("votes") / F.col("n_orders"), 4).alias("vote_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: skyline, graph triangles, SCD2 dimension build, event transitions
+# --------------------------------------------------------------------------
+
+
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of orders: minimize price, maximize
+    recency — no other order is both cheaper-or-equal AND newer-or-equal
+    with one strict.  The classic multi-criteria shortlist operator
+    (Börzsönyi et al., ICDE 2001).
+
+    Scale shape — the textbook distributed skyline split:
+
+    1. **Local prefilter** (Arrow batch, vectorized numpy): within each
+       batch, sort by (price asc, date desc) and keep rows whose date is
+       ≥ the running max of earlier dates.  Every globally non-dominated
+       row survives (dominance within a subset implies dominance in the
+       full set), so the prefilter is a correctness-preserving superset;
+       it shrinks n to ~|skyline| · n_batches.
+    2. **Exact global pass** on the surviving candidates via two window
+       checks over integer cents: strictly-cheaper rows (RANGE … 1
+       PRECEDING) must all be strictly older, and same-price rows must
+       not be strictly newer.  The global window is un-partitioned, which
+       is exactly why the prefilter exists — it only ever sees the tiny
+       candidate union.
+
+    Exact integer comparisons throughout → oracle hash-match (DuckDB
+    NOT EXISTS dominance, the O(n²) reference form)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+        F.unix_micros(F.col("o_orderdate")).alias("date_us"),
+    )
+
+    def local_skyline(batches):
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf
+                continue
+            order = np.lexsort((-pdf["date_us"].values, pdf["price_c"].values))
+            dates = pdf["date_us"].values[order]
+            runmax = np.maximum.accumulate(
+                np.concatenate(([np.iinfo(np.int64).min], dates[:-1]))
+            )
+            keep = order[dates >= runmax]
+            yield pdf.iloc[np.sort(keep)]
+
+    cand = orders.mapInPandas(
+        local_skyline, schema="o_orderkey long, price_c long, date_us long"
+    )
+    w_cheaper = (
+        Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("price_c")
+    return (
+        cand.withColumn("max_date_cheaper", F.max("date_us").over(w_cheaper))
+        .withColumn("max_date_same", F.max("date_us").over(w_same))
+        .filter(
+            (F.col("max_date_cheaper").isNull() | (F.col("max_date_cheaper") < F.col("date_us")))
+            & (F.col("max_date_same") == F.col("date_us"))
+        )
+        .select(
+            "o_orderkey",
+            F.round(F.col("price_c") / 100.0, 2).alias("price"),
+            "date_us",
+        )
+    )
+
+
+#: co-purchase support gate: suppliers are connected only when they
+#: co-occur in ≥ this many orders.  The fixture's raw co-purchase graph
+#: is near-complete (91% density at sf0.1 — triangle counting on it is
+#: inherently n³), and support gating is the standard market-basket
+#: sparsifier: keep the statistically meaningful edges, drop the noise.
+#: Mirrored verbatim in the oracle.
+TRIANGLE_MIN_SUPPORT = 6
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the supplier co-purchase graph (suppliers
+    connected when they co-occur in ≥ TRIANGLE_MIN_SUPPORT orders) via
+    degree-ordered edge orientation — the standard scalable algorithm
+    (each undirected edge is directed from its lower-(degree, id)
+    endpoint, so every wedge join's fan-out is bounded by O(√m) instead
+    of the max raw degree; triangles are counted exactly once, no
+    division by 6).
+
+    Shuffles: one groupBy for pair support, one groupBy for degrees
+    (broadcast back — |V| rows), one self-join on the oriented wedge.
+    Exact integer count → oracle hash-match."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .groupBy(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    deg = (
+        pairs.select(F.col("u").alias("n"))
+        .union(pairs.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        pairs.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.t") == F.col("e2.s"))
+        .select(
+            F.col("e1.s").alias("x"), F.col("e1.t").alias("y"), F.col("e2.t").alias("z")
+        )
+    )
+    closing = oriented.select(F.col("s").alias("x"), F.col("t").alias("z"))
+    tri = wedges.join(closing, ["x", "z"])
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from the event stream: per
+    user, collapse consecutive runs of the same event_type into validity
+    intervals [valid_from, valid_to) with an is_current flag — the
+    standard lakehouse CDC pattern for dimension history.
+
+    One shuffle (partitionBy user + in-partition sort) feeds all three
+    window steps: change detection (lag), run numbering (cumulative
+    sum), and interval close-out (lead of the next run's start).
+    Deterministic: events tie-broken by event_id; timestamps emitted as
+    epoch micros."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    runs = (
+        ev.withColumn(
+            "changed",
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("run_id", F.sum("changed").over(w))
+        .groupBy("user_id", "run_id")
+        .agg(
+            F.first("event_type").alias("event_type"),
+            F.min("ts_us").alias("valid_from_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w_runs = Window.partitionBy("user_id").orderBy("run_id")
+    return (
+        runs.withColumn("valid_to_us", F.lead("valid_from_us").over(w_runs))
+        .withColumn(
+            "is_current", F.when(F.col("valid_to_us").isNull(), 1).otherwise(0)
+        )
+        .select(
+            "user_id",
+            F.col("run_id").cast("bigint").alias("version"),
+            "event_type",
+            "valid_from_us",
+            "valid_to_us",
+            "n_events",
+            "is_current",
+        )
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: counts and probabilities of
+    (event_type → next event_type) transitions within each user's
+    ordered stream — the Markov-edge mining behind funnel discovery and
+    next-action prediction features.
+
+    One shuffle for the per-user lead window, one map-side-combined
+    groupBy on the (from, to) pair; probability is exact integer counts
+    divided once.  Top-20 by count with full deterministic tiebreak."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return (
+        trans.withColumn("from_total", F.sum("n").over(w_from))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.col("from_total").cast("bigint").alias("from_total"),
+            F.round(F.col("n") / F.col("from_total"), 4).alias("prob"),
+        )
+        .orderBy(F.desc("n"), F.asc("from_type"), F.asc("to_type"))
+        .limit(20)
+    )

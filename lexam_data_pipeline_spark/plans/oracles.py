@@ -1062,3 +1062,107 @@ CORE_ORACLES["q_majority_vote"] = """
            round(votes / CAST(n_orders AS DOUBLE), 4) AS vote_share
     FROM ranked WHERE rn = 1 AND n_orders >= 3
 """
+
+# Skyline / Pareto frontier: NOT EXISTS dominance is the O(n²) reference
+# form; the engine's prefilter+window plan must reproduce it exactly.
+CORE_ORACLES["q_skyline_pareto"] = """
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+               epoch_us(o_orderdate) AS date_us
+        FROM orders
+    )
+    SELECT a.o_orderkey, round(a.price_c / 100.0, 2) AS price, a.date_us
+    FROM o a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM o b
+        WHERE b.price_c <= a.price_c AND b.date_us >= a.date_us
+          AND (b.price_c < a.price_c OR b.date_us > a.date_us)
+    )
+"""
+
+# Triangle count over supplier co-purchase edges with degree-ordered
+# orientation (each triangle counted exactly once).
+CORE_ORACLES["q_triangle_count"] = """
+    WITH pairs AS (
+        SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 6
+    ),
+    deg AS (
+        SELECT n, count(*) AS d
+        FROM (SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
+        GROUP BY n
+    ),
+    oriented AS (
+        SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS s,
+               CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS t
+        FROM pairs
+        JOIN deg du ON du.n = pairs.u
+        JOIN deg dv ON dv.n = pairs.v
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM oriented e1
+    JOIN oriented e2 ON e1.t = e2.s
+    JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t
+"""
+
+# SCD2 dimension build: run collapse + interval close-out windows.
+CORE_ORACLES["q_scd2_intervals"] = """
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_type, ts_us, event_id,
+               CASE WHEN lag(event_type) OVER
+                        (PARTITION BY user_id ORDER BY ts_us, event_id)
+                    IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS changed
+        FROM ev
+    ),
+    runs AS (
+        SELECT user_id, event_type, ts_us,
+               sum(changed) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM flagged
+    ),
+    grouped AS (
+        SELECT user_id, run_id, min(event_type) AS event_type,
+               min(ts_us) AS valid_from_us, count(*) AS n_events
+        FROM runs GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(run_id AS BIGINT) AS version,
+           event_type,
+           valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to_us,
+           n_events,
+           CASE WHEN lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id)
+                IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM grouped
+"""
+
+# Markov transition mining: per-user lead + pair counts + row share.
+CORE_ORACLES["q_event_transitions"] = """
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+    ),
+    t AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
+        FROM ev
+    ),
+    counts AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+           round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS prob
+    FROM counts
+    ORDER BY n DESC, from_type ASC, to_type ASC
+    LIMIT 20
+"""

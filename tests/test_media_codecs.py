@@ -351,3 +351,78 @@ class TestRealMediaTable:
             else:  # audio: [duration, rate/1e5, channels, rms, peak, ...]
                 assert r["feature"][2] == 1.0
                 assert abs(r["feature"][1] - 0.08) < 1e-6  # float32 column
+
+
+class TestBmp:
+    """24-bit uncompressed BMP: byte-layout codec (bottom-up BGR rows,
+    4-byte stride padding)."""
+
+    def test_roundtrip_including_padding_widths(self):
+        from lexam_data_pipeline_spark.ml.media_codecs import decode_bmp, encode_bmp
+
+        rng = np.random.RandomState(3)
+        for w in (1, 2, 3, 4, 5, 7):  # widths exercising every pad amount
+            arr = rng.randint(0, 256, size=(4, w, 3), dtype=np.uint8)
+            got = decode_bmp(encode_bmp(arr))
+            assert got.shape == arr.shape and (got == arr).all(), w
+
+    def test_bmp_and_ppm_features_agree(self):
+        from lexam_data_pipeline_spark.ml.media_codecs import decode_bmp, encode_bmp
+
+        rng = np.random.RandomState(4)
+        arr = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+        assert image_features(decode_bmp(encode_bmp(arr))) == image_features(
+            decode_ppm(encode_ppm(arr))
+        )
+
+    def test_sniff_and_dispatch(self):
+        from lexam_data_pipeline_spark.ml.media_codecs import encode_bmp
+
+        payload = encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
+        assert sniff(payload) == "bmp"
+        assert decode_features(payload)[:2] == [2.0, 2.0]
+
+    def test_unsupported_variants_rejected(self):
+        import struct as _struct
+
+        from lexam_data_pipeline_spark.ml.media_codecs import decode_bmp, encode_bmp
+
+        payload = bytearray(encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+        _struct.pack_into("<H", payload, 28, 8)  # depth → 8-bit
+        with pytest.raises(NotImplementedError, match="8-bit"):
+            decode_bmp(bytes(payload))
+        payload = bytearray(encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+        _struct.pack_into("<I", payload, 30, 1)  # compression → RLE8
+        with pytest.raises(NotImplementedError, match="compressed"):
+            decode_bmp(bytes(payload))
+
+    def test_roundtrip_random_images(self):
+        from hypothesis import given, settings, strategies as st
+        from hypothesis.extra.numpy import arrays
+
+        from lexam_data_pipeline_spark.ml.media_codecs import decode_bmp, encode_bmp
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            arrays(
+                np.uint8,
+                st.tuples(st.integers(1, 12), st.integers(1, 12), st.just(3)),
+            )
+        )
+        def roundtrip(arr):
+            assert (decode_bmp(encode_bmp(arr)) == arr).all()
+
+        roundtrip()
+
+    def test_resize_media_handles_bmp(self, spark):
+        from lexam_data_pipeline_spark.ml.media_codecs import decode_bmp, encode_bmp
+        from lexam_data_pipeline_spark.ml.multimodal import resize_media
+
+        rng = np.random.RandomState(5)
+        arr = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        media = spark.createDataFrame(
+            [(1, bytearray(encode_bmp(arr)), "image", 8, 8, 0)],
+            "media_id long, payload binary, media_type string, width int, height int, n_bytes long",
+        )
+        out = resize_media(media, 4, 4, deterministic_fake=False).collect()[0]
+        assert (decode_bmp(bytes(out["payload"])) == resize_nearest(arr, 4, 4)).all()

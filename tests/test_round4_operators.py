@@ -1,0 +1,194 @@
+"""Round-4 operators: skyline, triangle count, SCD2 intervals, event
+transitions.  Each is oracle-checked by the parity sweep; these tests pin
+the SEMANTIC properties independently (brute-force twins on toy inputs,
+invariants on fixture data)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lexam_data_pipeline_spark.plans.fixture_queries import (
+    q_event_transitions,
+    q_scd2_intervals,
+    q_skyline_pareto,
+    q_triangle_count,
+)
+
+
+class TestSkyline:
+    def test_no_skyline_point_dominated(self, spark, sf_oracle):
+        rows = q_skyline_pareto(spark, sf_oracle).collect()
+        assert rows
+        pts = [(round(r["price"] * 100), r["date_us"]) for r in rows]
+        for i, (p1, d1) in enumerate(pts):
+            for j, (p2, d2) in enumerate(pts):
+                if i == j:
+                    continue
+                dominated = p2 <= p1 and d2 >= d1 and (p2 < p1 or d2 > d1)
+                assert not dominated, (pts[i], pts[j])
+
+    def test_matches_bruteforce_on_fixture(self, spark, sf_oracle):
+        from lexam_data_pipeline_spark.catalog import load_table
+
+        orders = [
+            (round(r["o_totalprice"] * 100), r["date_us"], r["o_orderkey"])
+            for r in load_table(spark, sf_oracle, "orders")
+            .select(
+                "o_orderkey",
+                "o_totalprice",
+                F.unix_micros("o_orderdate").alias("date_us"),
+            )
+            .collect()
+        ]
+        want = {
+            k
+            for p1, d1, k in orders
+            if not any(
+                p2 <= p1 and d2 >= d1 and (p2 < p1 or d2 > d1)
+                for p2, d2, _ in orders
+            )
+        }
+        got = {r["o_orderkey"] for r in q_skyline_pareto(spark, sf_oracle).collect()}
+        assert got == want
+
+    def test_cheapest_and_newest_always_present(self, spark, sf_oracle):
+        from lexam_data_pipeline_spark.catalog import load_table
+
+        o = load_table(spark, sf_oracle, "orders")
+        sky = q_skyline_pareto(spark, sf_oracle)
+        min_price = o.agg(F.min(F.round(F.col("o_totalprice") * 100))).collect()[0][0]
+        max_date = o.agg(F.max(F.unix_micros("o_orderdate"))).collect()[0][0]
+        prices = [round(r["price"] * 100) for r in sky.collect()]
+        dates = [r["date_us"] for r in sky.collect()]
+        assert min(prices) == min_price
+        assert max(dates) == max_date
+
+
+class TestTriangles:
+    def _count(self, spark, edges):
+        """Run the oriented-count plan on an explicit edge list via a
+        temp-view substitution of the fixture query's graph build."""
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_triangle_count  # noqa: F401
+
+        # brute force on driver
+        es = {tuple(sorted(e)) for e in edges}
+        nodes = {n for e in es for n in e}
+        tri = 0
+        for a in nodes:
+            for b in nodes:
+                for c in nodes:
+                    if a < b < c:
+                        if (a, b) in es and (b, c) in es and (a, c) in es:
+                            tri += 1
+        return tri
+
+    def test_fixture_count_matches_bruteforce(self, spark, sf_oracle):
+        from lexam_data_pipeline_spark.catalog import load_table
+
+        li = load_table(spark, sf_oracle, "lineitem").select("l_orderkey", "l_suppkey")
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            TRIANGLE_MIN_SUPPORT,
+        )
+
+        pairs = (
+            li.alias("a")
+            .join(li.alias("b"), "l_orderkey")
+            .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+            .groupBy(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
+            .select("u", "v")
+        )
+        edges = [(r["u"], r["v"]) for r in pairs.collect()]
+        want = self._count(spark, edges)
+        got = q_triangle_count(spark, sf_oracle).collect()[0]["n_triangles"]
+        assert got == want and got > 0
+
+
+class TestScd2:
+    def test_intervals_partition_history(self, spark, sf_oracle):
+        """Per user: versions are 1..k, exactly one current row, each
+        interval closes where the next opens, n_events sums to the
+        user's event count."""
+        from lexam_data_pipeline_spark.catalog import load_table
+
+        rows = q_scd2_intervals(spark, sf_oracle).collect()
+        by_user: dict[int, list] = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(r)
+        ev_counts = {
+            r["user_id"]: r["n"]
+            for r in load_table(spark, sf_oracle, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert set(by_user) == set(ev_counts)
+        for uid, ivs in by_user.items():
+            ivs.sort(key=lambda r: r["version"])
+            assert [r["version"] for r in ivs] == list(range(1, len(ivs) + 1))
+            assert sum(r["n_events"] for r in ivs) == ev_counts[uid]
+            assert [r["is_current"] for r in ivs].count(1) == 1
+            assert ivs[-1]["is_current"] == 1 and ivs[-1]["valid_to_us"] is None
+            for a, b in zip(ivs, ivs[1:]):
+                assert a["valid_to_us"] == b["valid_from_us"]
+                assert a["event_type"] != b["event_type"]  # runs collapsed
+
+    def test_toy_history(self, spark, tmp_path, sf_oracle):
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = str(tmp_path / "sfdir")
+        os.makedirs(d)
+        pdf = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 10:00", "2024-01-01 11:00", "2024-01-01 12:00", "2024-01-01 13:00"]
+                ).astype("datetime64[us]"),
+                "user_id": [7, 7, 7, 7],
+                "event_type": ["a", "a", "b", "a"],
+                "value": [1.0] * 4,
+                "props": ["{}"] * 4,
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), os.path.join(d, "events.parquet"))
+        got = [
+            (r["version"], r["event_type"], r["n_events"], r["is_current"])
+            for r in sorted(q_scd2_intervals(spark, d).collect(), key=lambda r: r["version"])
+        ]
+        assert got == [(1, "a", 2, 0), (2, "b", 1, 0), (3, "a", 1, 1)]
+
+
+class TestTransitions:
+    def test_probabilities_well_formed(self, spark, sf_oracle):
+        rows = q_event_transitions(spark, sf_oracle).collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert 0 < r["prob"] <= 1
+            assert r["n"] <= r["from_total"]
+
+    def test_totals_match_independent_count(self, spark, sf_oracle):
+        """from_total must equal the total transitions out of from_type
+        (computed independently, not via the window)."""
+        from lexam_data_pipeline_spark.catalog import load_table
+        from pyspark.sql import Window
+
+        ev = load_table(spark, sf_oracle, "events").select(
+            "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+        )
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        outs = {
+            r["event_type"]: r["n"]
+            for r in ev.withColumn("nx", F.lead("event_type").over(w))
+            .filter(F.col("nx").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for r in q_event_transitions(spark, sf_oracle).collect():
+            assert r["from_total"] == outs[r["from_type"]]

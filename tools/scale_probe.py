@@ -73,6 +73,12 @@ PROBES = [
     "q_pr_curve",
     "q_hourly_anomalies",
     "q_cooccur_lift",
+    # round 4 additions
+    "q_outlier_mad_approx",
+    "q_skyline_pareto",
+    "q_triangle_count",
+    "q_scd2_intervals",
+    "q_event_transitions",
 ]
 
 OFFSETS = {
