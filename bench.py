@@ -137,6 +137,8 @@ def main() -> None:
         "q_triangle_count",
         "q_scd2_intervals",
         "q_event_transitions",
+        "q_gap_fill",
+        "q_chi_square",
         "q_multimodal_features",
     ):
         if extra in queries and extra not in names:

@@ -1084,13 +1084,30 @@ CORE_ORACLES["q_skyline_pareto"] = """
 # Triangle count over supplier co-purchase edges with degree-ordered
 # orientation (each triangle counted exactly once).
 CORE_ORACLES["q_triangle_count"] = """
-    WITH pairs AS (
-        SELECT a.l_suppkey AS u, b.l_suppkey AS v
+    WITH support AS (
+        SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS support
         FROM lineitem a
         JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
         GROUP BY 1, 2
-        HAVING count(*) >= 6
+    ),
+    directed AS (
+        SELECT u, v, support FROM support
+        UNION ALL
+        SELECT v AS u, u AS v, support FROM support
+    ),
+    kept AS (
+        SELECT u, v FROM (
+            SELECT u, v,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY support DESC, v ASC) AS rn
+            FROM directed
+        ) WHERE rn <= 10
+    ),
+    pairs AS (
+        SELECT f.u, f.v
+        FROM kept f JOIN kept r ON f.u = r.v AND f.v = r.u
+        WHERE f.u < f.v
     ),
     deg AS (
         SELECT n, count(*) AS d
@@ -1165,4 +1182,57 @@ CORE_ORACLES["q_event_transitions"] = """
     FROM counts
     ORDER BY n DESC, from_type ASC, to_type ASC
     LIMIT 20
+"""
+
+# Calendar-spine gap fill with forward fill; integer-cent revenue.
+CORE_ORACLES["q_gap_fill"] = """
+    WITH daily AS (
+        SELECT o_orderpriority AS priority,
+               CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+        FROM orders GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    spine AS (
+        SELECT p.priority,
+               CAST(unnest(generate_series(
+                   CAST(b.lo AS TIMESTAMP), CAST(b.hi AS TIMESTAMP),
+                   INTERVAL 1 DAY)) AS DATE) AS day
+        FROM (SELECT DISTINCT priority FROM daily) p
+        CROSS JOIN bounds b
+    )
+    SELECT s.priority,
+           strftime(s.day, '%Y-%m-%d') AS day,
+           round(coalesce(
+               last_value(d.rev_c IGNORE NULLS) OVER
+                   (PARTITION BY s.priority ORDER BY s.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               0) / 100.0, 2) AS revenue,
+           CASE WHEN d.rev_c IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM spine s
+    LEFT JOIN daily d ON d.priority = s.priority AND d.day = s.day
+"""
+
+# Chi-square independence: one contingency aggregate; per-cell terms are
+# identical IEEE expressions floor-scaled to int64 before the sum.
+CORE_ORACLES["q_chi_square"] = """
+    WITH cells AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS prio, count(*) AS o
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT seg, prio, o,
+               sum(o) OVER (PARTITION BY seg) AS row_n,
+               sum(o) OVER (PARTITION BY prio) AS col_n,
+               sum(o) OVER () AS n
+        FROM cells
+    )
+    SELECT round(sum(CAST(floor(
+               ((o - (row_n * col_n) / n) * (o - (row_n * col_n) / n)
+                / ((row_n * col_n) / n)) * 1000000.0) AS BIGINT)) / 1000000.0,
+               4) AS chi2,
+           CAST((count(DISTINCT seg) - 1) * (count(DISTINCT prio) - 1) AS BIGINT) AS dof,
+           CAST(max(n) AS BIGINT) AS n
+    FROM m
 """

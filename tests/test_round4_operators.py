@@ -85,22 +85,32 @@ class TestTriangles:
 
     def test_fixture_count_matches_bruteforce(self, spark, sf_oracle):
         from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.plans.fixture_queries import TRIANGLE_TOP_K
 
         li = load_table(spark, sf_oracle, "lineitem").select("l_orderkey", "l_suppkey")
-        from lexam_data_pipeline_spark.plans.fixture_queries import (
-            TRIANGLE_MIN_SUPPORT,
-        )
-
-        pairs = (
+        support = (
             li.alias("a")
             .join(li.alias("b"), "l_orderkey")
             .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
             .groupBy(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
             .agg(F.count(F.lit(1)).alias("support"))
-            .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
-            .select("u", "v")
+            .collect()
         )
-        edges = [(r["u"], r["v"]) for r in pairs.collect()]
+        # independent driver-side mutual-top-K build
+        from collections import defaultdict
+
+        nbrs: dict[int, list] = defaultdict(list)
+        for r in support:
+            nbrs[r["u"]].append((-r["support"], r["v"]))
+            nbrs[r["v"]].append((-r["support"], r["u"]))
+        topk = {
+            n: {v for _, v in sorted(lst)[:TRIANGLE_TOP_K]} for n, lst in nbrs.items()
+        }
+        edges = [
+            (r["u"], r["v"])
+            for r in support
+            if r["v"] in topk[r["u"]] and r["u"] in topk[r["v"]]
+        ]
         want = self._count(spark, edges)
         got = q_triangle_count(spark, sf_oracle).collect()[0]["n_triangles"]
         assert got == want and got > 0
@@ -192,3 +202,97 @@ class TestTransitions:
         }
         for r in q_event_transitions(spark, sf_oracle).collect():
             assert r["from_total"] == outs[r["from_type"]]
+
+
+class TestGapFill:
+    def test_spine_complete_and_no_null_revenue(self, spark, sf_oracle):
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_gap_fill
+
+        rows = q_gap_fill(spark, sf_oracle).collect()
+        by_p: dict[str, list] = {}
+        for r in rows:
+            by_p.setdefault(r["priority"], []).append(r)
+        spans = {len(v) for v in by_p.values()}
+        assert len(spans) == 1  # every priority covers the identical spine
+        import datetime
+
+        for p, vs in by_p.items():
+            days = sorted(datetime.date.fromisoformat(r["day"]) for r in vs)
+            assert (days[-1] - days[0]).days + 1 == len(days)  # no holes
+            assert len(set(days)) == len(days)  # no dupes
+            for r in vs:
+                assert r["revenue"] is not None
+
+    def test_forward_fill_semantics_on_toy(self, spark, tmp_path):
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_gap_fill
+
+        d = str(tmp_path / "sfdir")
+        os.makedirs(d)
+        pdf = pd.DataFrame(
+            {
+                "o_orderkey": [1, 2, 3],
+                "o_custkey": [1, 1, 1],
+                "o_orderstatus": ["O"] * 3,
+                "o_totalprice": [10.0, 20.0, 40.0],
+                "o_orderdate": pd.to_datetime(
+                    ["2024-01-01", "2024-01-01", "2024-01-04"]
+                ).astype("datetime64[us]"),
+                "o_orderpriority": ["1-URGENT"] * 3,
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), os.path.join(d, "orders.parquet"))
+        got = {
+            r["day"]: (r["revenue"], r["is_gap"])
+            for r in q_gap_fill(spark, d).collect()
+        }
+        assert got == {
+            "2024-01-01": (30.0, 0),
+            "2024-01-02": (30.0, 1),   # forward-filled
+            "2024-01-03": (30.0, 1),
+            "2024-01-04": (40.0, 0),
+        }
+
+
+class TestChiSquare:
+    def test_matches_bruteforce(self, spark, sf_oracle):
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_chi_square
+
+        orders = load_table(spark, sf_oracle, "orders")
+        customer = load_table(spark, sf_oracle, "customer")
+        cells = (
+            orders.join(customer, orders.o_custkey == customer.c_custkey)
+            .groupBy("c_mktsegment", "o_orderpriority")
+            .count()
+            .collect()
+        )
+        from collections import defaultdict
+
+        row_n, col_n, n = defaultdict(int), defaultdict(int), 0
+        for r in cells:
+            row_n[r["c_mktsegment"]] += r["count"]
+            col_n[r["o_orderpriority"]] += r["count"]
+            n += r["count"]
+        chi2 = 0.0
+        for r in cells:
+            e = row_n[r["c_mktsegment"]] * col_n[r["o_orderpriority"]] / n
+            chi2 += (r["count"] - e) ** 2 / e
+        got = q_chi_square(spark, sf_oracle).collect()[0]
+        assert abs(got["chi2"] - chi2) < 0.01  # floor-scaling slack ≤ n_cells/1e6
+        assert got["dof"] == (len(row_n) - 1) * (len(col_n) - 1)
+        assert got["n"] == n
+
+    def test_independent_data_has_small_chi2(self, spark, sf_oracle):
+        """Segment and priority are generated independently in the
+        fixtures, so chi2 should not scream dependence: bounded by a
+        loose multiple of dof (chi2 mean = dof under H0)."""
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_chi_square
+
+        got = q_chi_square(spark, sf_oracle).collect()[0]
+        assert got["chi2"] < 10 * got["dof"]

@@ -79,6 +79,8 @@ PROBES = [
     "q_triangle_count",
     "q_scd2_intervals",
     "q_event_transitions",
+    "q_gap_fill",
+    "q_chi_square",
 ]
 
 OFFSETS = {
