@@ -2200,15 +2200,20 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     |V| rows), one self-join on the oriented wedge.  Exact integer
     count → oracle hash-match."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # NOT persisted: A/B-measured 4.4 s unpersisted vs 7-24 s with any
-    # persist combination at sf0.1 — AQE's ReusedExchange already dedupes
-    # the repeated support subplan, and cache materialization only adds a
-    # barrier (same lesson as q_pretrain_pipeline, see verify skill)
+    # pair generation: one groupBy to per-order supplier SETS (distinct
+    # (order, supplier) — a supplier listed twice in an order is one
+    # co-occurrence), then a map-side double explode.  A/B-measured 2×
+    # faster than the equivalent self-join at sf0.1 (1.1 s vs 2.1 s warm:
+    # the join pays two SMJ sorts; this shape pays one narrow shuffle).
+    # NOT persisted anywhere: measured 4.4 s unpersisted vs 7-24 s with
+    # any persist_slot combination — AQE ReusedExchange already dedupes
+    # the repeated subplans, caches only add a materialization barrier.
+    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_suppkey").alias("ss"))
     support = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-        .groupBy(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        sets.select(F.explode("ss").alias("u"), "ss")
+        .select("u", F.explode("ss").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("support"))
     )
     directed = support.select("u", "v", "support").unionByName(

@@ -1084,10 +1084,13 @@ CORE_ORACLES["q_skyline_pareto"] = """
 # Triangle count over supplier co-purchase edges with degree-ordered
 # orientation (each triangle counted exactly once).
 CORE_ORACLES["q_triangle_count"] = """
-    WITH support AS (
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    support AS (
         SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS support
-        FROM lineitem a
-        JOIN lineitem b
+        FROM li a
+        JOIN li b
           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
         GROUP BY 1, 2
     ),

@@ -17,6 +17,7 @@ from lexam_data_pipeline_spark.streaming.dedup import (
     stream_dedup_exact_within_watermark,
 )
 from lexam_data_pipeline_spark.streaming.incremental import start_streaming_aggregate
+from lexam_data_pipeline_spark.streaming.scd2 import scd2_merge, start_streaming_scd2
 from lexam_data_pipeline_spark.streaming.stateful import user_activity_tracker
 from lexam_data_pipeline_spark.streaming.progress import (
     ProgressSnapshot,
@@ -36,7 +37,9 @@ __all__ = [
     "run_stream_to_memory",
     "session_counts",
     "sliding_counts",
+    "scd2_merge",
     "start_streaming_aggregate",
+    "start_streaming_scd2",
     "tumbling_counts",
     "user_activity_tracker",
 ]

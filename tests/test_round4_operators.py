@@ -87,7 +87,11 @@ class TestTriangles:
         from lexam_data_pipeline_spark.catalog import load_table
         from lexam_data_pipeline_spark.plans.fixture_queries import TRIANGLE_TOP_K
 
-        li = load_table(spark, sf_oracle, "lineitem").select("l_orderkey", "l_suppkey")
+        li = (
+            load_table(spark, sf_oracle, "lineitem")
+            .select("l_orderkey", "l_suppkey")
+            .distinct()
+        )
         support = (
             li.alias("a")
             .join(li.alias("b"), "l_orderkey")
