@@ -139,6 +139,9 @@ def main() -> None:
         "q_event_transitions",
         "q_gap_fill",
         "q_chi_square",
+        "q_graph_bfs",
+        "q_snapshot_diff",
+        "q_calibration_bins",
         "q_multimodal_features",
     ):
         if extra in queries and extra not in names:

@@ -136,6 +136,61 @@ def pagerank(
     return ranks
 
 
+def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
+    """Minimum-hop BFS from ``seeds`` over directed ``(src, dst)`` edges.
+
+    Returns ``(node, hop)`` for every node reachable within ``max_hops``
+    (seeds at hop 0; a node's row carries its MINIMUM hop distance —
+    level-synchronous expansion guarantees first touch = shortest).
+
+    Reference parity: graph reachability the reference expresses with a
+    recursive CTE (the oracle for ``q_graph_bfs`` IS that CTE); Spark
+    has no recursive SQL, so the idiomatic form is level-synchronous
+    frontier expansion — per hop, one join (frontier onto the edge
+    list) + one distinct + one anti-join against the visited set.
+
+    100 TB shape: the per-hop join shuffles only the FRONTIER against
+    the (cached) edge list — closed nodes never move; Catalyst
+    broadcasts the frontier side automatically while it is under the
+    AQE threshold (typical for seeded neighbourhood queries) and falls
+    back to a shuffle join when a hop explodes.  Like
+    :func:`pagerank`, lineage is truncated with ``localCheckpoint``
+    every :data:`CHECKPOINT_EVERY` hops, where an emptiness probe also
+    early-exits drained frontiers — so ``max_hops`` can be the graph
+    diameter without plan-depth blowup, and no per-hop driver action
+    exists on the fast path.
+    """
+    from lexam_data_pipeline_spark.operators.caching import persist_slot
+
+    edges = edges.select("src", "dst")
+    visited = (
+        seeds.select("node").distinct().withColumn("hop", F.lit(0).cast("int"))
+    )
+    frontier = visited.select("node")
+    if max_hops >= 2:  # edge list feeds every hop
+        edges = persist_slot(edges, "graph.bfs_edges")
+    for h in range(1, max_hops + 1):
+        frontier = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        if h % CHECKPOINT_EVERY == 0 and h < max_hops:
+            # truncate BOTH lineages: each hop references the previous
+            # frontier AND the visited union, so uncheckpointed plan
+            # size doubles per hop (measured: a 30-hop run never left
+            # Catalyst analysis without this)
+            frontier = frontier.localCheckpoint()
+            if frontier.isEmpty():
+                break
+            visited = visited.localCheckpoint()
+        visited = visited.unionByName(
+            frontier.withColumn("hop", F.lit(h).cast("int"))
+        )
+    return visited
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 nodes by PageRank on the symmetrized customer↔supplier
     graph.  Rows-only for the driver (cross-partition float summation);

@@ -2187,6 +2187,56 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRIANGLE_TOP_K = 10
 
 
+def copurchase_mutual_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Mutual-top-K supplier co-purchase pairs ``(u, v)`` with ``u < v``.
+
+    Support = number of distinct orders both suppliers appear in; each
+    node keeps its K strongest neighbours and an undirected edge
+    survives only when BOTH endpoints kept it.  |E| ≤ K·|V| at ANY
+    corpus density — the sparsifier that stays a sparsifier under 10×
+    corpus duplication (a fixed absolute support threshold does not;
+    measured in SCALE.md round 4).
+
+    Pair generation is one groupBy to per-order supplier SETS (distinct
+    (order, supplier) — a supplier listed twice in an order is one
+    co-occurrence), then a map-side double explode.  A/B-measured 2×
+    faster than the equivalent self-join at sf0.1 (1.1 s vs 2.1 s warm:
+    the join pays two SMJ sorts; this shape pays one narrow shuffle).
+    NOT persisted anywhere: measured 4.4 s unpersisted vs 7-24 s with
+    any persist_slot combination — AQE ReusedExchange already dedupes
+    the repeated subplans, caches only add a materialization barrier.
+
+    Shared by :func:`q_triangle_count` and :func:`q_graph_bfs`."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_suppkey").alias("ss"))
+    support = (
+        sets.select(F.explode("ss").alias("u"), "ss")
+        .select("u", F.explode("ss").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    directed = support.select("u", "v", "support").unionByName(
+        support.select(F.col("v").alias("u"), F.col("u").alias("v"), "support")
+    )
+    w_knn = Window.partitionBy("u").orderBy(F.desc("support"), F.asc("v"))
+    kept = (
+        directed.withColumn("rn", F.row_number().over(w_knn))
+        .filter(F.col("rn") <= k)
+        .select("u", "v")
+    )
+    # mutual: keep (u, v) with u < v only when BOTH directions survived
+    return (
+        kept.alias("f")
+        .join(
+            kept.alias("r"),
+            (F.col("f.u") == F.col("r.v")) & (F.col("f.v") == F.col("r.u")),
+        )
+        .filter(F.col("f.u") < F.col("f.v"))
+        .select(F.col("f.u").alias("u"), F.col("f.v").alias("v"))
+    )
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count on the mutual-top-K supplier co-purchase graph via
     degree-ordered edge orientation — the standard scalable algorithm
@@ -2199,44 +2249,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the top-K ranking, one groupBy for degrees (broadcast back —
     |V| rows), one self-join on the oriented wedge.  Exact integer
     count → oracle hash-match."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # pair generation: one groupBy to per-order supplier SETS (distinct
-    # (order, supplier) — a supplier listed twice in an order is one
-    # co-occurrence), then a map-side double explode.  A/B-measured 2×
-    # faster than the equivalent self-join at sf0.1 (1.1 s vs 2.1 s warm:
-    # the join pays two SMJ sorts; this shape pays one narrow shuffle).
-    # NOT persisted anywhere: measured 4.4 s unpersisted vs 7-24 s with
-    # any persist_slot combination — AQE ReusedExchange already dedupes
-    # the repeated subplans, caches only add a materialization barrier.
-    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_suppkey").alias("ss"))
-    support = (
-        sets.select(F.explode("ss").alias("u"), "ss")
-        .select("u", F.explode("ss").alias("v"))
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("support"))
-    )
-    directed = support.select("u", "v", "support").unionByName(
-        support.select(
-            F.col("v").alias("u"), F.col("u").alias("v"), "support"
-        )
-    )
-    w_knn = Window.partitionBy("u").orderBy(F.desc("support"), F.asc("v"))
-    kept = (
-        directed.withColumn("rn", F.row_number().over(w_knn))
-        .filter(F.col("rn") <= TRIANGLE_TOP_K)
-        .select("u", "v")
-    )
-    # mutual: keep (u, v) with u < v only when BOTH directions survived
-    pairs = (
-        kept.alias("f")
-        .join(
-            kept.alias("r"),
-            (F.col("f.u") == F.col("r.v")) & (F.col("f.v") == F.col("r.u")),
-        )
-        .filter(F.col("f.u") < F.col("f.v"))
-        .select(F.col("f.u").alias("u"), F.col("f.v").alias("v"))
-    )
+    pairs = copurchase_mutual_topk(spark, sf_dir, TRIANGLE_TOP_K)
     deg = (
         pairs.select(F.col("u").alias("n"))
         .union(pairs.select(F.col("v").alias("n")))
@@ -2449,4 +2462,155 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.count_distinct("prio") - F.lit(1))
         ).cast("bigint").alias("dof"),
         F.max("n").cast("bigint").alias("n"),
+    )
+
+
+BFS_MAX_HOPS = 3
+BFS_SEED_NATION = 0
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-hop BFS neighbourhood: every supplier within
+    :data:`BFS_MAX_HOPS` co-purchase hops of the nation-0 suppliers,
+    with its hop distance.  The "suppliers adjacent to a recalled
+    vendor" / contamination-radius query every supply-chain (and
+    citation/link) analysis runs.
+
+    Graph = the same mutual-top-K sparsifier as ``q_triangle_count``
+    (:func:`copurchase_mutual_topk` — |E| ≤ K·|V| at any corpus
+    density), symmetrized.  Expansion is level-synchronous frontier
+    joins (``ml.graph.bfs_hops``); the DuckDB oracle is the recursive
+    CTE this replaces — min(hop) over a hop-bounded reachability
+    closure, exact integer output → hash-match."""
+    from lexam_data_pipeline_spark.ml.graph import bfs_hops
+
+    pairs = copurchase_mutual_topk(spark, sf_dir, TRIANGLE_TOP_K)
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == BFS_SEED_NATION)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    return bfs_hops(edges, seeds, BFS_MAX_HOPS).select(
+        F.col("node").cast("bigint").alias("node"), "hop"
+    )
+
+
+#: snapshot-diff simulation: the "old" snapshot is the book as of
+#: SNAP_OLD_CUTOFF; the "new" snapshot archives (deletes) finished
+#: orders older than SNAP_ARCHIVE_BEFORE and restates (updates) the
+#: total price of still-open orders by +5%.
+SNAP_OLD_CUTOFF = "2000-01-01"
+SNAP_ARCHIVE_BEFORE = "1997-01-01"
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: classify every order key across two snapshot
+    versions of the orders book as inserted / deleted / updated /
+    unchanged, returning per-class row counts and an exact integer key
+    checksum.  The change-data-capture primitive behind incremental
+    table maintenance (Delta/Iceberg MERGE planning, reverse-ETL
+    diffing, audit).
+
+    One full-outer join on the snapshot key; both snapshots derive
+    from the same scan, so AQE reuses the exchange.  100 TB shape:
+    snapshot diff is THE canonical co-partitioned sort-merge join —
+    bucket both snapshot tables by key at write time and the diff is
+    shuffle-free; per-class aggregate is a 4-group partial agg.  The
+    checksum is sum(orderkey) per class (exact int64, order-independent)
+    rather than a float delta, so the hash-match is scheduling-proof."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    old = orders.filter(F.col("o_orderdate") < F.lit(SNAP_OLD_CUTOFF).cast("timestamp"))
+    new = orders.filter(
+        ~(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderdate") < F.lit(SNAP_ARCHIVE_BEFORE).cast("timestamp"))
+        )
+    ).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderstatus") == "O", F.col("o_totalprice") * F.lit(1.05)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    j = old.select(
+        F.col("o_orderkey").alias("k_old"),
+        F.col("o_orderstatus").alias("st_old"),
+        F.col("o_totalprice").alias("pr_old"),
+    ).join(
+        new.select(
+            F.col("o_orderkey").alias("k_new"),
+            F.col("o_orderstatus").alias("st_new"),
+            F.col("o_totalprice").alias("pr_new"),
+        ),
+        F.col("k_old") == F.col("k_new"),
+        "full_outer",
+    )
+    classified = j.select(
+        F.coalesce(F.col("k_old"), F.col("k_new")).alias("k"),
+        F.when(F.col("k_old").isNull(), F.lit("insert"))
+        .when(F.col("k_new").isNull(), F.lit("delete"))
+        .when(
+            (F.col("st_old") != F.col("st_new"))
+            | (F.col("pr_old") != F.col("pr_new")),
+            F.lit("update"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )
+    return classified.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("k").cast("bigint").alias("key_checksum"),
+    )
+
+
+#: Knuth multiplicative hash → pseudo-score in [0, 1): kept as an exact
+#: int64 numerator over CALIB_MOD so per-bin score sums are integer
+#: (aggregation-order-proof); one double division at the very end.
+CALIB_MULT = 2654435761
+CALIB_MOD = 1000003
+CALIB_BINS = 10
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration reliability table (the per-bin form of expected
+    calibration error): bucket a deterministic pseudo-confidence score
+    into deciles and compare each bin's mean predicted score with its
+    observed positive rate (order completed, ``o_orderstatus = 'F'``).
+    The eval-tier diagnostic run on every LLM-judge / classifier score
+    column before trusting it for filtering.
+
+    Scores are Knuth-hash rationals ``h/CALIB_MOD`` carried as int64
+    numerators: bin assignment is pure integer arithmetic, per-bin sums
+    are exact, and the only float ops are two final divisions + one
+    subtraction per bin — deterministic across engines and partitions.
+    One map + one 10-group partial aggregate: no shuffle pressure at
+    any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.pmod(F.col("o_orderkey") * F.lit(CALIB_MULT), F.lit(CALIB_MOD))
+    scored = orders.select(
+        h.alias("h"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    ).withColumn(
+        "bin",
+        ((F.col("h") * F.lit(CALIB_BINS)) / F.lit(CALIB_MOD))
+        .cast("bigint")
+        .cast("int"),
+    )
+    return scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum("h") / (F.lit(float(CALIB_MOD)) * F.count(F.lit(1))), 6
+        ).alias("avg_score"),
+        F.round(F.sum("label") / F.count(F.lit(1)), 6).alias("frac_pos"),
+        F.round(
+            F.abs(
+                F.sum("h") / (F.lit(float(CALIB_MOD)) * F.count(F.lit(1)))
+                - F.sum("label") / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("abs_gap"),
     )

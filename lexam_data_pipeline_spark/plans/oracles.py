@@ -1239,3 +1239,109 @@ CORE_ORACLES["q_chi_square"] = """
            CAST(max(n) AS BIGINT) AS n
     FROM m
 """
+
+
+# Min-hop BFS from nation-0 suppliers over the mutual-top-10 co-purchase
+# graph — the recursive CTE the Spark frontier loop replaces.  UNION
+# (not UNION ALL) dedupes (node, hop) states so the recursion terminates;
+# min(hop) per node = shortest distance because expansion is by hop.
+CORE_ORACLES["q_graph_bfs"] = """
+    WITH RECURSIVE li AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    support AS (
+        SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS support
+        FROM li a
+        JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+    ),
+    directed AS (
+        SELECT u, v, support FROM support
+        UNION ALL
+        SELECT v AS u, u AS v, support FROM support
+    ),
+    kept AS (
+        SELECT u, v FROM (
+            SELECT u, v,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY support DESC, v ASC) AS rn
+            FROM directed
+        ) WHERE rn <= 10
+    ),
+    pairs AS (
+        SELECT f.u, f.v
+        FROM kept f JOIN kept r ON f.u = r.v AND f.v = r.u
+        WHERE f.u < f.v
+    ),
+    edges AS (
+        SELECT u AS src, v AS dst FROM pairs
+        UNION ALL
+        SELECT v AS src, u AS dst FROM pairs
+    ),
+    seeds AS (
+        SELECT s_suppkey AS node FROM supplier WHERE s_nationkey = 0
+    ),
+    reach(node, hop) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT e.dst, r.hop + 1
+        FROM reach r JOIN edges e ON r.node = e.src
+        WHERE r.hop < 3
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(min(hop) AS INT) AS hop
+    FROM reach GROUP BY node
+"""
+
+
+# CDC snapshot diff: old book (< 2000-01-01) vs new book (finished
+# orders before 1997 archived; open orders' price restated +5%).
+CORE_ORACLES["q_snapshot_diff"] = """
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+    ),
+    new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'O'
+                    THEN o_totalprice * 1.05 ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F'
+                   AND o_orderdate < TIMESTAMP '1997-01-01')
+    ),
+    j AS (
+        SELECT coalesce(old.o_orderkey, new.o_orderkey) AS k,
+               CASE
+                   WHEN old.o_orderkey IS NULL THEN 'insert'
+                   WHEN new.o_orderkey IS NULL THEN 'delete'
+                   WHEN old.o_orderstatus <> new.o_orderstatus
+                        OR old.o_totalprice <> new.o_totalprice THEN 'update'
+                   ELSE 'unchanged'
+               END AS change_type
+        FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS key_checksum
+    FROM j GROUP BY change_type
+"""
+
+
+# Calibration reliability table: Knuth-hash pseudo-scores carried as
+# exact int64 numerators over 1000003; floats only in the final
+# divisions (mirrors the Spark build exactly).
+CORE_ORACLES["q_calibration_bins"] = """
+    WITH scored AS (
+        SELECT (o_orderkey * 2654435761) % 1000003 AS h,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        FROM orders
+    ),
+    binned AS (
+        SELECT CAST((h * 10) // 1000003 AS INT) AS bin, h, label FROM scored
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           round(sum(h) / (1000003.0 * count(*)), 6) AS avg_score,
+           round(sum(label) / (count(*) * 1.0), 6) AS frac_pos,
+           round(abs(sum(h) / (1000003.0 * count(*))
+                     - sum(label) / (count(*) * 1.0)), 6) AS abs_gap
+    FROM binned GROUP BY bin
+"""

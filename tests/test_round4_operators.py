@@ -300,3 +300,138 @@ class TestChiSquare:
 
         got = q_chi_square(spark, sf_oracle).collect()[0]
         assert got["chi2"] < 10 * got["dof"]
+
+
+class TestGraphBfs:
+    def test_matches_bruteforce_bfs_on_fixture(self, spark, sf_oracle):
+        """Frontier-loop hops must equal a driver-side networkx-free BFS
+        over the same mutual-top-K edge set."""
+        from collections import deque
+
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            BFS_MAX_HOPS,
+            BFS_SEED_NATION,
+            TRIANGLE_TOP_K,
+            copurchase_mutual_topk,
+            q_graph_bfs,
+        )
+
+        pairs = copurchase_mutual_topk(spark, sf_oracle, TRIANGLE_TOP_K).collect()
+        adj: dict[int, set[int]] = {}
+        for r in pairs:
+            adj.setdefault(r["u"], set()).add(r["v"])
+            adj.setdefault(r["v"], set()).add(r["u"])
+        seeds = [
+            r["s_suppkey"]
+            for r in load_table(spark, sf_oracle, "supplier")
+            .filter(F.col("s_nationkey") == BFS_SEED_NATION)
+            .collect()
+        ]
+        dist = {s: 0 for s in seeds}
+        dq = deque(seeds)
+        while dq:
+            n = dq.popleft()
+            if dist[n] >= BFS_MAX_HOPS:
+                continue
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = dist[n] + 1
+                    dq.append(m)
+        got = {(r["node"], r["hop"]) for r in q_graph_bfs(spark, sf_oracle).collect()}
+        assert got == set(dist.items())
+
+    def test_deep_bfs_survives_checkpoint_boundaries(self, spark):
+        """A 12-hop path graph crosses two CHECKPOINT_EVERY boundaries
+        and must still return exact hop distances (and stop early once
+        the frontier drains)."""
+        from lexam_data_pipeline_spark.ml.graph import bfs_hops
+
+        n = 12
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)] + [(i + 1, i) for i in range(n)],
+            "src long, dst long",
+        )
+        seeds = spark.createDataFrame([(0,)], "node long")
+        got = {
+            (r["node"], r["hop"]) for r in bfs_hops(edges, seeds, 30).collect()
+        }
+        assert got == {(i, i) for i in range(n + 1)}
+
+
+class TestSnapshotDiff:
+    def test_classes_partition_the_union_of_keys(self, spark, sf_oracle):
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            SNAP_ARCHIVE_BEFORE,
+            SNAP_OLD_CUTOFF,
+            q_snapshot_diff,
+        )
+
+        rows = {r["change_type"]: r for r in q_snapshot_diff(spark, sf_oracle).collect()}
+        assert set(rows) == {"insert", "delete", "update", "unchanged"}
+        orders = load_table(spark, sf_oracle, "orders")
+        n_old = orders.filter(
+            F.col("o_orderdate") < F.lit(SNAP_OLD_CUTOFF).cast("timestamp")
+        ).count()
+        n_new = orders.filter(
+            ~(
+                (F.col("o_orderstatus") == "F")
+                & (F.col("o_orderdate") < F.lit(SNAP_ARCHIVE_BEFORE).cast("timestamp"))
+            )
+        ).count()
+        n = {k: rows[k]["n_rows"] for k in rows}
+        # old = delete + update + unchanged; new = insert + update + unchanged
+        assert n_old == n["delete"] + n["update"] + n["unchanged"]
+        assert n_new == n["insert"] + n["update"] + n["unchanged"]
+
+    def test_update_class_is_exactly_open_orders_in_both(self, spark, sf_oracle):
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            SNAP_OLD_CUTOFF,
+            q_snapshot_diff,
+        )
+
+        rows = {r["change_type"]: r for r in q_snapshot_diff(spark, sf_oracle).collect()}
+        expect = (
+            load_table(spark, sf_oracle, "orders")
+            .filter(
+                (F.col("o_orderdate") < F.lit(SNAP_OLD_CUTOFF).cast("timestamp"))
+                & (F.col("o_orderstatus") == "O")
+            )
+        )
+        assert rows["update"]["n_rows"] == expect.count()
+        assert rows["update"]["key_checksum"] == (
+            expect.agg(F.sum("o_orderkey")).collect()[0][0]
+        )
+
+
+class TestCalibrationBins:
+    def test_bins_cover_all_rows_and_gap_identity(self, spark, sf_oracle):
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            CALIB_BINS,
+            q_calibration_bins,
+        )
+
+        rows = q_calibration_bins(spark, sf_oracle).collect()
+        assert {r["bin"] for r in rows} == set(range(CALIB_BINS))
+        total = load_table(spark, sf_oracle, "orders").count()
+        assert sum(r["n"] for r in rows) == total
+        for r in rows:
+            assert 0.0 <= r["avg_score"] <= 1.0
+            assert 0.0 <= r["frac_pos"] <= 1.0
+            # rounding of |a-b| vs |round(a)-round(b)| can differ by 1e-6
+            assert abs(r["abs_gap"] - abs(r["avg_score"] - r["frac_pos"])) <= 2e-6
+
+    def test_scores_are_decile_aligned(self, spark, sf_oracle):
+        """Bin b's mean score must sit inside [b/10, (b+1)/10) — the
+        binning and the score must agree (catches a mixed-radix bug)."""
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            CALIB_BINS,
+            q_calibration_bins,
+        )
+
+        for r in q_calibration_bins(spark, sf_oracle).collect():
+            lo, hi = r["bin"] / CALIB_BINS, (r["bin"] + 1) / CALIB_BINS
+            assert lo <= r["avg_score"] < hi

@@ -81,6 +81,9 @@ PROBES = [
     "q_event_transitions",
     "q_gap_fill",
     "q_chi_square",
+    "q_graph_bfs",
+    "q_snapshot_diff",
+    "q_calibration_bins",
 ]
 
 OFFSETS = {
@@ -116,6 +119,9 @@ def build_scaled(spark) -> None:
 
 
 def main() -> None:
+    probes = PROBES
+    if len(sys.argv) > 1:  # optional key filter: scale_probe.py q_a q_b
+        probes = [k for k in PROBES if k in sys.argv[1:]]
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     build_scaled(spark)
@@ -126,10 +132,10 @@ def main() -> None:
         queries[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    run(PROBES[0], BASE_SF)  # session warmup
+    run(probes[0], BASE_SF)  # session warmup
     print("| query | 1× (s) | 10× (s) | ratio |")
     print("|---|---|---|---|")
-    for key in PROBES:
+    for key in probes:
         t1 = min(run(key, BASE_SF) for _ in range(2))
         t10 = run(key, SCALE_DIR)
         print(f"| {key} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f}× |")
