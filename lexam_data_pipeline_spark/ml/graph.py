@@ -167,7 +167,14 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
         seeds.select("node").distinct().withColumn("hop", F.lit(0).cast("int"))
     )
     frontier = visited.select("node")
-    if max_hops >= 2:  # edge list feeds every hop
+    # Persist the edge list ONLY for deep runs: a shallow BFS (no
+    # checkpoint boundary) is one job, where AQE ReusedExchange already
+    # dedupes the repeated edge subplan and a persist just adds a
+    # materialization barrier (A/B at sf0.1: 3.4 s unpersisted vs 4.3 s
+    # persisted — same lesson as q_triangle_count).  Past a checkpoint
+    # boundary each segment is a separate job, exchange reuse cannot
+    # span jobs, and the persist pays for itself.
+    if max_hops > CHECKPOINT_EVERY:
         edges = persist_slot(edges, "graph.bfs_edges")
     for h in range(1, max_hops + 1):
         frontier = (

@@ -47,3 +47,30 @@ def merge_upsert(
     return joined.select(
         [F.coalesce(f"__u_{c}", c).alias(c) for c in cols]
     )
+
+
+def apply_changefeed(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change feed (insert / update / delete rows) to a
+    snapshot, producing the next snapshot.
+
+    ``changes`` carries the base schema plus ``op_col`` ∈ {'insert',
+    'update', 'delete'}; delete rows only need their key columns
+    populated.  The inverse of snapshot *diffing*
+    (``plans.fixture_queries.q_snapshot_diff`` classifies; this
+    applies): ``apply_changefeed(old, diff(old, new)) == new`` —
+    the roundtrip tests/test_merge.py pins.
+
+    Shape: one anti-join (deletes) + one full-outer merge (upserts),
+    both on the same key — with the snapshot bucketed by key at write
+    time neither shuffles the snapshot side, and AQE broadcasts a small
+    feed.  Last-writer-wins within a feed is the caller's contract (feed
+    a compacted changeset, one row per key, as real CDC readers emit)."""
+    deletes = changes.filter(F.col(op_col) == "delete").select(*keys)
+    survivors = base.join(deletes, list(keys), "left_anti")
+    upserts = changes.filter(F.col(op_col) != "delete").drop(op_col)
+    return merge_upsert(survivors, upserts, keys)

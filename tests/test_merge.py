@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from lexam_data_pipeline_spark.operators.merge import merge_upsert
 
@@ -53,3 +54,84 @@ def test_merge_null_column_in_update_still_wins_on_key_match(spark):
     # Known, documented semantics: per-column coalesce means a NULL update
     # cell inherits the base cell — column-level, not row-level, CDC.
     assert row["tag"] == "old"
+
+
+def test_apply_changefeed_roundtrips_snapshot_diff(spark, sf_oracle):
+    """diff → apply must reproduce the new snapshot exactly: build the
+    q_snapshot_diff old/new simulation at row level, derive the change
+    feed, apply it to old, compare sets."""
+    from lexam_data_pipeline_spark.catalog import load_table
+    from lexam_data_pipeline_spark.operators.merge import apply_changefeed
+    from lexam_data_pipeline_spark.plans.fixture_queries import (
+        SNAP_ARCHIVE_BEFORE,
+        SNAP_OLD_CUTOFF,
+    )
+
+    orders = load_table(spark, sf_oracle, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    dated = load_table(spark, sf_oracle, "orders")
+    old = orders.join(
+        dated.filter(
+            F.col("o_orderdate") < F.lit(SNAP_OLD_CUTOFF).cast("timestamp")
+        ).select("o_orderkey"),
+        "o_orderkey",
+    )
+    new = (
+        orders.join(
+            dated.filter(
+                ~(
+                    (F.col("o_orderstatus") == "F")
+                    & (
+                        F.col("o_orderdate")
+                        < F.lit(SNAP_ARCHIVE_BEFORE).cast("timestamp")
+                    )
+                )
+            ).select("o_orderkey"),
+            "o_orderkey",
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderstatus") == "O", F.col("o_totalprice") * F.lit(1.05)
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    o = old.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("pr"),
+    )
+    n = new.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("pr"),
+    )
+    j = o.alias("o").join(n.alias("n"), "k", "full_outer")
+    feed = j.select(
+        "k",
+        F.coalesce(F.col("n.st"), F.col("o.st")).alias("o_orderstatus"),
+        F.coalesce(F.col("n.pr"), F.col("o.pr")).alias("o_totalprice"),
+        F.when(F.col("o.st").isNull(), F.lit("insert"))
+        .when(F.col("n.st").isNull(), F.lit("delete"))
+        .when(
+            (F.col("o.st") != F.col("n.st")) | (F.col("o.pr") != F.col("n.pr")),
+            F.lit("update"),
+        )
+        .alias("op"),  # unchanged rows -> NULL op
+    ).filter(F.col("op").isNotNull()).withColumnRenamed("k", "o_orderkey")
+    applied = apply_changefeed(old, feed, ["o_orderkey"])
+    got = {(r[0], r[1], round(r[2], 2)) for r in applied.collect()}
+    want = {(r[0], r[1], round(r[2], 2)) for r in new.collect()}
+    assert got == want
+
+
+def test_apply_changefeed_delete_needs_only_keys(spark):
+    from lexam_data_pipeline_spark.operators.merge import apply_changefeed
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    feed = spark.createDataFrame(
+        [(2, None, "delete"), (3, "c", "insert")], "k int, v string, op string"
+    )
+    got = {(r["k"], r["v"]) for r in apply_changefeed(base, feed, ["k"]).collect()}
+    assert got == {(1, "a"), (3, "c")}
