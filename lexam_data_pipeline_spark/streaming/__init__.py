@@ -19,6 +19,7 @@ from lexam_data_pipeline_spark.streaming.dedup import (
 from lexam_data_pipeline_spark.streaming.incremental import start_streaming_aggregate
 from lexam_data_pipeline_spark.streaming.scd2 import scd2_merge, start_streaming_scd2
 from lexam_data_pipeline_spark.streaming.sketches import cms_merge, start_streaming_cms
+from lexam_data_pipeline_spark.streaming.joins import attribution_join, start_attribution_stream
 from lexam_data_pipeline_spark.streaming.stateful import user_activity_tracker
 from lexam_data_pipeline_spark.streaming.progress import (
     ProgressSnapshot,
@@ -38,9 +39,11 @@ __all__ = [
     "run_stream_to_memory",
     "session_counts",
     "sliding_counts",
+    "attribution_join",
     "cms_merge",
     "scd2_merge",
     "start_streaming_aggregate",
+    "start_attribution_stream",
     "start_streaming_cms",
     "start_streaming_scd2",
     "tumbling_counts",

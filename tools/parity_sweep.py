@@ -101,7 +101,9 @@ def main() -> int:
                 }
                 failures.append(key)
                 print(f"FAIL {key}: {exc}")
-    out = Path(REPO) / "CORRECTNESS_SELF.json"
+    # optional 2nd arg: output filename (e.g. an sf0.1 evidence run that
+    # must not clobber the committed sf0.01 CORRECTNESS_SELF.json)
+    out = Path(REPO) / (sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_SELF.json")
     out.write_text(json.dumps({"sf_dir": sf_dir, "results": rows}, indent=1))
     print(
         f"\n{len(oracles)} oracle + {len(queries) - len(oracles)} rows-only keys "
