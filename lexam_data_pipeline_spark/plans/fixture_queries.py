@@ -2614,3 +2614,32 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("abs_gap"),
     )
+
+
+def q_hll_merge_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distinct-user rollup: per-DAY HLL sketches merged into
+    per-WEEK estimates with ``hll_union_agg`` — the pre-aggregation
+    pattern that makes distinct counting cheap at 100 TB: the lake
+    stores one ~1 KB sketch per (day, dimension) instead of raw keys,
+    and ANY coarser window (week, month, lifetime) is a sketch merge
+    over those rows — no rescan of the events, associative, and safe to
+    maintain incrementally (streaming/sketches.py is the same idea for
+    CMS).
+
+    Rows-only for the driver (DataSketches estimates aren't
+    DuckDB-replicable — q_hll_distinct precedent); pytest pins BOTH
+    properties instead: merged-of-daily equals one direct weekly sketch
+    (losslessness of the pre-aggregation) and both land within 3% of
+    exact (tests/test_scale_operators.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(14)).alias("sk")
+    )
+    return (
+        daily.groupBy(F.date_trunc("week", F.col("day")).alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("sk")))
+            .cast("bigint")
+            .alias("approx_distinct_users")
+        )
+    )

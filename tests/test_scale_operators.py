@@ -170,3 +170,30 @@ class TestMadApprox:
         plan = q_outlier_mad_approx(spark, sf_oracle)._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+def test_hll_merge_windows_lossless_and_within_3pct(spark, sf_oracle):
+    """The daily-sketch → weekly-union rollup must (a) equal a single
+    direct weekly sketch (pre-aggregation adds no error) and (b) land
+    within 3% of the exact weekly distinct count."""
+    from lexam_data_pipeline_spark.catalog import load_table
+    from lexam_data_pipeline_spark.plans.fixture_queries import q_hll_merge_windows
+
+    merged = {
+        r["week"]: r["approx_distinct_users"]
+        for r in q_hll_merge_windows(spark, sf_oracle).collect()
+    }
+    ev = load_table(spark, sf_oracle, "events")
+    direct = ev.groupBy(
+        F.date_trunc("week", F.date_trunc("day", "ts")).alias("week")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col("user_id"), F.lit(14)))
+        .cast("bigint")
+        .alias("est"),
+        F.count_distinct("user_id").alias("exact"),
+    )
+    rows = direct.collect()
+    assert set(merged) == {r["week"] for r in rows}
+    for r in rows:
+        assert merged[r["week"]] == r["est"], "sketch merge must be lossless"
+        assert abs(merged[r["week"]] - r["exact"]) <= max(1, 0.03 * r["exact"])

@@ -84,6 +84,7 @@ PROBES = [
     "q_graph_bfs",
     "q_snapshot_diff",
     "q_calibration_bins",
+    "q_hll_merge_windows",
 ]
 
 OFFSETS = {
