@@ -1,9 +1,9 @@
 """Real media decoders — stdlib + numpy only.
 
 The multimodal operators (ml/multimodal.py) carry media as opaque binary
-columns.  Codecs needing external libraries (JPEG/MP3/H.264) stay
-honestly stubbed — but these formats decode with nothing beyond the
-standard library:
+columns.  Codecs needing external libraries (MP3/H.264/progressive
+JPEG) stay honestly stubbed — but these formats decode with nothing
+beyond the standard library:
 
 * **WAV (RIFF PCM)** — stdlib ``wave`` + numpy ``frombuffer``: sample
   rate, channel count, duration, RMS loudness, windowed energy
@@ -15,6 +15,10 @@ standard library:
   spec scanline filters (None/Sub/Up/Average/Paeth) with per-chunk CRC
   verification; encoder can emit any filter type so tests exercise
   every unfiltering path.
+* **JPEG (baseline DCT)** — full huffman entropy decode with tables
+  read from the stream, interleaved MCUs with 1x/2x sampling factors,
+  restart markers; matching 4:4:4 encoder (see the JPEG section header
+  for the verification strategy).
 
 Everything here is a pure ``bytes → numpy`` function with no Spark
 dependency; ml/multimodal.py lifts them into Arrow-batched
@@ -48,6 +52,8 @@ def sniff(payload: bytes | None) -> str | None:
         return "png"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
@@ -376,6 +382,466 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return file_hdr + info_hdr + data
 
 
+# --------------------------------------------------------------------------
+# JPEG (baseline DCT, pure stdlib + numpy)
+#
+# Decoder: generic baseline (SOF0/SOF1) — quant + huffman tables are read
+# from the stream's DQT/DHT segments, interleaved MCU scan with component
+# sampling factors 1 or 2 (4:4:4 / 4:2:2 / 4:2:0), 0xFF00 byte unstuffing,
+# DRI/RSTn restart handling.  Progressive (SOF2) and arithmetic coding
+# raise NotImplementedError honestly.
+#
+# Encoder: baseline 4:4:4 with the Annex-K-style quant tables (libjpeg
+# quality scaling) and deliberately SIMPLE spec-legal huffman tables (all
+# DC codes 4 bits, all AC codes 8 bits, written into DHT) — a few % worse
+# compression than the optimal Annex K tables, but byte-auditable, and
+# the decoder never assumes them: it reads whatever DHT declares.  That
+# split lets tests verify the decoder NON-circularly with hand-assembled
+# DC-only fixtures (tests/test_media_codecs.py) while roundtrips exercise
+# the full AC path.
+#
+# Public background: ITU-T T.81 (JPEG), JFIF 1.02.
+# --------------------------------------------------------------------------
+
+
+def _zigzag_indices() -> np.ndarray:
+    """Flattened (row*8+col) positions in JPEG zigzag scan order."""
+    order = []
+    for d in range(15):
+        rows = range(d, -1, -1) if d % 2 == 0 else range(0, d + 1)
+        for r in rows:
+            c = d - r
+            if r < 8 and c < 8:
+                order.append(r * 8 + c)
+    return np.array(order)
+
+
+_JPEG_ZZ = _zigzag_indices()
+
+#: orthonormal 8x8 DCT-II matrix M: coefficients = M @ block @ M.T
+_JPEG_DCT = np.cos(
+    (2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16
+) / 2.0
+_JPEG_DCT[0, :] = 1.0 / (2 * np.sqrt(2.0))
+
+_JPEG_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]).reshape(8, 8)
+
+_JPEG_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]).reshape(8, 8)
+
+#: encoder huffman specs: (bits[1..16], huffvals) — canonical, simple.
+#: DC: 12 categories, all 4-bit codes (Kraft 12/16 ≤ 1).
+_JPEG_DC_SPEC = ([0, 0, 0, 12] + [0] * 12, list(range(12)))
+#: AC: EOB, ZRL and every (run 0-15, size 1-10), all 8-bit codes
+#: (162/256 ≤ 1); sorted so symbol k gets canonical code k.
+_JPEG_AC_SYMBOLS = sorted(
+    {0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+)
+_JPEG_AC_SPEC = ([0] * 7 + [len(_JPEG_AC_SYMBOLS)] + [0] * 8, _JPEG_AC_SYMBOLS)
+
+
+def _huff_codes(bits: list[int], huffvals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment (T.81 Annex C): symbol → (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[huffvals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit stream with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.buf.append(self._acc)
+                if self._acc == 0xFF:
+                    self.buf.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
+        if self._n:
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)
+
+
+def _jpeg_quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (_JPEG_QUANT_LUMA, _JPEG_QUANT_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+def _encode_block(
+    wr: _BitWriter,
+    zz: np.ndarray,
+    pred: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    """Entropy-encode one zigzagged quantized block; returns its DC."""
+    dc = int(zz[0])
+    diff = dc - pred
+    size = int(abs(diff)).bit_length()
+    code, length = dc_codes[size]
+    wr.write(code, length)
+    if size:
+        wr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_codes[0xF0]
+            wr.write(code, length)
+            run -= 16
+        s = abs(v).bit_length()
+        code, length = ac_codes[(run << 4) | s]
+        wr.write(code, length)
+        wr.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]
+        wr.write(code, length)
+    return dc
+
+
+def _plane_coeffs(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Pad to 8-multiples (edge), FDCT + quantize every block → array of
+    shape (by, bx, 64) in zigzag order."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    p = np.pad(plane, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
+    by, bx = p.shape[0] // 8, p.shape[1] // 8
+    blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ux,yvxw,zw->yvuz", _JPEG_DCT, blocks.reshape(by, bx, 8, 8), _JPEG_DCT)
+    zz = np.round(coef / q).astype(np.int64).reshape(by, bx, 64)[:, :, _JPEG_ZZ]
+    # baseline AC range is ±1023 (size ≤ 10); only reachable at extreme
+    # quality with pathological blocks — clamp like real encoders do
+    zz[:, :, 1:] = np.clip(zz[:, :, 1:], -1023, 1023)
+    return zz
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90, restart_interval: int = 0) -> bytes:
+    """Baseline JFIF encode of (h, w, 3) RGB or (h, w, 1)/(h, w) gray."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if ch not in (1, 3):
+        raise ValueError(f"need 1 or 3 channels, got {ch}")
+    f = arr.astype(np.float64)
+    if ch == 3:
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [f[:, :, 0]]
+    ql, qc = _jpeg_quality_tables(quality)
+    qzz = [q.reshape(-1)[_JPEG_ZZ] for q in (ql, qc)]
+    quants = [ql] + ([qc, qc] if ch == 3 else [])
+    tqs = [0] + ([1, 1] if ch == 3 else [])
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq in sorted(set(tqs)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(x) for x in qzz[tq]
+        )
+    out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * ch) + bytes([8]) + struct.pack(
+        ">HH", h, w
+    ) + bytes([ch])
+    for i in range(ch):
+        out += bytes([i + 1, 0x11, tqs[i]])
+    for cls, (bits, vals) in ((0, _JPEG_DC_SPEC), (1, _JPEG_AC_SPEC)):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes(
+            [cls << 4]
+        ) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * ch) + bytes([ch])
+    for i in range(ch):
+        out += bytes([i + 1, 0x00])  # DC table 0, AC table 0 for all
+    out += b"\x00\x3f\x00"
+
+    dc_codes = _huff_codes(*_JPEG_DC_SPEC)
+    ac_codes = _huff_codes(*_JPEG_AC_SPEC)
+    comp_zz = [_plane_coeffs(p, q) for p, q in zip(planes, quants)]
+    by, bx = comp_zz[0].shape[:2]
+    wr = _BitWriter()
+    preds = [0] * ch
+    mcu_i, rst_i = 0, 0
+    for y in range(by):
+        for x in range(bx):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                wr.flush()
+                wr.buf += bytes([0xFF, 0xD0 + rst_i % 8])
+                rst_i += 1
+                preds = [0] * ch
+            for c in range(ch):
+                preds[c] = _encode_block(wr, comp_zz[c][y, x], preds[c], dc_codes, ac_codes)
+            mcu_i += 1
+    wr.flush()
+    out += wr.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+            self._acc = byte
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_restart(self) -> None:
+        """Drop partial bits and consume the next RSTn marker.  Scans
+        forward because a pure-padding byte before the marker is never
+        fetched by ``read_bit`` (only padding precedes a restart, so the
+        scan cannot skip entropy data)."""
+        self._n = 0
+        p = self.pos
+        while p + 1 < len(self.data):
+            if self.data[p] == 0xFF and 0xD0 <= self.data[p + 1] <= 0xD7:
+                self.pos = p + 2
+                return
+            p += 1
+        raise ValueError("expected restart marker")
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in JPEG scan")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map raw `size`-bit value to signed coeff."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → (h, w, ncomp) uint8 (RGB for 3 components)."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, struct.error) as exc:  # ran off the end mid-parse
+        raise ValueError(f"truncated or corrupt JPEG: {exc}") from exc
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) → {(len, code): sym}
+    comps: list[dict] = []
+    h = w = 0
+    dri = 0
+    data_pos = None
+    scan: list[dict] = []
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
+            continue
+        seg_len = struct.unpack(">H", payload[pos : pos + 2])[0]
+        seg = payload[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq:
+                    vals = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.int64)
+                    i += 128
+                else:
+                    vals = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.int64)
+                    i += 64
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_JPEG_ZZ] = vals  # stored in zigzag order
+                quant[tq] = tbl.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                i += 17 + n
+                by_code = {}
+                for sym, (code, length) in _huff_codes(bits, vals).items():
+                    by_code[(length, code)] = sym
+                huff[(cls, tid)] = by_code
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline sequential
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError(f"sampling factor {hi}x{vi} not supported")
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"JPEG SOF 0x{marker:02X} not supported")
+        elif marker == 0xDD:  # DRI
+            dri = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c : 3 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                scan.append({**comp, "dc": tabs >> 4, "ac": tabs & 0xF})
+            data_pos = pos + seg_len
+            break
+        pos += seg_len
+    if data_pos is None or not scan:
+        raise ValueError("no SOS scan found")
+
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in scan
+    ]
+    coeffs = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64) for c in scan
+    ]
+    br = _BitReader(payload, data_pos)
+    preds = [0] * len(scan)
+    for m in range(mcux * mcuy):
+        if dri and m and m % dri == 0:
+            br.align_to_restart()
+            preds = [0] * len(scan)
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(scan):
+            dc_tbl = huff[(0, c["dc"])]
+            ac_tbl = huff[(1, c["ac"])]
+            for v in range(c["v"]):
+                for hh in range(c["h"]):
+                    zz = np.zeros(64, dtype=np.int64)
+                    size = _huff_decode(br, dc_tbl)
+                    preds[ci] += _extend(br.read(size), size)
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        sym = _huff_decode(br, ac_tbl)
+                        if sym == 0x00:  # EOB
+                            break
+                        run, s = sym >> 4, sym & 0xF
+                        if s == 0:
+                            if run != 15:
+                                raise ValueError(f"bad AC symbol 0x{sym:02X}")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run past end of block")
+                        zz[k] = _extend(br.read(s), s)
+                        k += 1
+                    coeffs[ci][my * c["v"] + v, mx * c["h"] + hh] = zz
+    out_planes = []
+    for ci, c in enumerate(scan):
+        q = quant[c["tq"]].reshape(-1)
+        flat = coeffs[ci] * q[None, None, :]
+        blocks = np.zeros_like(flat)
+        blocks[:, :, _JPEG_ZZ] = flat
+        by, bx = blocks.shape[:2]
+        b8 = blocks.reshape(by, bx, 8, 8)
+        pix = np.einsum("xu,yvuz,zw->yvxw", _JPEG_DCT.T, b8, _JPEG_DCT) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 3:
+        y, cb, cr = out_planes
+        rgb = np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=2,
+        )
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+
+
 def _to_rgb(arr: np.ndarray) -> np.ndarray:
     """Grayscale/alpha variants → (h, w, 3) for :func:`image_features`."""
     ch = arr.shape[2]
@@ -400,4 +866,6 @@ def decode_features(payload: bytes | None) -> list[float] | None:
         return image_features(_to_rgb(decode_png(payload)))
     if kind == "bmp":
         return image_features(decode_bmp(payload))
+    if kind == "jpeg":
+        return image_features(_to_rgb(decode_jpeg(payload)))
     return None

@@ -5,7 +5,8 @@ struct; decode / feature-extraction run as Arrow-batched ``mapInPandas``
 stages.  Decode is REAL for WAV PCM audio, P6 PPM images, and 8-bit PNG
 (zlib + Paeth unfiltering — ml/media_codecs.py, stdlib + numpy only,
 shipped to executors by-value so workers need neither this package nor a
-codec library); codecs needing external libraries (JPEG/MP3/H.264) are
+codec library); codecs needing external libraries (MP3/H.264,
+progressive JPEG) are
 honestly STUBBED —
 ``NotImplementedError`` unless ``deterministic_fake=True``, which
 substitutes a reproducible byte-histogram feature so the Spark-side
@@ -94,8 +95,9 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
 def media_table_real(docs: DataFrame) -> DataFrame:
     """Media table whose payloads are REAL decodable formats, synthesized
     deterministically from each document's bytes: image rows carry an
-    8×8 PNG (Paeth-filtered so decode exercises the full filter path),
-    audio rows a 16-bit PCM WAV, video rows a PPM frame.  This makes the
+    8×8 PNG (Paeth-filtered so decode exercises the full filter path)
+    or a baseline JPEG (huffman + IDCT path), audio rows a 16-bit PCM
+    WAV, video rows a PPM frame.  This makes the
     whole multimodal tier run with ``deterministic_fake=False`` — every
     payload goes through a real ``bytes → ndarray`` codec.
 
@@ -113,6 +115,7 @@ def media_table_real(docs: DataFrame) -> DataFrame:
     _enc_png = media_codecs.encode_png
     _enc_wav = media_codecs.encode_wav
     _enc_ppm = media_codecs.encode_ppm
+    _enc_jpeg = media_codecs.encode_jpeg
 
     def run(batches):
         import numpy as np
@@ -121,11 +124,13 @@ def media_table_real(docs: DataFrame) -> DataFrame:
         def synth(doc_id, raw):
             # 192 deterministic bytes derived from the text
             seed = np.frombuffer((raw * (192 // max(len(raw), 1) + 1))[:192], dtype=np.uint8)
-            if doc_id % 3 == 0:  # image: 8x8 RGB PNG, Paeth filter
+            if doc_id % 4 == 0:  # image: 8x8 RGB PNG, Paeth filter
                 return _enc_png(seed.reshape(8, 8, 3), filter_type=4), "image"
-            if doc_id % 3 == 1:  # audio: 96-sample 16-bit mono WAV
+            if doc_id % 4 == 1:  # audio: 96-sample 16-bit mono WAV
                 samples = (seed.astype(np.float64)[:96] - 128.0) / 128.0
                 return _enc_wav(samples, rate=8000), "audio"
+            if doc_id % 4 == 2:  # image: 8x8 baseline JPEG (lossy path)
+                return _enc_jpeg(seed.reshape(8, 8, 3), quality=90), "image"
             return _enc_ppm(seed.reshape(8, 8, 3)), "video"  # frame as PPM
 
         for pdf in batches:
@@ -217,7 +222,7 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataF
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal tier on fixture data (rows-only check):
-    synthesize REAL payloads (PNG/WAV/PPM, media_table_real) → Arrow
+    synthesize REAL payloads (PNG/JPEG/WAV/PPM, media_table_real) → Arrow
     decode through the actual codecs (``deterministic_fake=False`` — no
     fake path anywhere) → typed features → per-media-type aggregate."""
     docs = load_table(spark, sf_dir, "documents")
@@ -272,6 +277,8 @@ def resize_media(
     _enc_png = media_codecs.encode_png
     _dec_bmp = media_codecs.decode_bmp
     _enc_bmp = media_codecs.encode_bmp
+    _dec_jpeg = media_codecs.decode_jpeg
+    _enc_jpeg = media_codecs.encode_jpeg
     _to_rgb = media_codecs._to_rgb
     _resize = media_codecs.resize_nearest
 
@@ -286,13 +293,17 @@ def resize_media(
                     continue
                 payload = bytes(payload)
                 kind = _sniff(payload)
-                if kind in ("ppm", "png", "bmp"):
+                if kind in ("ppm", "png", "bmp", "jpeg"):
                     try:
                         if kind == "ppm":
                             out_payload.append(_enc(_resize(_dec(payload), tw, th)))
                         elif kind == "png":
                             out_payload.append(
                                 _enc_png(_resize(_to_rgb(_dec_png(payload)), tw, th))
+                            )
+                        elif kind == "jpeg":
+                            out_payload.append(
+                                _enc_jpeg(_resize(_to_rgb(_dec_jpeg(payload)), tw, th))
                             )
                         else:
                             out_payload.append(

@@ -94,7 +94,8 @@ class TestSniff:
     def test_sniff_types(self):
         assert sniff(_sine_wav()) == "wav"
         assert sniff(_gradient_ppm()) == "ppm"
-        assert sniff(b"\xff\xd8\xff jpeg-ish") is None
+        assert sniff(b"\xff\xd8\xff jpeg-ish") == "jpeg"  # decodable since round 4
+        assert sniff(b"\x00\x01 not media") is None
         assert sniff(None) is None
 
     def test_decode_features_dispatch(self):
@@ -426,3 +427,172 @@ class TestBmp:
         )
         out = resize_media(media, 4, 4, deterministic_fake=False).collect()[0]
         assert (decode_bmp(bytes(out["payload"])) == resize_nearest(arr, 4, 4)).all()
+
+
+class TestJpeg:
+    """Baseline JPEG codec.  Verification strategy (no image library
+    exists in this container to act as an oracle): the DECODER is
+    checked non-circularly against hand-assembled byte streams built
+    in this test straight from T.81 (DC-only blocks whose huffman bits
+    are computed by hand), including a 4:2:0 fixture that exercises the
+    interleaved-MCU + upsampling path the encoder (4:4:4 only) never
+    produces; the ENCODER is then checked through decode roundtrips."""
+
+    # -- hand-built fixtures -------------------------------------------
+    @staticmethod
+    def _tables_segments() -> bytes:
+        """DQT (all-16 table, id 0) + DHT (DC: 12 cats at 4 bits -> code
+        == category; AC: 162 symbols at 8 bits, sorted -> EOB is symbol
+        0x00 = first = code 0) — written literally, independent of the
+        encoder's table constants."""
+        import struct as st
+
+        dqt = b"\xff\xdb" + st.pack(">H", 67) + bytes([0]) + bytes([16] * 64)
+        dc_bits = bytes([0, 0, 0, 12] + [0] * 12)
+        dc_vals = bytes(range(12))
+        ac_syms = sorted({0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)})
+        ac_bits = bytes([0] * 7 + [len(ac_syms)] + [0] * 8)
+        dht = (
+            b"\xff\xc4" + st.pack(">H", 19 + 12) + bytes([0x00]) + dc_bits + dc_vals
+            + b"\xff\xc4" + st.pack(">H", 19 + len(ac_syms)) + bytes([0x10])
+            + ac_bits + bytes(ac_syms)
+        )
+        return dqt + dht
+
+    @staticmethod
+    def _bits_to_bytes(bits: str) -> bytes:
+        bits += "1" * (-len(bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = int(bits[i : i + 8], 2)
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+    def test_handbuilt_grayscale_dc_only(self):
+        """8x8 gray, all pixels 128: DC diff 0 -> DC code '0000' (cat 0),
+        EOB '00000000'; quant irrelevant for a zero block."""
+        import struct as st
+
+        from lexam_data_pipeline_spark.ml.media_codecs import decode_jpeg
+
+        sof = (
+            b"\xff\xc0" + st.pack(">H", 11) + bytes([8]) + st.pack(">HH", 8, 8)
+            + bytes([1]) + bytes([1, 0x11, 0])
+        )
+        sos = b"\xff\xda" + st.pack(">H", 8) + bytes([1, 1, 0x00, 0, 0x3F, 0])
+        entropy = self._bits_to_bytes("0000" + "00000000")
+        jpg = b"\xff\xd8" + self._tables_segments() + sof + sos + entropy + b"\xff\xd9"
+        out = decode_jpeg(jpg)
+        assert out.shape == (8, 8, 1)
+        assert (out == 128).all()
+
+    def test_handbuilt_420_solid_color(self):
+        """16x16 RGB at 4:2:0: one MCU = 4 Y blocks + Cb + Cr.  DC-only
+        values chosen so YCbCr=(124,86,182) -> RGB=(200,100,50) exactly.
+        Hand bits: Y1 diff -2 (cat2 '0010' + '01'), Y2-4 diff 0, Cb diff
+        -21 (cat5 '0101' + '01010'), Cr diff 27 (cat5 '0101' + '11011')."""
+        import struct as st
+
+        from lexam_data_pipeline_spark.ml.media_codecs import decode_jpeg
+
+        sof = (
+            b"\xff\xc0" + st.pack(">H", 17) + bytes([8]) + st.pack(">HH", 16, 16)
+            + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+        )
+        sos = b"\xff\xda" + st.pack(">H", 12) + bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0x3F, 0])
+        eob = "00000000"
+        bits = (
+            "0010" + "01" + eob            # Y1: diff -2 -> DC -2*16=-32 -> Y 124
+            + ("0000" + eob) * 3           # Y2..Y4: diff 0 (pred carries)
+            + "0101" + "01010" + eob       # Cb: diff -21 -> -336 -> 86
+            + "0101" + "11011" + eob       # Cr: diff 27 -> 432 -> 182
+        )
+        jpg = b"\xff\xd8" + self._tables_segments() + sof + sos + self._bits_to_bytes(bits) + b"\xff\xd9"
+        out = decode_jpeg(jpg)
+        assert out.shape == (16, 16, 3)
+        assert (out == np.array([200, 100, 50], dtype=np.uint8)).all()
+
+    # -- roundtrips ----------------------------------------------------
+    def test_roundtrip_solid_exact(self):
+        from lexam_data_pipeline_spark.ml.media_codecs import decode_jpeg, encode_jpeg
+
+        for v in (0, 77, 128, 255):
+            img = np.full((12, 20, 3), v, np.uint8)
+            assert (decode_jpeg(encode_jpeg(img, 90)) == img).all(), v
+
+    def test_roundtrip_smooth_gradient_close(self):
+        from lexam_data_pipeline_spark.ml.media_codecs import decode_jpeg, encode_jpeg
+
+        yy, xx = np.mgrid[0:24, 0:40]
+        img = np.stack(
+            [(yy * 5) % 256, (xx * 3) % 256, ((xx + yy) * 2) % 256], axis=2
+        ).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quality=90))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).mean() < 3.0
+
+    def test_roundtrip_restart_markers(self):
+        from lexam_data_pipeline_spark.ml.media_codecs import decode_jpeg, encode_jpeg
+
+        yy, xx = np.mgrid[0:17, 0:33]
+        img = ((yy * 7 + xx * 3) % 256).astype(np.uint8)[:, :, None]
+        a = decode_jpeg(encode_jpeg(img, 85))
+        b = decode_jpeg(encode_jpeg(img, 85, restart_interval=2))
+        # restart segmentation must not change decoded pixels at all
+        assert (a == b).all()
+
+    def test_roundtrip_random_images_bounded_error(self):
+        from hypothesis import given, settings, strategies as st
+        from hypothesis.extra.numpy import arrays
+
+        from lexam_data_pipeline_spark.ml.media_codecs import decode_jpeg, encode_jpeg
+
+        @settings(max_examples=15, deadline=None)
+        @given(
+            arrays(
+                np.uint8,
+                st.tuples(
+                    st.integers(1, 20), st.integers(1, 20), st.sampled_from([1, 3])
+                ),
+            ),
+            st.sampled_from([60, 85, 95]),
+        )
+        def roundtrip(img, q):
+            dec = decode_jpeg(encode_jpeg(img, q))
+            assert dec.shape == img.shape
+            assert dec.dtype == np.uint8
+            # lossy bound: worst case (noise) stays within gross range
+            assert np.abs(dec.astype(int) - img.astype(int)).mean() < 90.0
+
+        roundtrip()
+
+    # -- honesty / dispatch --------------------------------------------
+    def test_progressive_raises(self):
+        from lexam_data_pipeline_spark.ml.media_codecs import decode_jpeg, encode_jpeg
+
+        enc = encode_jpeg(np.zeros((8, 8, 1), np.uint8))
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(enc.replace(b"\xff\xc0", b"\xff\xc2", 1))
+
+    def test_truncated_raises(self):
+        from lexam_data_pipeline_spark.ml.media_codecs import decode_jpeg, encode_jpeg
+
+        enc = encode_jpeg(np.full((8, 8, 3), 9, np.uint8))
+        with pytest.raises(ValueError):
+            decode_jpeg(enc[: len(enc) // 2])
+
+    def test_sniff_and_decode_features(self):
+        from lexam_data_pipeline_spark.ml.media_codecs import (
+            decode_features,
+            encode_jpeg,
+            sniff,
+        )
+
+        img = np.full((10, 10, 3), 100, np.uint8)
+        enc = encode_jpeg(img, 95)
+        assert sniff(enc) == "jpeg"
+        feats = decode_features(enc)
+        assert feats is not None and feats[0] == 10 and feats[1] == 10
+        assert abs(feats[2] - 100) < 2  # mean R on a solid image
