@@ -143,6 +143,7 @@ def main() -> None:
         "q_snapshot_diff",
         "q_calibration_bins",
         "q_hll_merge_windows",
+        "q_theil_sen",
         "q_multimodal_features",
     ):
         if extra in queries and extra not in names:

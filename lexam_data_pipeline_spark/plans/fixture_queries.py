@@ -2643,3 +2643,45 @@ def q_hll_merge_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("approx_distinct_users")
         )
     )
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per order priority: the MEDIAN of all
+    pairwise slopes of monthly revenue over time — the estimator that
+    shrugs off outlier periods where an OLS slope (q_corr_stats'
+    cousin) gets dragged.  Standard robust-stats tier for drift
+    monitoring.
+
+    Scale shape: the quadratic pair join runs on the CALENDAR-grain
+    pre-aggregate, so its size is months²-per-group — bounded by the
+    time span, independent of fact-table row count (100 TB of orders
+    over 7 years is still ~80 spine rows per group, ~3k pairs).  The
+    grain is a real constraint, not a convenience: a DAY-grain spine
+    over 7 years yields ~2M pair slopes per group, and the exact-median
+    buffer for that OOMs a 1 GiB driver (measured) — pick the grain so
+    pairs-per-group stays thousands, or switch to approx_percentile
+    (operators/approx.py).  Monthly revenue uses the exact decimal sum
+    (house float-parity rule); each slope is one deterministic double
+    expression; the exact median interpolates identically in both
+    engines (q_percentile_multi precedent)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("month", "o_orderdate").alias("day"),
+    ).agg(_dec_sum("o_totalprice").alias("rev")).withColumn(
+        "d", F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.prio") == F.col("b.prio")) & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.prio").alias("prio"),
+        (
+            (F.col("b.rev") - F.col("a.rev")) / (F.col("b.d") - F.col("a.d"))
+        ).alias("slope"),
+    )
+    return pairs.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5D)"), 6).alias("sen_slope"),
+    )

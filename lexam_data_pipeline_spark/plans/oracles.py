@@ -1345,3 +1345,27 @@ CORE_ORACLES["q_calibration_bins"] = """
                      - sum(label) / (count(*) * 1.0)), 6) AS abs_gap
     FROM binned GROUP BY bin
 """
+
+
+# Theil–Sen slope: median of pairwise slopes on the monthly-revenue
+# spine.  Same decimal-exact sums and interpolated median as Spark.
+CORE_ORACLES["q_theil_sen"] = """
+    WITH daily AS (
+        SELECT o_orderpriority AS prio,
+               date_trunc('month', o_orderdate) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT prio, rev,
+               date_diff('day', DATE '1995-01-01', CAST(day AS DATE)) AS d
+        FROM daily
+    ),
+    pairs AS (
+        SELECT a.prio, (b.rev - a.rev) / (b.d - a.d) AS slope
+        FROM spine a JOIN spine b ON a.prio = b.prio AND a.d < b.d
+    )
+    SELECT prio, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6) AS sen_slope
+    FROM pairs GROUP BY prio
+"""

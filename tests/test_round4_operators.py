@@ -435,3 +435,76 @@ class TestCalibrationBins:
         for r in q_calibration_bins(spark, sf_oracle).collect():
             lo, hi = r["bin"] / CALIB_BINS, (r["bin"] + 1) / CALIB_BINS
             assert lo <= r["avg_score"] < hi
+
+
+class TestTheilSen:
+    def test_matches_bruteforce_on_fixture(self, spark, sf_oracle):
+        """Median-of-pairwise-slopes recomputed driver-side from the same
+        monthly spine must match exactly (incl. even-count interpolation)."""
+        import statistics
+
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            _dec_sum,
+            q_theil_sen,
+        )
+
+        spine = (
+            load_table(spark, sf_oracle, "orders")
+            .groupBy(
+                F.col("o_orderpriority").alias("prio"),
+                F.date_trunc("month", "o_orderdate").alias("m"),
+            )
+            .agg(_dec_sum("o_totalprice").alias("rev"))
+            .collect()
+        )
+        by_prio: dict[str, list] = {}
+        for r in spine:
+            by_prio.setdefault(r["prio"], []).append((r["m"], r["rev"]))
+        got = {r["prio"]: (r["n_pairs"], r["sen_slope"]) for r in q_theil_sen(spark, sf_oracle).collect()}
+        base = min(m for pts in by_prio.values() for m, _ in pts)
+        for prio, pts in by_prio.items():
+            idx = sorted(((m - base).days, rev) for m, rev in pts)
+            slopes = [
+                (r2 - r1) / (d2 - d1)
+                for i, (d1, r1) in enumerate(idx)
+                for (d2, r2) in idx[i + 1 :]
+            ]
+            assert got[prio][0] == len(slopes)
+            assert abs(got[prio][1] - round(statistics.median(slopes), 6)) < 1e-9
+
+    def test_robust_to_outlier_month(self, spark):
+        """One wild outlier month must not drag the Sen slope (the whole
+        point vs OLS): slope of a clean +10/month trend with one huge
+        spike stays ~10."""
+        import pandas as pd
+
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_theil_sen
+
+        rows = []
+        for i in range(24):
+            val = 1000.0 + 10.0 * i * 30  # ~10/day trend on month spine
+            if i == 12:
+                val = 1e7  # outlier month
+            rows.append((i, f"1995-{(i % 12) + 1:02d}-01", val))
+        pdf = pd.DataFrame(
+            {
+                "o_orderkey": range(24),
+                "o_custkey": [1] * 24,
+                "o_orderstatus": ["F"] * 24,
+                "o_totalprice": [r[2] for r in rows],
+                "o_orderdate": pd.to_datetime(
+                    [f"{1995 + i // 12}-{(i % 12) + 1:02d}-01" for i in range(24)]
+                ).astype("datetime64[us]"),
+                "o_orderpriority": ["1-URGENT"] * 24,
+            }
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(pdf).write.parquet(f"{d}/orders.parquet")
+            out = q_theil_sen(spark, d).collect()
+        assert len(out) == 1
+        # clean pairwise slope ≈ 300/30.44 days ≈ 9.86/day; outlier would
+        # push an OLS fit far higher — Sen must stay near the clean trend
+        assert 8.0 < out[0]["sen_slope"] < 12.0

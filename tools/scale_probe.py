@@ -85,6 +85,7 @@ PROBES = [
     "q_snapshot_diff",
     "q_calibration_bins",
     "q_hll_merge_windows",
+    "q_theil_sen",
 ]
 
 OFFSETS = {
