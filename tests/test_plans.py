@@ -128,3 +128,49 @@ def test_time_decay_is_single_aggregate(spark, sf_small):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_calibration_bins_is_pure_partial_aggregate(spark, sf_small):
+    """Hash + bin assignment are map-side arithmetic; the only exchange
+    is the 10-group aggregate (partial+final pair), no join/window/sort."""
+    plan = _plan(QUERIES["q_calibration_bins"](spark, sf_small))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_snapshot_diff_is_one_join_one_aggregate(spark, sf_small):
+    """Both snapshots derive from ONE orders scan; the diff is a single
+    full-outer join (SMJ on the snapshot key) followed by the 4-group
+    classify aggregate — no second join, no window."""
+    plan = _plan(QUERIES["q_snapshot_diff"](spark, sf_small))
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1, plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_hll_merge_windows_is_two_level_aggregate(spark, sf_small):
+    """Sketch rollup must be aggregates only: day-level sketch build then
+    week-level union — no join, exactly two exchange boundaries at most
+    (day agg, week agg)."""
+    plan = _plan(QUERIES["q_hll_merge_windows"](spark, sf_small))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_theil_sen_pair_join_is_on_spine_not_facts(spark, sf_small):
+    """The quadratic pair join must consume the AGGREGATED month spine:
+    every join input contains a HashAggregate below it (never a raw
+    orders scan feeding the join directly)."""
+    plan = _plan(QUERIES["q_theil_sen"](spark, sf_small))
+    join_pos = min(
+        (plan.find(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+         if plan.find(j) != -1),
+        default=-1,
+    )
+    assert join_pos != -1, "expected a pair join in the plan"
+    # the spine aggregate appears before the join in the plan dump's
+    # operator numbering (children print after parents, so aggregates
+    # feeding the join appear later in text): count aggregates overall
+    assert plan.count("HashAggregate") >= 4  # spine partial+final x both sides reuse + median agg
