@@ -144,6 +144,8 @@ def main() -> None:
         "q_calibration_bins",
         "q_hll_merge_windows",
         "q_theil_sen",
+        "q_running_distinct",
+        "q_dau_wau_stickiness",
         "q_multimodal_features",
     ):
         if extra in queries and extra not in names:

@@ -2685,3 +2685,63 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.round(F.expr("percentile(slope, 0.5D)"), 6).alias("sen_slope"),
     )
+
+
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth curve every product
+    dashboard draws.  The scalable idiom: a running COUNT(DISTINCT) is
+    NOT a windowed distinct (quadratic re-scan per frame); each user
+    contributes exactly once at their FIRST-SEEN day, so the curve is
+    ``min(day) per user → count per day → cumulative sum`` — two narrow
+    aggregates plus one running-total window over |days| rows.
+
+    At 100 TB: the per-user min is a map-side-combinable aggregate on
+    user_id; everything after runs on the tiny day spine."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    per_day = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly stickiness: average daily-active-users over the week
+    divided by weekly-active-users — the exact-count twin of the
+    q_hll_merge_windows sketch rollup (same rollup lattice, COUNT
+    DISTINCT instead of HLL) and the standard engagement ratio.
+
+    Two distinct aggregates sharing one shuffle lineage on (day, user):
+    dedup to active (day, user) pairs once, then day and week rollups
+    both derive from it.  Ratio is one deterministic double division on
+    exact int64 counts."""
+    ev = load_table(spark, sf_dir, "events")
+    day_user = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    dau = day_user.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    weekly_avg_dau = dau.groupBy(
+        F.date_trunc("week", "day").alias("week")
+    ).agg(F.sum("dau").alias("sum_dau"), F.count(F.lit(1)).alias("n_days"))
+    wau = (
+        day_user.groupBy(
+            F.date_trunc("week", "day").alias("week"), "user_id"
+        )
+        .agg(F.lit(1))
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return weekly_avg_dau.join(wau, "week").select(
+        "week",
+        F.col("wau").cast("bigint").alias("wau"),
+        F.round(
+            F.col("sum_dau") / (F.col("n_days") * F.col("wau")), 6
+        ).alias("stickiness"),
+    )

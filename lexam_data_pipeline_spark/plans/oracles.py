@@ -1369,3 +1369,43 @@ CORE_ORACLES["q_theil_sen"] = """
            round(quantile_cont(slope, 0.5), 6) AS sen_slope
     FROM pairs GROUP BY prio
 """
+
+
+CORE_ORACLES["q_running_distinct"] = """
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS day
+        FROM events GROUP BY user_id
+    ),
+    per_day AS (
+        SELECT day, count(*) AS new_users FROM first_seen GROUP BY day
+    )
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
+    FROM per_day
+"""
+
+
+CORE_ORACLES["q_dau_wau_stickiness"] = """
+    WITH day_user AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    dau AS (
+        SELECT day, count(*) AS dau FROM day_user GROUP BY day
+    ),
+    weekly AS (
+        SELECT date_trunc('week', day) AS week,
+               sum(dau) AS sum_dau, count(*) AS n_days
+        FROM dau GROUP BY 1
+    ),
+    wau AS (
+        SELECT week, count(*) AS wau FROM (
+            SELECT DISTINCT date_trunc('week', day) AS week, user_id
+            FROM day_user
+        ) GROUP BY week
+    )
+    SELECT w.week, CAST(wau.wau AS BIGINT) AS wau,
+           round(w.sum_dau / (w.n_days * 1.0 * wau.wau), 6) AS stickiness
+    FROM weekly w JOIN wau ON w.week = wau.week
+"""

@@ -508,3 +508,36 @@ class TestTheilSen:
         # clean pairwise slope ≈ 300/30.44 days ≈ 9.86/day; outlier would
         # push an OLS fit far higher — Sen must stay near the clean trend
         assert 8.0 < out[0]["sen_slope"] < 12.0
+
+
+class TestEngagement:
+    def test_running_distinct_curve_invariants(self, spark, sf_oracle):
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_running_distinct
+
+        rows = sorted(
+            q_running_distinct(spark, sf_oracle).collect(), key=lambda r: r["day"]
+        )
+        assert rows
+        # monotone cumulative; final value == total distinct users
+        cum = 0
+        for r in rows:
+            cum += r["new_users"]
+            assert r["cumulative_users"] == cum
+        total = (
+            load_table(spark, sf_oracle, "events")
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert rows[-1]["cumulative_users"] == total
+
+    def test_stickiness_bounded_and_exact_on_toy(self, spark, sf_oracle):
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            q_dau_wau_stickiness,
+        )
+
+        for r in q_dau_wau_stickiness(spark, sf_oracle).collect():
+            # avg DAU can't exceed WAU; every weekly-active user is
+            # active ≥ 1 day so stickiness ≥ 1/7
+            assert 1.0 / 7 - 1e-9 <= r["stickiness"] <= 1.0 + 1e-9

@@ -86,6 +86,8 @@ PROBES = [
     "q_calibration_bins",
     "q_hll_merge_windows",
     "q_theil_sen",
+    "q_running_distinct",
+    "q_dau_wau_stickiness",
 ]
 
 OFFSETS = {
