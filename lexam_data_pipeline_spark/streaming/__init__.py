@@ -20,6 +20,7 @@ from lexam_data_pipeline_spark.streaming.incremental import start_streaming_aggr
 from lexam_data_pipeline_spark.streaming.scd2 import scd2_merge, start_streaming_scd2
 from lexam_data_pipeline_spark.streaming.sketches import cms_merge, start_streaming_cms
 from lexam_data_pipeline_spark.streaming.joins import attribution_join, start_attribution_stream
+from lexam_data_pipeline_spark.streaming.ivm import join_view_delta, start_streaming_join_view
 from lexam_data_pipeline_spark.streaming.stateful import user_activity_tracker
 from lexam_data_pipeline_spark.streaming.progress import (
     ProgressSnapshot,
@@ -41,10 +42,12 @@ __all__ = [
     "sliding_counts",
     "attribution_join",
     "cms_merge",
+    "join_view_delta",
     "scd2_merge",
     "start_streaming_aggregate",
     "start_attribution_stream",
     "start_streaming_cms",
+    "start_streaming_join_view",
     "start_streaming_scd2",
     "tumbling_counts",
     "user_activity_tracker",
