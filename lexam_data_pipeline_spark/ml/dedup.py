@@ -150,11 +150,23 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutations.  Rows-only check (the affine-hash pipeline is not
     reproducible in ANSI SQL).
     """
-    k, bands, r = 16, 4, 4
     docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidate_pairs(docs, slot=f"dedup.minhash_sig.{sf_dir}")
+
+
+def minhash_lsh_candidate_pairs(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    r: int = 4,
+    slot: str = "dedup.minhash_sig",
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, est_jaccard) for every banded LSH collision —
+    the shared core of :func:`q_minhash_lsh_pairs` and the declarative
+    ``dedup_neardup`` stage."""
     # slot-bounded (released when the next call replaces it): sig feeds
     # both the band explode and the two verify-join sides
-    sig = persist_slot(minhash_signatures(docs, k=k), f"dedup.minhash_sig.{sf_dir}")
+    sig = persist_slot(minhash_signatures(docs, k=k), slot)
     band_rows = sig.select(
         "doc_id",
         F.explode(

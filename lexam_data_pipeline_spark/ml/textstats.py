@@ -68,6 +68,28 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_scores(toks_col: F.Column) -> dict[str, F.Column]:
+    """Per-language marker-vote scores over a lowercased token array."""
+
+    def marker_score(markers: tuple[str, ...]):
+        # closure factory: a default-arg lambda would read as a 2-arg
+        # (element, index) lambda to Spark's lambda binder
+        return F.size(F.filter(toks_col, lambda t: t.isin(*markers)))
+
+    return {lang: marker_score(m) for lang, m in LANG_MARKERS.items()}
+
+
+def predict_lang(scores: dict[str, F.Column]) -> F.Column:
+    """Winning language with declaration-order tie-break; 'unknown' when
+    no marker hits.  Shared by :func:`q_lang_id` and the declarative
+    pipeline's ``lang_filter`` stage."""
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for lang, sc in scores.items():
+        pred = pred.when(sc == best, F.lit(lang))
+    return pred
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: marker-vocabulary voting over tokens, with
     'unknown' fallback.  Oracle-checked: the DuckDB twin replicates the
@@ -75,21 +97,19 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.transform(tokens("text"), F.lower).alias("toks")
     )
-    def marker_score(markers: tuple[str, ...]):
-        # closure factory: a default-arg lambda would read as a 2-arg
-        # (element, index) lambda to Spark's lambda binder
-        return F.size(F.filter(F.col("toks"), lambda t: t.isin(*markers)))
-
+    scores = lang_scores(F.col("toks"))
     scored = docs.select(
         "doc_id",
         "lang",
-        *[marker_score(markers).alias(f"score_{lang}") for lang, markers in LANG_MARKERS.items()],
+        *[sc.alias(f"score_{lang}") for lang, sc in scores.items()],
     )
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
-    pred = F.when(best <= 0, F.lit("unknown"))
-    for lang in LANG_MARKERS:
-        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
-    return scored.select("doc_id", "lang", pred.alias("predicted_lang"))
+    return scored.select(
+        "doc_id",
+        "lang",
+        predict_lang({lang: F.col(f"score_{lang}") for lang in LANG_MARKERS}).alias(
+            "predicted_lang"
+        ),
+    )
 
 
 def rolling_hash(toks: F.Column, base: int = 131, mod: int = (1 << 31) - 1) -> F.Column:

@@ -78,6 +78,37 @@ def _decontaminate(df: DataFrame, spec: dict) -> DataFrame:
     return df.join(hits.select(id_col), id_col, "left_anti")
 
 
+def _dedup_neardup(df: DataFrame, spec: dict) -> DataFrame:
+    """Near-duplicate removal via MinHash-LSH: candidate pairs above the
+    estimated-Jaccard threshold, then greedy keep-earliest — any doc with
+    an earlier near-duplicate (it appears as the pair's doc_id_b) is
+    dropped by one anti-join.  The banded-LSH 100 TB dedup path as a
+    declarative stage (exact variant: ``dedup_exact``)."""
+    from lexam_data_pipeline_spark.ml.dedup import minhash_lsh_candidate_pairs
+
+    id_col = spec.get("id_col", "doc_id")
+    docs = df if id_col == "doc_id" else df.withColumnRenamed(id_col, "doc_id")
+    dups = (
+        minhash_lsh_candidate_pairs(docs, slot="declarative.neardup_sig")
+        .where(F.col("est_jaccard") >= spec.get("threshold", 0.5))
+        .select(F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+    )
+    out = docs.join(dups, "doc_id", "left_anti")
+    return out if id_col == "doc_id" else out.withColumnRenamed("doc_id", id_col)
+
+
+def _lang_filter(df: DataFrame, spec: dict) -> DataFrame:
+    """Keep documents whose heuristic language ID is in ``langs`` —
+    marker-vote scoring inline (map-side, no shuffle)."""
+    from lexam_data_pipeline_spark.functions.text import tokens
+    from lexam_data_pipeline_spark.ml.textstats import lang_scores, predict_lang
+
+    toks = F.transform(tokens(spec.get("text_col", "text")), F.lower)
+    pred = predict_lang(lang_scores(toks))
+    return df.where(pred.isin(*spec["langs"]))
+
+
 def _sample(df: DataFrame, spec: dict) -> DataFrame:
     from lexam_data_pipeline_spark.ml.curation import hash_sample
 
@@ -96,7 +127,9 @@ _STAGES = {
     "quality_gate": _quality_gate,
     "pii_redact": _pii_redact,
     "dedup_exact": _dedup_exact,
+    "dedup_neardup": _dedup_neardup,
     "decontaminate": _decontaminate,
+    "lang_filter": _lang_filter,
     "sample": _sample,
     "split": _split,
 }

@@ -90,3 +90,44 @@ class TestBuildPipeline:
         )
         sc.setJobGroup(None, None)
         assert not (sc.statusTracker().getJobIdsForGroup("declare-probe") or [])
+
+
+class TestRound4Stages:
+    def test_dedup_neardup_drops_exactly_lsh_hits(self, spark, sf_small):
+        """The stage must keep precisely the docs that do NOT appear as
+        doc_id_b in an LSH pair above the threshold (greedy keep-earliest),
+        recomputed independently here."""
+        from lexam_data_pipeline_spark.ml.dedup import minhash_lsh_candidate_pairs
+        from lexam_data_pipeline_spark.operators.caching import release_all
+
+        docs = load_table(spark, sf_small, "documents")
+        pairs = minhash_lsh_candidate_pairs(docs, slot="test.neardup_ref").collect()
+        drop = {r["doc_id_b"] for r in pairs if r["est_jaccard"] >= 0.5}
+        all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+        release_all()
+        got = {
+            r["doc_id"]
+            for r in build_pipeline(docs, [{"op": "dedup_neardup", "threshold": 0.5}])
+            .select("doc_id")
+            .collect()
+        }
+        assert got == all_ids - drop
+        assert drop, "fixture should contain at least one near-dup pair"
+
+    def test_lang_filter_agrees_with_q_lang_id(self, spark, sf_small):
+        from lexam_data_pipeline_spark.ml.textstats import q_lang_id
+
+        docs = load_table(spark, sf_small, "documents")
+        keep_langs = ["en", "de"]
+        want = {
+            r["doc_id"]
+            for r in q_lang_id(spark, sf_small).collect()
+            if r["predicted_lang"] in keep_langs
+        }
+        got = {
+            r["doc_id"]
+            for r in build_pipeline(docs, [{"op": "lang_filter", "langs": keep_langs}])
+            .select("doc_id")
+            .collect()
+        }
+        assert got == want and got
