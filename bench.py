@@ -146,6 +146,9 @@ def main() -> None:
         "q_theil_sen",
         "q_running_distinct",
         "q_dau_wau_stickiness",
+        "q_peak_concurrency",
+        "q_event_pattern",
+        "q_user_streaks",
         "q_multimodal_features",
     ):
         if extra in queries and extra not in names:

@@ -2745,3 +2745,169 @@ def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_dau") / (F.col("n_days") * F.col("wau")), 6
         ).alias("stickiness"),
     )
+
+
+# --------------------------------------------------------------------------
+# Interval / sequence analytics (round 4, batch 2): sweep-line peak
+# concurrency, MATCH_RECOGNIZE-lite pattern counts, gaps-and-islands
+# streaks.  All exact-integer outputs, all DuckDB-oracled.
+# --------------------------------------------------------------------------
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line interval
+    operator (capacity planning / load-envelope staple).
+
+    Sessions are the same 30-minute-gap sessions as :func:`q_sessionize`;
+    each becomes a closed interval ``[min ts, max ts]``, exploded into
+    ``+1``/``-1`` boundary deltas.  The load level at any instant is the
+    running sum of deltas in ``(ts, delta DESC)`` order (starts sort
+    before ends, so back-to-back sessions touching at one instant count
+    as concurrent).
+
+    Scale shape — a distributed two-level prefix sum, NOT a global
+    ordered window (``Window.orderBy`` with no partition executes in ONE
+    task): within-day running sums use a window partitioned by day
+    (bounded by one day's deltas ≈ 2x that day's sessions; drop the
+    bucket to hour for denser streams), and day-level carry-in offsets
+    ride a window over the tiny day spine.  ``peak(day) = carry_in(day)
+    + max within-day prefix``.  Ties are benign: rows sharing ``(ts,
+    delta)`` carry identical deltas, so every permutation yields the
+    same within-run prefix maxima.  Same two-level pattern as
+    ``ml/curation.pack_sequences``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_user))
+    sid = F.sum(F.when(gap_us > 1800 * 1000000, 1).otherwise(0)).over(
+        w_user.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intervals = (
+        ev.select("user_id", "ts")
+        .withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+    deltas = intervals.select(
+        F.col("start_ts").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(intervals.select(F.col("end_ts").alias("ts"), F.lit(-1).alias("delta")))
+    deltas = deltas.withColumn("day", F.date_trunc("day", "ts"))
+    w_in_day = (
+        Window.partitionBy("day")
+        .orderBy(F.col("ts").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per_day = (
+        deltas.withColumn("lvl", F.sum("delta").over(w_in_day))
+        .groupBy("day")
+        .agg(F.max("lvl").alias("max_in_day"), F.sum("delta").alias("day_total"))
+    )
+    w_spine = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    return per_day.select(
+        "day",
+        (F.coalesce(F.sum("day_total").over(w_spine), F.lit(0)) + F.col("max_in_day"))
+        .cast("bigint")
+        .alias("peak_concurrent"),
+    )
+
+
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: count ``view -> purchase`` journeys whose
+    interior is only clicks/errors (regex ``v[ce]*p`` over each user's
+    time-ordered event-code string) — sequence mining the reference has
+    no analog for, and batch SQL usually spells with MATCH_RECOGNIZE.
+
+    One shuffle: per user, collect the (ts, event_id, code) stream,
+    sort, join to a code string, count regex matches.  The char class
+    excludes both anchors, so every match is uniquely determined by its
+    start position — leftmost-nonoverlapping counts agree between Java
+    regex (Spark) and RE2-family engines (DuckDB), making the key
+    oracle-exact despite crossing regex engines.  At 100 TB the per-user
+    string is bounded by per-user activity (the sessionization bound);
+    the rollup is a tree aggregate over per-user counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", F.lit("v"))
+        .when(F.col("event_type") == "click", F.lit("c"))
+        .when(F.col("event_type") == "purchase", F.lit("p"))
+        .when(F.col("event_type") == "signup", F.lit("s"))
+        .otherwise(F.lit("e"))
+    )
+    per_user = (
+        ev.select("user_id", "ts", "event_id", code.alias("code"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "code"))
+                    ),
+                    lambda s: s["code"],
+                ),
+                "",
+            ).alias("codes")
+        )
+        .select(
+            "user_id",
+            F.regexp_count(F.col("codes"), F.lit("v[ce]*p")).alias("n_matches"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum((F.col("n_matches") > 0).cast("int")).cast("bigint").alias("users_matched"),
+        F.sum("n_matches").cast("bigint").alias("total_matches"),
+        F.max("n_matches").cast("bigint").alias("max_matches_per_user"),
+        F.round(
+            F.sum((F.col("n_matches") > 0).cast("int")) / F.count(F.lit(1)), 4
+        ).alias("match_rate"),
+    )
+
+
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-active-day streak per user,
+    rolled up to (streak length, user count) — the engagement-streak
+    metric, and the canonical islands problem.
+
+    ONE wide shuffle: active days dedup via ``collect_set`` per user
+    (map-side partial), then the longest run is a sequential
+    ``F.aggregate`` fold over each user's sorted day array — map-side,
+    no second shuffle for the per-user answer (vs the row_number
+    anchor-date idiom, which costs distinct + window = two shuffles; the
+    oracle uses that idiom precisely so the mechanics are independent).
+    The final rollup moves |distinct streak lengths| rows.  Per-user
+    arrays are bounded by the calendar (|days in retention window|), not
+    by event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set(F.to_date("ts"))).alias("days")
+    )
+    acc0 = F.struct(
+        F.lit(None).cast("date").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    fold = F.aggregate(
+        "days",
+        acc0,
+        lambda acc, d: F.struct(
+            d.alias("prev"),
+            F.when(F.datediff(d, acc["prev"]) == 1, acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(F.datediff(d, acc["prev"]) == 1, acc["run"] + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return (
+        days.select(fold.alias("streak_days"))
+        .groupBy("streak_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.col("streak_days").cast("bigint"), F.col("n_users").cast("bigint"))
+    )

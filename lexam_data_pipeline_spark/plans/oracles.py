@@ -1409,3 +1409,97 @@ CORE_ORACLES["q_dau_wau_stickiness"] = """
            round(w.sum_dau / (w.n_days * 1.0 * wau.wau), 6) AS stickiness
     FROM weekly w JOIN wau ON w.week = wau.week
 """
+
+
+# Sweep-line twin: global running sum in (ts, delta DESC) order, then
+# per-day max — mathematically identical to the Spark plan's two-level
+# (within-day prefix + day-spine carry-in) decomposition, and exercised
+# through DIFFERENT mechanics on purpose.
+CORE_ORACLES["q_peak_concurrency"] = """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts))
+                         > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    intervals AS (
+        SELECT user_id, sid, min(ts) AS start_ts, max(ts) AS end_ts
+        FROM sess GROUP BY 1, 2
+    ),
+    deltas AS (
+        SELECT start_ts AS ts, 1 AS delta FROM intervals
+        UNION ALL
+        SELECT end_ts AS ts, -1 AS delta FROM intervals
+    ),
+    levels AS (
+        SELECT ts, sum(delta) OVER (ORDER BY ts, delta DESC
+                                    ROWS UNBOUNDED PRECEDING) AS lvl
+        FROM deltas
+    )
+    SELECT date_trunc('day', ts) AS day,
+           CAST(max(lvl) AS BIGINT) AS peak_concurrent
+    FROM levels GROUP BY 1
+"""
+
+
+# Same regex on both engines; the char class excludes both anchors so
+# leftmost-nonoverlapping match counts are engine-independent.
+CORE_ORACLES["q_event_pattern"] = """
+    WITH codes AS (
+        SELECT user_id,
+               string_agg(CASE event_type
+                              WHEN 'view' THEN 'v'
+                              WHEN 'click' THEN 'c'
+                              WHEN 'purchase' THEN 'p'
+                              WHEN 'signup' THEN 's'
+                              ELSE 'e' END,
+                          '' ORDER BY ts, event_id) AS codes
+        FROM events GROUP BY user_id
+    ),
+    matched AS (
+        SELECT user_id,
+               len(regexp_extract_all(codes, 'v[ce]*p')) AS n_matches
+        FROM codes
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS users_matched,
+           CAST(sum(n_matches) AS BIGINT) AS total_matches,
+           CAST(max(n_matches) AS BIGINT) AS max_matches_per_user,
+           round(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END)
+                 / (count(*) * 1.0), 4) AS match_rate
+    FROM matched
+"""
+
+
+# Islands via the row_number anchor-date idiom — deliberately different
+# mechanics from the Spark fold over each user's sorted day array.
+CORE_ORACLES["q_user_streaks"] = """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    anchored AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS anchor
+        FROM days
+    ),
+    runs AS (
+        SELECT user_id, count(*) AS len
+        FROM anchored GROUP BY user_id, anchor
+    ),
+    best AS (
+        SELECT user_id, max(len) AS streak_days FROM runs GROUP BY user_id
+    )
+    SELECT CAST(streak_days AS BIGINT) AS streak_days,
+           count(*) AS n_users
+    FROM best GROUP BY streak_days
+"""

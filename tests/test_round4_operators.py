@@ -541,3 +541,238 @@ class TestEngagement:
             # avg DAU can't exceed WAU; every weekly-active user is
             # active ≥ 1 day so stickiness ≥ 1/7
             assert 1.0 / 7 - 1e-9 <= r["stickiness"] <= 1.0 + 1e-9
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (event_id, user_id, iso_ts, event_type)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "sfdir")
+    os.makedirs(d, exist_ok=True)
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "ts": pd.to_datetime([r[2] for r in rows]).astype("datetime64[us]"),
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(d, "events.parquet"),
+    )
+    return d
+
+
+class TestPeakConcurrency:
+    def test_carry_in_across_midnight_on_toy(self, spark, tmp_path):
+        """A session open since the previous day must raise the next
+        day's peak even though no interval STARTS that day — the bug a
+        naive per-day recount would have."""
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            q_peak_concurrency,
+        )
+
+        d = _write_events(
+            tmp_path,
+            [
+                # user 1: one session 23:00 -> 01:00 (gaps < 30 min)
+                (1, 1, "2024-01-01 23:00:00", "view"),
+                (2, 1, "2024-01-01 23:25:00", "click"),
+                (3, 1, "2024-01-01 23:50:00", "click"),
+                (4, 1, "2024-01-02 00:15:00", "click"),
+                (5, 1, "2024-01-02 00:40:00", "click"),
+                (6, 1, "2024-01-02 01:00:00", "purchase"),
+                # user 2: session fully inside day 2, overlapping user 1
+                (7, 2, "2024-01-02 00:30:00", "view"),
+                (8, 2, "2024-01-02 00:45:00", "purchase"),
+                # user 3: lone event on day 1 (zero-length interval)
+                (9, 3, "2024-01-01 12:00:00", "view"),
+            ],
+        )
+        got = {
+            r["day"].date().isoformat(): r["peak_concurrent"]
+            for r in q_peak_concurrency(spark, d).collect()
+        }
+        assert got == {"2024-01-01": 1, "2024-01-02": 2}
+
+    def test_matches_pure_python_sweep(self, spark, sf_oracle):
+        """Exact parity with an independent in-memory sweep line over
+        the same 30-minute-gap sessions."""
+        from collections import defaultdict
+
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            q_peak_concurrency,
+        )
+
+        ev = sorted(
+            (r["user_id"], r["ts"])
+            for r in load_table(spark, sf_oracle, "events")
+            .select("user_id", "ts")
+            .collect()
+        )
+        by_user = defaultdict(list)
+        for u, ts in ev:
+            by_user[u].append(ts)
+        deltas = []
+        for u, tss in by_user.items():
+            tss.sort()
+            start = prev = tss[0]
+            for t in tss[1:]:
+                if (t - prev).total_seconds() > 1800:
+                    deltas += [(start, 1), (prev, -1)]
+                    start = t
+                prev = t
+            deltas += [(start, 1), (prev, -1)]
+        # starts before ends at equal instants
+        deltas.sort(key=lambda x: (x[0], -x[1]))
+        lvl = 0
+        day_peak: dict[str, int] = {}
+        for ts, dl in deltas:
+            lvl += dl
+            k = ts.date().isoformat()
+            day_peak[k] = max(day_peak.get(k, -(10**9)), lvl)
+        got = {
+            r["day"].date().isoformat(): r["peak_concurrent"]
+            for r in q_peak_concurrency(spark, sf_oracle).collect()
+        }
+        assert got == day_peak
+
+    def test_no_full_data_single_partition_sort(self, spark, sf_small):
+        """The only SinglePartition exchange allowed is the tiny
+        day-spine carry-in window — the full delta stream must flow
+        through partitioned (per-day) windows."""
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            q_peak_concurrency,
+        )
+
+        plan = (
+            q_peak_concurrency(spark, sf_small)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+class TestEventPattern:
+    def test_regex_counts_on_toy(self, spark, tmp_path):
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_event_pattern
+
+        d = _write_events(
+            tmp_path,
+            [
+                # user 1: v c p v p  -> "vcp" + "vp" = 2 matches
+                (1, 1, "2024-01-01 10:00:00", "view"),
+                (2, 1, "2024-01-01 10:01:00", "click"),
+                (3, 1, "2024-01-01 10:02:00", "purchase"),
+                (4, 1, "2024-01-01 10:03:00", "view"),
+                (5, 1, "2024-01-01 10:04:00", "purchase"),
+                # user 2: p v c c e -> no purchase after the view = 0
+                (6, 2, "2024-01-01 11:00:00", "purchase"),
+                (7, 2, "2024-01-01 11:01:00", "view"),
+                (8, 2, "2024-01-01 11:02:00", "click"),
+                (9, 2, "2024-01-01 11:03:00", "click"),
+                (10, 2, "2024-01-01 11:04:00", "error"),
+                # user 3: v s p -> signup breaks the [ce]* interior = 0
+                (11, 3, "2024-01-01 12:00:00", "view"),
+                (12, 3, "2024-01-01 12:01:00", "signup"),
+                (13, 3, "2024-01-01 12:02:00", "purchase"),
+            ],
+        )
+        row = q_event_pattern(spark, d).collect()[0]
+        assert row["n_users"] == 3
+        assert row["users_matched"] == 1
+        assert row["total_matches"] == 2
+        assert row["max_matches_per_user"] == 2
+        assert abs(row["match_rate"] - 0.3333) < 1e-9
+
+    def test_matches_python_re(self, spark, sf_oracle):
+        """Spark's regexp_count must agree with Python re.findall on the
+        identically-ordered code strings."""
+        import re
+        from collections import defaultdict
+
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_event_pattern
+
+        code = {"view": "v", "click": "c", "purchase": "p", "signup": "s"}
+        per_user = defaultdict(list)
+        for r in (
+            load_table(spark, sf_oracle, "events")
+            .select("user_id", "ts", "event_id", "event_type")
+            .collect()
+        ):
+            per_user[r["user_id"]].append(
+                (r["ts"], r["event_id"], code.get(r["event_type"], "e"))
+            )
+        counts = [
+            len(re.findall("v[ce]*p", "".join(c for _, _, c in sorted(evs))))
+            for evs in per_user.values()
+        ]
+        row = q_event_pattern(spark, sf_oracle).collect()[0]
+        assert row["n_users"] == len(counts)
+        assert row["total_matches"] == sum(counts)
+        assert row["users_matched"] == sum(1 for c in counts if c > 0)
+        assert row["max_matches_per_user"] == max(counts)
+
+
+class TestUserStreaks:
+    def test_streaks_on_toy(self, spark, tmp_path):
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_user_streaks
+
+        d = _write_events(
+            tmp_path,
+            [
+                # user 1 active on days 1,2,3 then 7,8 -> best streak 3
+                (1, 1, "2024-01-01 10:00:00", "view"),
+                (2, 1, "2024-01-02 10:00:00", "view"),
+                (3, 1, "2024-01-03 10:00:00", "view"),
+                (4, 1, "2024-01-07 10:00:00", "view"),
+                (5, 1, "2024-01-08 10:00:00", "view"),
+                # second event same day must not double-count the day
+                (6, 1, "2024-01-08 11:00:00", "click"),
+                # user 2: a single active day -> streak 1
+                (7, 2, "2024-01-05 09:00:00", "view"),
+            ],
+        )
+        got = {
+            r["streak_days"]: r["n_users"]
+            for r in q_user_streaks(spark, d).collect()
+        }
+        assert got == {3: 1, 1: 1}
+
+    def test_matches_python_recount(self, spark, sf_oracle):
+        from collections import defaultdict
+
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_user_streaks
+
+        by_user = defaultdict(set)
+        for r in (
+            load_table(spark, sf_oracle, "events")
+            .select("user_id", F.to_date("ts").alias("d"))
+            .collect()
+        ):
+            by_user[r["user_id"]].add(r["d"])
+        dist = defaultdict(int)
+        for days in by_user.values():
+            ds = sorted(days)
+            best = run = 1
+            for a, b in zip(ds, ds[1:]):
+                run = run + 1 if (b - a).days == 1 else 1
+                best = max(best, run)
+            dist[best] += 1
+        got = {
+            r["streak_days"]: r["n_users"]
+            for r in q_user_streaks(spark, sf_oracle).collect()
+        }
+        assert got == dict(dist)
+        assert sum(got.values()) == len(by_user)

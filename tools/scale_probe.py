@@ -88,6 +88,9 @@ PROBES = [
     "q_theil_sen",
     "q_running_distinct",
     "q_dau_wau_stickiness",
+    "q_peak_concurrency",
+    "q_event_pattern",
+    "q_user_streaks",
 ]
 
 OFFSETS = {
