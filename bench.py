@@ -149,6 +149,13 @@ def main() -> None:
         "q_peak_concurrency",
         "q_event_pattern",
         "q_user_streaks",
+        "q_gini_revenue",
+        "q_top_paths",
+        "q_hll_intersection",
+        "q_new_vs_returning",
+        "q_customer_ltv_cohort",
+        "q_lorenz_deciles",
+        "q_session_stats",
         "q_multimodal_features",
     ):
         if extra in queries and extra not in names:

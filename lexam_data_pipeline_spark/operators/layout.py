@@ -155,3 +155,85 @@ def read_zorder_box(
         & F.col(x_col).between(x_lo, x_hi)
         & F.col(y_col).between(y_lo, y_hi)
     )
+
+
+def compaction_plan(path: str, target_bytes: int) -> list[dict]:
+    """Bin-pack a directory's parquet data files into ``target_bytes``
+    output groups (first-fit decreasing) — the planning half of
+    small-file compaction, returned as plain rows so callers can audit
+    or persist the plan before rewriting anything.
+
+    Small files are the classic lake pathology: every file costs a task
+    plus open/footer overhead, and at 100 TB a table that should be 10k
+    files of 1 GB arrives as millions of 1 MB ones (streaming sinks,
+    over-parallel writers).  Listing is driver-side metadata — one row
+    per FILE, not per data row — the same scale class Spark's own
+    InMemoryFileIndex already holds on the driver.
+    """
+    import os
+
+    files = sorted(
+        (
+            (name, os.path.getsize(os.path.join(path, name)))
+            for name in os.listdir(path)
+            if name.endswith(".parquet")
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    bins: list[dict] = []
+    for name, size in files:
+        for b in bins:
+            if b["bytes"] + size <= target_bytes:
+                b["files"].append(name)
+                b["bytes"] += size
+                break
+        else:
+            bins.append({"bin": len(bins), "files": [name], "bytes": size})
+    for b in bins:
+        b["files"].sort()
+    return bins
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    out_path: str,
+    target_bytes: int,
+) -> dict:
+    """Rewrite a small-file parquet directory as ``len(plan)`` files of
+    roughly ``target_bytes`` each; returns before/after stats.
+
+    Spark-first execution: ONE distributed job — ``coalesce(n)`` merges
+    input splits without a shuffle (compaction preserves rows, not
+    order), so each output task streams several small files to one big
+    one.  The read side already packs small files into splits via
+    ``spark.sql.files.maxPartitionBytes``/``openCostInBytes``; coalesce
+    aligns the output file count with the byte-budget plan.  The write
+    lands in ``out_path`` — callers swap it in atomically (the
+    streaming state stores' versioned-pointer pattern) rather than
+    overwriting a directory readers may be scanning.
+    """
+    import os
+
+    plan = compaction_plan(path, target_bytes)
+    before = [
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    n_bins = max(1, len(plan))
+    spark.read.parquet(path).coalesce(n_bins).write.mode("overwrite").parquet(
+        out_path
+    )
+    after = [
+        os.path.getsize(os.path.join(out_path, f))
+        for f in os.listdir(out_path)
+        if f.endswith(".parquet")
+    ]
+    return {
+        "files_before": len(before),
+        "bytes_before": sum(before),
+        "files_after": len(after),
+        "bytes_after": sum(after),
+        "planned_bins": n_bins,
+    }

@@ -2911,3 +2911,324 @@ def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .select(F.col("streak_days").cast("bigint"), F.col("n_users").cast("bigint"))
     )
+
+
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers, per
+    market segment — the standard inequality measure for "how top-heavy
+    is this segment's spend".
+
+    Exact-integer core: per-customer revenue becomes exact CENTS
+    (decimal sum × 100 → int64), and the rank formula
+    ``G = 2·Σ(i·x_i) / (n·Σx_i) − (n+1)/n`` (x ascending, i = 1..n)
+    needs only integer sums — tie-order-invariant, so the row_number
+    tiebreak can't perturb the result.  One join (AQE-broadcast
+    customer dim), one per-segment window, one aggregate.  Int64 bounds:
+    Σ(i·x_i) ≤ n²·max_cents — fine through sf100; the documented switch
+    past that is the same sums in ``decimal(38,0)``.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    ranked = rev.join(cust, rev.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "cents", F.row_number().over(w).alias("i")
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("sum_x"),
+        F.sum(F.col("i") * F.col("cents")).alias("sum_ix"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        (F.col("sum_x").cast("double") / F.lit(100.0)).alias("total_revenue"),
+        F.round(
+            (F.lit(2.0) * F.col("sum_ix")) / (F.col("n_customers") * F.col("sum_x"))
+            - (F.col("n_customers") + F.lit(1.0)) / F.col("n_customers"),
+            6,
+        ).alias("gini"),
+    )
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journey prefixes — clickstream path analysis: each
+    30-minute-gap session (same sessions as :func:`q_sessionize`)
+    contributes its first five event codes joined with ``>``, and paths
+    are ranked by session count.
+
+    Scale: the session-id window and per-session collect share one
+    shuffle lineage on user_id; the path slice bounds per-session state
+    at 5 codes regardless of session length; the final top-20 is a
+    TakeOrdered over the (small) distinct-path aggregate, never a global
+    sort of sessions."""
+    ev = load_table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", F.lit("v"))
+        .when(F.col("event_type") == "click", F.lit("c"))
+        .when(F.col("event_type") == "purchase", F.lit("p"))
+        .when(F.col("event_type") == "signup", F.lit("s"))
+        .otherwise(F.lit("e"))
+    )
+    w_user = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_user))
+    sid = F.sum(F.when(gap_us > 1800 * 1000000, 1).otherwise(0)).over(
+        w_user.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    paths = (
+        ev.select("user_id", "ts", "event_id", code.alias("code"))
+        .withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("ts", "event_id", "code"))
+                        ),
+                        lambda s: s["code"],
+                    ),
+                    1,
+                    5,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+def q_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from HLL sketches alone: for each
+    event-type pair, |A|, |B|, |A∪B| come straight from sketches and
+    |A∩B| by inclusion–exclusion — the sketch algebra that answers
+    "how many users both viewed AND purchased" without rescanning raw
+    data (the union sketch is reusable for any pair, unlike an exact
+    COUNT DISTINCT which needs a fresh pass per combination).
+
+    One aggregate over events builds ONE sketch per event type; pair
+    estimates are pure sketch merges on a 3-row frame (binary
+    ``hll_union``, broadcast joins).  Rows-only by design (sketch
+    internals aren't ANSI SQL); the pytest oracle bounds every estimate
+    against exact distinct counts (±3σ of HLL lg_k=14 ≈ 2.5%, wider for
+    the differenced intersection)."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(14)).alias("sk")
+    )
+    pairs = spark.createDataFrame(
+        [("view", "click"), ("view", "purchase"), ("click", "purchase")],
+        "type_a string, type_b string",
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    est = (
+        pairs.join(F.broadcast(a), "type_a")
+        .join(F.broadcast(b), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.hll_sketch_estimate("sk_a").alias("est_a"),
+            F.hll_sketch_estimate("sk_b").alias("est_b"),
+            F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias("est_union"),
+        )
+    )
+    return est.select(
+        "type_a",
+        "type_b",
+        "est_a",
+        "est_b",
+        "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+            "est_intersection"
+        ),
+    ).orderBy("type_a", "type_b")
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into new (first-ever-seen that day) vs
+    returning — the growth-accounting companion to
+    :func:`q_running_distinct` (same first-seen-day idiom, but keeping
+    the per-day split instead of the cumulative curve).
+
+    Scale: dedup to (day, user) pairs once; the per-user first day is a
+    map-side-combinable min; the re-attach joins two tables ALREADY
+    pre-aggregated on user_id (AQE broadcasts the first-seen side at
+    fixture scale, hash-join co-partitioned on user_id beyond)."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()
+    first = active.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        active.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returning"),
+        )
+        .select(
+            "day",
+            "n_new",
+            "n_returning",
+            F.round(
+                F.col("n_new").cast("double")
+                / (F.col("n_new") + F.col("n_returning")),
+                6,
+            ).alias("pct_new"),
+        )
+    )
+
+
+def q_customer_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: customers grouped by first-order month, and
+    for each cohort the cumulative revenue per customer at each month of
+    age — the standard retention-economics triangle, flattened.
+
+    Exact-integer core: monthly revenue in CENTS; month age is pure int
+    arithmetic (``(Δyear)*12 + Δmonth`` — never a float months_between).
+    Both join sides are pre-aggregated (per-customer-month revenue ⋈
+    per-customer first month); the cumulative window runs over the tiny
+    (cohort × age) lattice, not over orders."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    by_month = o.groupBy("o_custkey", "month").agg(F.sum("cents").alias("cents"))
+    first = by_month.groupBy("o_custkey").agg(F.min("month").alias("cohort_month"))
+    sized = first.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    aged = (
+        by_month.join(first, "o_custkey")
+        .select(
+            "cohort_month",
+            (
+                (F.year("month") - F.year("cohort_month")) * 12
+                + (F.month("month") - F.month("cohort_month"))
+            ).alias("month_age"),
+            "cents",
+        )
+        .groupBy("cohort_month", "month_age")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("cohort_month").orderBy("month_age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        aged.withColumn("cum_cents", F.sum("cents").over(w))
+        .join(F.broadcast(sized), "cohort_month")
+        .select(
+            "cohort_month",
+            F.col("month_age").cast("bigint"),
+            F.col("n_customers").cast("bigint"),
+            (F.col("cents").cast("double") / 100.0).alias("cohort_revenue"),
+            F.round(
+                F.col("cum_cents").cast("double") / 100.0 / F.col("n_customers"), 6
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
+
+
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Lorenz curve in deciles — the distribution behind
+    :func:`q_gini_revenue`'s single number: each market segment's
+    customers are split into 10 revenue deciles and the curve reports
+    each decile's share and cumulative share of segment revenue.
+
+    Same scale shape as the Gini: the ntile window partitions by
+    SEGMENT over per-customer revenue (pre-aggregated, orders of
+    magnitude smaller than orders; never a global single-partition
+    sort), and the share windows run on the 10-row-per-segment
+    aggregate.  Deterministic (cents, custkey) tiebreak keeps ntile
+    assignment engine-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    deciled = (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "cents", F.ntile(10).over(w).alias("decile"))
+        .groupBy("c_mktsegment", "decile")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.sum("cents").alias("cents"))
+    )
+    w_seg = Window.partitionBy("c_mktsegment")
+    w_cum = Window.partitionBy("c_mktsegment").orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return deciled.select(
+        "c_mktsegment",
+        F.col("decile").cast("bigint"),
+        F.col("n_customers").cast("bigint"),
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        F.round(
+            F.col("cents").cast("double") / F.sum("cents").over(w_seg), 6
+        ).alias("share"),
+        F.round(
+            F.sum("cents").over(w_cum).cast("double") / F.sum("cents").over(w_seg),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-DURATION histogram: the rollup layer above
+    :func:`q_session_window`'s per-session rows — how long sessions run
+    and how dense they are, in 10-minute buckets.  Same native
+    ``session_window`` aggregate (boundary rule pinned there: a gap of
+    exactly 30:00 stays in-session, so the lag-gap oracle idiom applies
+    verbatim).
+
+    Buckets and averages stay integer until the final division:
+    duration = max(ts) − min(ts) in microseconds; 10-minute buckets
+    capped at 60 via integer DIV.  One shuffle on user_id, then a tiny
+    bucket rollup.
+
+    Probed upstream hazard (Spark 4.1.2): duration MUST come from the
+    ``min(ts)``/``max(ts)`` AGGREGATE functions, not from the
+    ``session_window`` struct's start/end.  If every aggregate-function
+    output is pruned away (e.g. a derived ``df.count()`` plan), Catalyst
+    eliminates the session aggregate entirely and rebuilds the window
+    per-ROW as ``[ts, ts+gap)`` — silently dropping the session merge.
+    Keeping the bucket derivation on aggregate outputs makes the
+    aggregate non-eliminable under any pruning (regression-tested:
+    ``count()`` must equal ``len(collect())``)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_session = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    bucketed = per_session.select(
+        F.least(F.expr("(dur_us DIV 600000000) * 10"), F.lit(60))
+        .cast("bigint")
+        .alias("dur_bucket_min"),
+        "n_events",
+    )
+    return bucketed.groupBy("dur_bucket_min").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_events"),
+        F.max("n_events").cast("bigint").alias("max_events"),
+    )

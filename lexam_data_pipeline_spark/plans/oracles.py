@@ -1503,3 +1503,219 @@ CORE_ORACLES["q_user_streaks"] = """
            count(*) AS n_users
     FROM best GROUP BY streak_days
 """
+
+
+# Rank-formula Gini on exact integer cents; tie-order-invariant, so the
+# row_number tiebreak is immaterial.  DuckDB's integer sums return
+# HUGEINT — cast back to BIGINT before the float stage so both engines
+# run the identical double expression tree.
+CORE_ORACLES["q_gini_revenue"] = """
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT c_mktsegment, cents,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY cents, c_custkey) AS i
+        FROM rev JOIN customer ON o_custkey = c_custkey
+    ),
+    agg AS (
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS sum_x,
+               CAST(sum(i * cents) AS BIGINT) AS sum_ix
+        FROM ranked GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n_customers,
+           CAST(sum_x AS DOUBLE) / 100.0 AS total_revenue,
+           round((2.0 * sum_ix) / (n_customers * sum_x)
+                 - (n_customers + 1.0) / n_customers, 6) AS gini
+    FROM agg
+"""
+
+
+# Same 30-minute sessions as q_sessionize; path = first 5 codes per
+# session.  Ties on (ts): event_id tiebreak pins the code order on both
+# engines.
+CORE_ORACLES["q_top_paths"] = """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                    ELSE 'e' END AS code,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts))
+                         > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, code,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    numbered AS (
+        SELECT user_id, sid, code,
+               row_number() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts, event_id) AS rn,
+               ts, event_id
+        FROM sess
+    ),
+    paths AS (
+        SELECT user_id, sid,
+               string_agg(code, '>' ORDER BY ts, event_id) AS path
+        FROM numbered WHERE rn <= 5 GROUP BY user_id, sid
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 20
+"""
+
+
+# First-seen-day split; identical double division for pct_new.
+CORE_ORACLES["q_new_vs_returning"] = """
+    WITH active AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    first AS (
+        SELECT user_id, min(day) AS first_day FROM active GROUP BY user_id
+    ),
+    split AS (
+        SELECT day,
+               CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new,
+               CAST(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_returning
+        FROM active JOIN first USING (user_id)
+        GROUP BY day
+    )
+    SELECT day, n_new, n_returning,
+           round(CAST(n_new AS DOUBLE) / (n_new + n_returning), 6) AS pct_new
+    FROM split
+"""
+
+
+# Integer month-age arithmetic ((dy)*12 + dm) — never float
+# months_between; cents sums cast back from HUGEINT to BIGINT so the
+# double expressions match Spark's bit-for-bit.
+CORE_ORACLES["q_customer_ltv_cohort"] = """
+    WITH o AS (
+        SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    ),
+    by_month AS (
+        SELECT o_custkey, month, CAST(sum(cents) AS BIGINT) AS cents
+        FROM o GROUP BY o_custkey, month
+    ),
+    first AS (
+        SELECT o_custkey, min(month) AS cohort_month
+        FROM by_month GROUP BY o_custkey
+    ),
+    sized AS (
+        SELECT cohort_month, count(*) AS n_customers
+        FROM first GROUP BY cohort_month
+    ),
+    aged AS (
+        SELECT cohort_month,
+               (year(month) - year(cohort_month)) * 12
+                   + (month(month) - month(cohort_month)) AS month_age,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM by_month JOIN first USING (o_custkey)
+        GROUP BY cohort_month, month_age
+    ),
+    cum AS (
+        SELECT cohort_month, month_age, cents,
+               CAST(sum(cents) OVER (PARTITION BY cohort_month
+                    ORDER BY month_age
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_cents
+        FROM aged
+    )
+    SELECT cohort_month, CAST(month_age AS BIGINT) AS month_age,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(cents AS DOUBLE) / 100.0 AS cohort_revenue,
+           round(CAST(cum_cents AS DOUBLE) / 100.0 / n_customers, 6)
+               AS cum_ltv_per_customer
+    FROM cum JOIN sized USING (cohort_month)
+"""
+
+
+# Per-segment ntile with the same (cents, custkey) tiebreak; share
+# windows over the 10-row-per-segment aggregate.
+CORE_ORACLES["q_lorenz_deciles"] = """
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    deciled AS (
+        SELECT c_mktsegment,
+               ntile(10) OVER (PARTITION BY c_mktsegment
+                               ORDER BY cents, c_custkey) AS decile,
+               cents
+        FROM rev JOIN customer ON o_custkey = c_custkey
+    ),
+    agg AS (
+        SELECT c_mktsegment, decile,
+               count(*) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM deciled GROUP BY c_mktsegment, decile
+    )
+    SELECT c_mktsegment, CAST(decile AS BIGINT) AS decile,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           round(CAST(cents AS DOUBLE)
+                 / CAST(sum(cents) OVER (PARTITION BY c_mktsegment) AS BIGINT),
+                 6) AS share,
+           round(CAST(sum(cents) OVER (PARTITION BY c_mktsegment
+                      ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE)
+                 / CAST(sum(cents) OVER (PARTITION BY c_mktsegment) AS BIGINT),
+                 6) AS cum_share
+    FROM agg
+"""
+
+
+# Same sessions as q_sessionize (gap > 30 min opens a session — probed
+# equal to session_window's boundary rule); integer // bucketing.
+CORE_ORACLES["q_session_stats"] = """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts))
+                         > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, sid, count(*) AS n_events,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        FROM sess GROUP BY user_id, sid
+    ),
+    bucketed AS (
+        SELECT least((dur_us // 600000000) * 10, 60) AS dur_bucket_min,
+               n_events
+        FROM per_session
+    )
+    SELECT CAST(dur_bucket_min AS BIGINT) AS dur_bucket_min,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS total_events,
+           round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS avg_events,
+           CAST(max(n_events) AS BIGINT) AS max_events
+    FROM bucketed GROUP BY dur_bucket_min
+"""

@@ -218,3 +218,60 @@ class TestReaderPruning:
             .collect()
         )
         assert sorted((r["x"], r["y"], r["v"]) for r in got.collect()) == want
+
+
+class TestCompaction:
+    def test_plan_is_first_fit_decreasing(self, tmp_path):
+        """Unit-check the bin-packing: no bin over target when every
+        file fits, and the bin count is within the FFD 11/9-OPT+1
+        guarantee of the byte lower bound."""
+        import os
+
+        from lexam_data_pipeline_spark.operators.layout import compaction_plan
+
+        sizes = [700, 600, 500, 400, 300, 200, 100, 100]
+        for i, s in enumerate(sizes):
+            with open(os.path.join(tmp_path, f"f{i:02d}.parquet"), "wb") as fh:
+                fh.write(b"\0" * s)
+        # a non-parquet straggler must be ignored
+        (tmp_path / "_SUCCESS").write_bytes(b"")
+        plan = compaction_plan(str(tmp_path), target_bytes=1000)
+        assert all(b["bytes"] <= 1000 for b in plan)
+        total = sum(sizes)
+        assert len(plan) <= int(11 / 9 * -(-total // 1000)) + 1
+        packed = sorted(f for b in plan for f in b["files"])
+        assert packed == sorted(f"f{i:02d}.parquet" for i in range(len(sizes)))
+
+    def test_compact_preserves_rows_and_shrinks_file_count(self, spark, tmp_path):
+        """20 small files in, ~plan-many out; rows byte-identical."""
+        import os
+
+        from lexam_data_pipeline_spark.operators.layout import (
+            compact_small_files,
+            compaction_plan,
+        )
+
+        src = str(tmp_path / "small")
+        out = str(tmp_path / "big")
+        df = spark.range(0, 20000).select(
+            F.col("id"), (F.col("id") % 7).alias("k"), F.sha1(F.col("id").cast("string")).alias("s")
+        )
+        df.repartition(20).write.parquet(src)
+        n_small = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+        assert n_small == 20
+        total = sum(
+            os.path.getsize(os.path.join(src, f))
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        )
+        target = total // 3  # aim for ~3-4 outputs
+        stats = compact_small_files(spark, src, out, target)
+        assert stats["files_before"] == 20
+        assert stats["files_after"] == stats["planned_bins"]
+        assert stats["planned_bins"] == len(compaction_plan(src, target))
+        assert stats["files_after"] < stats["files_before"]
+        got = sorted(
+            (r["id"], r["k"], r["s"]) for r in spark.read.parquet(out).collect()
+        )
+        want = sorted((r["id"], r["k"], r["s"]) for r in df.collect())
+        assert got == want

@@ -174,3 +174,60 @@ def test_theil_sen_pair_join_is_on_spine_not_facts(spark, sf_small):
     # operator numbering (children print after parents, so aggregates
     # feeding the join appear later in text): count aggregates overall
     assert plan.count("HashAggregate") >= 4  # spine partial+final x both sides reuse + median agg
+
+
+def test_gini_revenue_broadcasts_customer_dim(spark, sf_small):
+    """The revenue→segment attach is a dimension join: with AQE the
+    customer side must broadcast, and there is exactly ONE window
+    (per-segment rank) — no global sort."""
+    plan = _plan(QUERIES["q_gini_revenue"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Window") == 1
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_top_paths_final_is_takeordered(spark, sf_small):
+    """The top-20 must compile to TakeOrderedAndProject over the path
+    aggregate — never a global sort of all sessions."""
+    plan = _plan(QUERIES["q_top_paths"](spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hll_intersection_joins_broadcast_sketch_sides(spark, sf_small):
+    """Pair estimation happens on a 3-row frame: both sketch attaches
+    must be broadcast joins; the only shuffle is the one sketch-building
+    aggregate over events."""
+    plan = _plan(QUERIES["q_hll_intersection"](spark, sf_small))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_new_vs_returning_first_seen_side_broadcasts(spark, sf_small):
+    """Both join sides are pre-aggregated; at fixture scale the
+    first-seen dim must broadcast and nothing leaves the JVM."""
+    plan = _plan(QUERIES["q_new_vs_returning"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ltv_cohort_size_dim_broadcasts_no_global_sort(spark, sf_small):
+    plan = _plan(QUERIES["q_customer_ltv_cohort"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_lorenz_windows_partition_by_segment(spark, sf_small):
+    """All three windows (ntile + the two share sums) must partition by
+    segment — a Lorenz curve must never compile to a single-partition
+    global sort."""
+    plan = _plan(QUERIES["q_lorenz_deciles"](spark, sf_small))
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_session_stats_native_session_window_single_shuffle(spark, sf_small):
+    """The native session_window aggregate must stay JVM-side and need
+    only the one user_id shuffle plus the tiny bucket rollup — no window
+    functions, no Python."""
+    plan = _plan(QUERIES["q_session_stats"](spark, sf_small))
+    assert "session_window" in plan
+    assert "Window" not in plan  # aggregate, not a window-function pass

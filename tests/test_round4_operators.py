@@ -776,3 +776,445 @@ class TestUserStreaks:
         }
         assert got == dict(dist)
         assert sum(got.values()) == len(by_user)
+
+
+class TestGiniRevenue:
+    def test_matches_pure_python_gini(self, spark, sf_oracle):
+        """Exact parity with an independent in-memory rank-formula Gini
+        over the same integer-cents revenue."""
+        from collections import defaultdict
+
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_gini_revenue
+
+        orders = load_table(spark, sf_oracle, "orders")
+        cust = {
+            r["c_custkey"]: r["c_mktsegment"]
+            for r in load_table(spark, sf_oracle, "customer")
+            .select("c_custkey", "c_mktsegment")
+            .collect()
+        }
+        cents = defaultdict(int)
+        for r in orders.select("o_custkey", "o_totalprice").collect():
+            cents[r["o_custkey"]] += round(r["o_totalprice"] * 100)
+        by_seg = defaultdict(list)
+        for ck, c in cents.items():
+            if ck in cust:
+                by_seg[cust[ck]].append(c)
+        want = {}
+        for seg, xs in by_seg.items():
+            xs.sort()
+            n, sx = len(xs), sum(xs)
+            six = sum((i + 1) * x for i, x in enumerate(xs))
+            want[seg] = round(2.0 * six / (n * sx) - (n + 1.0) / n, 6)
+        got = {
+            r["c_mktsegment"]: r["gini"]
+            for r in q_gini_revenue(spark, sf_oracle).collect()
+        }
+        assert got == want
+
+    def test_equal_and_concentrated_toys(self, spark, tmp_path):
+        """All-equal revenue => Gini 0; one customer owning ~everything
+        => Gini -> (n-1)/n (the rank-formula extremes)."""
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_gini_revenue
+
+        d = str(tmp_path / "sfdir")
+        os.makedirs(d)
+        # segment EQ: 4 customers x 100.00; segment CONC: 9 x 0.01 + 1 x 9999.99
+        cust = pd.DataFrame(
+            {
+                "c_custkey": list(range(1, 15)),
+                "c_name": [f"c{i}" for i in range(1, 15)],
+                "c_mktsegment": ["EQ"] * 4 + ["CONC"] * 10,
+                "c_nationkey": [0] * 14,
+                "c_acctbal": [0.0] * 14,
+            }
+        )
+        prices = [100.0] * 4 + [0.01] * 9 + [9999.99]
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": list(range(1, 15)),
+                "o_custkey": list(range(1, 15)),
+                "o_totalprice": prices,
+                "o_orderstatus": ["F"] * 14,
+                "o_orderdate": pd.to_datetime(["2024-01-01"] * 14),
+            }
+        )
+        for name, pdf in (("customer", cust), ("orders", orders)):
+            pq.write_table(
+                pa.Table.from_pandas(pdf, preserve_index=False),
+                os.path.join(d, f"{name}.parquet"),
+            )
+        got = {r["c_mktsegment"]: r for r in q_gini_revenue(spark, d).collect()}
+        assert got["EQ"]["gini"] == 0.0
+        assert got["EQ"]["n_customers"] == 4
+        # exact rank-formula value for the CONC vector
+        xs = sorted(round(p * 100) for p in prices[4:])
+        n, sx = len(xs), sum(xs)
+        six = sum((i + 1) * x for i, x in enumerate(xs))
+        assert got["CONC"]["gini"] == round(2.0 * six / (n * sx) - (n + 1.0) / n, 6)
+        assert got["CONC"]["gini"] > 0.89
+
+
+class TestTopPaths:
+    def test_matches_python_recount(self, spark, sf_oracle):
+        """Top-20 five-step session prefixes must match an independent
+        sessionizer + Counter, including the (count desc, path asc)
+        tiebreak."""
+        from collections import Counter, defaultdict
+
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_top_paths
+
+        code = {"view": "v", "click": "c", "purchase": "p", "signup": "s"}
+        by_user = defaultdict(list)
+        for r in (
+            load_table(spark, sf_oracle, "events")
+            .select("user_id", "ts", "event_id", "event_type")
+            .collect()
+        ):
+            by_user[r["user_id"]].append(
+                (r["ts"], r["event_id"], code.get(r["event_type"], "e"))
+            )
+        paths = Counter()
+        for evs in by_user.values():
+            evs.sort()
+            sess = [[evs[0]]]
+            for prev, cur in zip(evs, evs[1:]):
+                if (cur[0] - prev[0]).total_seconds() > 1800:
+                    sess.append([])
+                sess[-1].append(cur)
+            for s in sess:
+                paths[">".join(c for _, _, c in s[:5])] += 1
+        want = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        got = [
+            (r["path"], r["n_sessions"]) for r in q_top_paths(spark, sf_oracle).collect()
+        ]
+        assert got == want
+
+    def test_prefix_bounded_at_five(self, spark, sf_oracle):
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_top_paths
+
+        rows = q_top_paths(spark, sf_oracle).collect()
+        assert 0 < len(rows) <= 20
+        assert all(1 <= len(r["path"].split(">")) <= 5 for r in rows)
+        counts = [r["n_sessions"] for r in rows]
+        assert counts == sorted(counts, reverse=True)
+
+
+class TestHllIntersection:
+    def test_estimates_within_hll_error_of_exact(self, spark, sf_oracle):
+        """Every sketch estimate must land within the lg_k=14 HLL error
+        envelope (~0.8% relative, 3 sigma ~ 2.5%) of the exact distinct
+        count; the differenced intersection gets the summed bound."""
+        from collections import defaultdict
+
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            q_hll_intersection,
+        )
+
+        users = defaultdict(set)
+        for r in (
+            load_table(spark, sf_oracle, "events")
+            .select("user_id", "event_type")
+            .collect()
+        ):
+            users[r["event_type"]].add(r["user_id"])
+        rows = q_hll_intersection(spark, sf_oracle).collect()
+        assert [(r["type_a"], r["type_b"]) for r in rows] == [
+            ("click", "purchase"),
+            ("view", "click"),
+            ("view", "purchase"),
+        ]
+        rel = 0.025  # 3 sigma at lg_k=14
+        for r in rows:
+            a, b = users[r["type_a"]], users[r["type_b"]]
+            for est, exact in (
+                (r["est_a"], len(a)),
+                (r["est_b"], len(b)),
+                (r["est_union"], len(a | b)),
+            ):
+                assert abs(est - exact) <= max(1, rel * exact), (r, exact)
+            # intersection inherits the union of the three error bars
+            bound = max(3, 3 * rel * len(a | b))
+            assert abs(r["est_intersection"] - len(a & b)) <= bound, r
+            # inclusion-exclusion must hold exactly on the output columns
+            assert r["est_intersection"] == r["est_a"] + r["est_b"] - r["est_union"]
+
+
+class TestNewVsReturning:
+    def test_matches_python_recount(self, spark, sf_oracle):
+        from collections import defaultdict
+
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            q_new_vs_returning,
+        )
+
+        active = {
+            (r["ts"].date(), r["user_id"])
+            for r in load_table(spark, sf_oracle, "events")
+            .select("ts", "user_id")
+            .collect()
+        }
+        first = {}
+        for day, u in sorted(active):
+            first.setdefault(u, day)
+        want = defaultdict(lambda: [0, 0])
+        for day, u in active:
+            want[day][0 if first[u] == day else 1] += 1
+        got = {
+            r["day"].date(): (r["n_new"], r["n_returning"], r["pct_new"])
+            for r in q_new_vs_returning(spark, sf_oracle).collect()
+        }
+        assert set(got) == set(want)
+        for day, (n_new, n_ret) in want.items():
+            gn, gr, pct = got[day]
+            assert (gn, gr) == (n_new, n_ret), day
+            assert pct == round(n_new / (n_new + n_ret), 6)
+
+    def test_new_users_telescope_to_total(self, spark, sf_oracle):
+        """Σ n_new over all days must equal the total distinct-user
+        count — each user is 'new' exactly once."""
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            q_new_vs_returning,
+        )
+
+        total = (
+            load_table(spark, sf_oracle, "events")
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        rows = q_new_vs_returning(spark, sf_oracle).collect()
+        assert sum(r["n_new"] for r in rows) == total
+        first_day = min(r["day"] for r in rows)
+        assert next(
+            r["n_returning"] for r in rows if r["day"] == first_day
+        ) == 0
+
+
+class TestLtvCohort:
+    def test_matches_python_recount(self, spark, sf_oracle):
+        from collections import defaultdict
+
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            q_customer_ltv_cohort,
+        )
+
+        by_month = defaultdict(int)
+        for r in (
+            load_table(spark, sf_oracle, "orders")
+            .select("o_custkey", "o_orderdate", "o_totalprice")
+            .collect()
+        ):
+            m = (r["o_orderdate"].year, r["o_orderdate"].month)
+            by_month[(r["o_custkey"], m)] += round(r["o_totalprice"] * 100)
+        first = {}
+        for (ck, m), _ in sorted(by_month.items()):
+            first.setdefault(ck, m)
+        sized = defaultdict(int)
+        for ck, m in first.items():
+            sized[m] += 1
+        aged = defaultdict(int)
+        for (ck, m), cents in by_month.items():
+            c = first[ck]
+            aged[(c, (m[0] - c[0]) * 12 + (m[1] - c[1]))] += cents
+        # cum over SEEN ages only must telescope like the window (ages
+        # can be sparse; the window sums rows, not calendar months)
+        cum = {}
+        run = defaultdict(int)
+        for (c, age) in sorted(aged):
+            run[c] += aged[(c, age)]
+            cum[(c, age)] = run[c]
+        got = q_customer_ltv_cohort(spark, sf_oracle).collect()
+        assert len(got) == len(aged)
+        for r in got:
+            key = ((r["cohort_month"].year, r["cohort_month"].month), r["month_age"])
+            assert r["n_customers"] == sized[key[0]]
+            assert round(r["cohort_revenue"] * 100) == aged[key]
+            assert r["cum_ltv_per_customer"] == round(
+                cum[key] / 100.0 / sized[key[0]], 6
+            )
+
+    def test_curves_monotone_and_age_zero_complete(self, spark, sf_oracle):
+        """Every cohort starts at age 0 (its own first month) and its
+        cumulative LTV never decreases."""
+        from collections import defaultdict
+
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            q_customer_ltv_cohort,
+        )
+
+        curves = defaultdict(list)
+        for r in q_customer_ltv_cohort(spark, sf_oracle).collect():
+            curves[r["cohort_month"]].append((r["month_age"], r["cum_ltv_per_customer"]))
+        for c, pts in curves.items():
+            pts.sort()
+            assert pts[0][0] == 0, c
+            vals = [v for _, v in pts]
+            assert vals == sorted(vals), c
+
+
+class TestLorenzDeciles:
+    @staticmethod
+    def _python_lorenz(spark, sf_oracle):
+        from collections import defaultdict
+
+        from lexam_data_pipeline_spark.catalog import load_table
+
+        cents = defaultdict(int)
+        for r in (
+            load_table(spark, sf_oracle, "orders")
+            .select("o_custkey", "o_totalprice")
+            .collect()
+        ):
+            cents[r["o_custkey"]] += round(r["o_totalprice"] * 100)
+        seg = {
+            r["c_custkey"]: r["c_mktsegment"]
+            for r in load_table(spark, sf_oracle, "customer").collect()
+        }
+        by_seg = defaultdict(list)
+        for ck, c in cents.items():
+            if ck in seg:
+                by_seg[seg[ck]].append((c, ck))
+        out = {}
+        for s, xs in by_seg.items():
+            xs.sort()
+            n = len(xs)
+            q, rem = divmod(n, 10)
+            buckets = defaultdict(lambda: [0, 0])
+            i = 0
+            for d in range(1, 11):
+                size = q + (1 if d <= rem else 0)
+                for c, _ in xs[i : i + size]:
+                    buckets[d][0] += 1
+                    buckets[d][1] += c
+                i += size
+            total = sum(c for c, _ in xs)
+            run = 0
+            for d in range(1, 11):
+                run += buckets[d][1]
+                out[(s, d)] = (
+                    buckets[d][0],
+                    buckets[d][1],
+                    round(buckets[d][1] / total, 6),
+                    round(run / total, 6),
+                )
+        return out
+
+    def test_matches_python_ntile_emulation(self, spark, sf_oracle):
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_lorenz_deciles
+
+        want = self._python_lorenz(spark, sf_oracle)
+        got = q_lorenz_deciles(spark, sf_oracle).collect()
+        assert len(got) == len(want)
+        for r in got:
+            n, cents, share, cum = want[(r["c_mktsegment"], r["decile"])]
+            assert r["n_customers"] == n
+            assert round(r["revenue"] * 100) == cents
+            assert r["share"] == share
+            assert r["cum_share"] == cum
+
+    def test_curve_is_convex_and_ends_at_one(self, spark, sf_oracle):
+        """Lorenz invariants: per segment, shares are nondecreasing in
+        decile (revenue-sorted assignment), cum_share ends at 1."""
+        from collections import defaultdict
+
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_lorenz_deciles
+
+        by_seg = defaultdict(list)
+        for r in q_lorenz_deciles(spark, sf_oracle).collect():
+            by_seg[r["c_mktsegment"]].append((r["decile"], r["share"], r["cum_share"]))
+        for s, rows in by_seg.items():
+            rows.sort()
+            assert [d for d, _, _ in rows] == list(range(1, 11)), s
+            shares = [sh for _, sh, _ in rows]
+            # sorted-ascending assignment: later deciles own >= revenue
+            # (allow rounding wiggle at 1e-6)
+            assert all(b >= a - 1e-6 for a, b in zip(shares, shares[1:])), s
+            assert rows[-1][2] == 1.0, s
+
+
+class TestSessionStats:
+    def test_boundary_exact_30min_stays_in_session(self, spark, tmp_path):
+        """A gap of exactly 30:00 must NOT split the session (probed
+        session_window rule, same as the lag-gap > idiom)."""
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_session_stats
+
+        d = _write_events(
+            tmp_path,
+            [
+                (1, 1, "2024-01-01 00:00:00", "view"),
+                (2, 1, "2024-01-01 00:30:00", "click"),   # exactly 30:00
+                (3, 2, "2024-01-01 00:00:00", "view"),
+                (4, 2, "2024-01-01 00:30:01", "click"),   # 30:01 -> splits
+            ],
+        )
+        got = {
+            r["dur_bucket_min"]: (r["n_sessions"], r["total_events"])
+            for r in q_session_stats(spark, d).collect()
+        }
+        # user 1: one 30-min session (bucket 30); user 2: two 0-length
+        # sessions (bucket 0)
+        assert got == {30: (1, 2), 0: (2, 2)}
+
+    def test_matches_python_recount(self, spark, sf_oracle):
+        from collections import defaultdict
+
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_session_stats
+
+        by_user = defaultdict(list)
+        for r in (
+            load_table(spark, sf_oracle, "events").select("user_id", "ts").collect()
+        ):
+            by_user[r["user_id"]].append(r["ts"])
+        hist = defaultdict(lambda: [0, 0, 0])
+        for tss in by_user.values():
+            tss.sort()
+            sessions = [[tss[0]]]
+            for prev, cur in zip(tss, tss[1:]):
+                if (cur - prev).total_seconds() > 1800:
+                    sessions.append([])
+                sessions[-1].append(cur)
+            for s in sessions:
+                dur_us = int((s[-1] - s[0]).total_seconds() * 1e6)
+                b = min((dur_us // 600000000) * 10, 60)
+                hist[b][0] += 1
+                hist[b][1] += len(s)
+                hist[b][2] = max(hist[b][2], len(s))
+        got = {
+            r["dur_bucket_min"]: (
+                r["n_sessions"],
+                r["total_events"],
+                r["max_events"],
+                r["avg_events"],
+            )
+            for r in q_session_stats(spark, sf_oracle).collect()
+        }
+        assert set(got) == set(hist)
+        for b, (n, tot, mx) in hist.items():
+            assert got[b][:3] == (n, tot, mx), b
+            assert got[b][3] == round(tot / n, 6)
+
+    def test_count_equals_collect_under_aggregate_pruning(self, spark, sf_oracle):
+        """Regression for the probed Spark 4.1.2 hazard: a derived
+        ``df.count()`` prunes every aggregate output, and if the bucket
+        were derived from the session_window STRUCT Catalyst would
+        eliminate the session aggregate and rebuild windows per-row
+        (count collapses to 1).  Deriving from min/max aggregates keeps
+        the aggregate non-eliminable."""
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_session_stats
+
+        df = q_session_stats(spark, sf_oracle)
+        assert df.count() == len(df.collect())

@@ -91,6 +91,13 @@ PROBES = [
     "q_peak_concurrency",
     "q_event_pattern",
     "q_user_streaks",
+    "q_gini_revenue",
+    "q_top_paths",
+    "q_hll_intersection",
+    "q_new_vs_returning",
+    "q_customer_ltv_cohort",
+    "q_lorenz_deciles",
+    "q_session_stats",
 ]
 
 OFFSETS = {
