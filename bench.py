@@ -156,6 +156,7 @@ def main() -> None:
         "q_customer_ltv_cohort",
         "q_lorenz_deciles",
         "q_session_stats",
+        "q_label_propagation",
         "q_multimodal_features",
     ):
         if extra in queries and extra not in names:

@@ -231,3 +231,81 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rank", 8).alias("rank"),
         )
     )
+
+
+LPA_N_ITER = 4
+LPA_TOP_COMMUNITIES = 20
+
+
+def label_propagation(pairs: DataFrame, n_iter: int = LPA_N_ITER) -> DataFrame:
+    """Synchronous label propagation over undirected ``(u, v)`` pairs;
+    returns ``node, label`` after ``n_iter`` rounds.
+
+    Fully deterministic (unlike classic async LPA): every node updates
+    simultaneously to its neighbors' modal label, ties broken by MIN
+    label — so the result is a pure function of the edge set and
+    cross-engine reproducible (the DuckDB oracle unrolls the same
+    iterations).  Labels start as the node ids.
+
+    Scale shape: per iteration one join (labels onto the cached
+    symmetrized edge list — only the 2-column label table moves) and one
+    combined aggregate: ``min(struct(-count, label))`` collapses the
+    per-(node, neighbor-label) counts and the argmax into a single
+    groupBy, i.e. TWO shuffles per round, state = 2 columns × |V|.
+    ``localCheckpoint`` every 2 rounds truncates lineage (the BFS/CC
+    lesson: join-per-iteration lineage compounds)."""
+    from lexam_data_pipeline_spark.operators.caching import persist_slot
+
+    und = persist_slot(
+        pairs.select("u", "v").union(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ),
+        "graph.lpa_edges",
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for i in range(n_iter):
+        msgs = und.join(labels, und.v == labels.node).select(
+            F.col("u").alias("node"), "label"
+        )
+        counts = msgs.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))
+                ).alias("best")
+            )
+            .select("node", F.col("best.l").alias("label"))
+        )
+        if (i + 1) % 2 == 0 and (i + 1) < n_iter:
+            labels = labels.localCheckpoint()
+    return labels
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 communities on the mutual-top-K supplier co-purchase graph
+    (same graph as ``q_triangle_count``) after 4 synchronous
+    min-tiebreak LPA rounds — community detection completing the graph
+    family (PageRank ranks, k-core trims, CC merges, LPA clusters).
+
+    Deterministic integers end-to-end → full DuckDB hash-match oracle
+    (the unrolled-iteration SQL twin)."""
+    from lexam_data_pipeline_spark.plans.fixture_queries import (
+        TRIANGLE_TOP_K,
+        copurchase_mutual_topk,
+    )
+
+    pairs = copurchase_mutual_topk(spark, sf_dir, TRIANGLE_TOP_K)
+    labels = label_propagation(pairs, LPA_N_ITER)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), F.asc("community"))
+        .limit(LPA_TOP_COMMUNITIES)
+        .select(
+            F.col("community").cast("bigint"),
+            F.col("size").cast("bigint"),
+        )
+    )

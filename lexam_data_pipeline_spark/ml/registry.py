@@ -40,7 +40,7 @@ from lexam_data_pipeline_spark.ml.curation import (
     q_split_assign,
     q_url_dedup,
 )
-from lexam_data_pipeline_spark.ml.graph import q_pagerank
+from lexam_data_pipeline_spark.ml.graph import q_label_propagation, q_pagerank
 from lexam_data_pipeline_spark.ml.ivf import q_knn_ivf
 from lexam_data_pipeline_spark.ml.retrieval import q_bm25_topk, q_hybrid_rrf
 from lexam_data_pipeline_spark.ml.pq import q_knn_ivfpq
@@ -109,6 +109,7 @@ ML_QUERIES = {
     "q_bm25_topk": q_bm25_topk,
     "q_hybrid_rrf": q_hybrid_rrf,
     "q_pagerank": q_pagerank,
+    "q_label_propagation": q_label_propagation,
     "q_hard_negatives": q_hard_negatives,
     "q_bpe_tokenize": q_bpe_tokenize,
     "q_kfold_assign": q_kfold_assign,
@@ -1021,3 +1022,71 @@ def _kfold_oracle(k: int = 5, salt: str = "fold") -> str:
 
 
 ML_ORACLES["q_kfold_assign"] = _kfold_oracle()
+
+
+def _lpa_oracle_sql(n_iter: int) -> str:
+    """Unrolled synchronous min-tiebreak LPA over the mutual-top-K
+    co-purchase graph (same `pairs` build as the q_triangle_count
+    oracle) — one CTE pair per iteration, so the oracle replays the
+    EXACT deterministic fixpoint steps, not an equivalent algorithm."""
+    sql = """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    support AS (
+        SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS support
+        FROM li a
+        JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+    ),
+    directed AS (
+        SELECT u, v, support FROM support
+        UNION ALL
+        SELECT v AS u, u AS v, support FROM support
+    ),
+    kept AS (
+        SELECT u, v FROM (
+            SELECT u, v,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY support DESC, v ASC) AS rn
+            FROM directed
+        ) WHERE rn <= 10
+    ),
+    pairs AS (
+        SELECT f.u, f.v
+        FROM kept f JOIN kept r ON f.u = r.v AND f.v = r.u
+        WHERE f.u < f.v
+    ),
+    und AS (
+        SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+    ),
+    l0 AS (
+        SELECT DISTINCT u AS node, u AS label FROM und
+    )"""
+    for i in range(1, n_iter + 1):
+        sql += f""",
+    c{i} AS (
+        SELECT e.u AS node, l.label, count(*) AS c
+        FROM und e JOIN l{i - 1} l ON e.v = l.node
+        GROUP BY 1, 2
+    ),
+    l{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM c{i}
+        ) WHERE rn = 1
+    )"""
+    sql += f"""
+    SELECT CAST(label AS BIGINT) AS community, CAST(count(*) AS BIGINT) AS size
+    FROM l{n_iter}
+    GROUP BY label
+    ORDER BY size DESC, community ASC
+    LIMIT 20
+"""
+    return sql
+
+
+ML_ORACLES["q_label_propagation"] = _lpa_oracle_sql(4)

@@ -147,3 +147,84 @@ class TestLongRuns:
             .collect()[0][0]
         )
         assert abs(total - 1.0) < 1e-9
+
+
+def _python_lpa(pairs: list[tuple[int, int]], n_iter: int) -> dict[int, int]:
+    """Independent synchronous min-tiebreak LPA (pure python)."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(list)
+    for u, v in pairs:
+        nbrs[u].append(v)
+        nbrs[v].append(u)
+    label = {n: n for n in nbrs}
+    for _ in range(n_iter):
+        nxt = {}
+        for n, ns in nbrs.items():
+            c = Counter(label[m] for m in ns)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        label = nxt
+    return label
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        """Two 4-cliques joined by one bridge edge must resolve into two
+        communities labelled by each clique's min node."""
+        from lexam_data_pipeline_spark.ml.graph import label_propagation
+
+        cliq = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        cliq += [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+        edges = cliq + [(4, 10)]
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = {r["node"]: r["label"] for r in label_propagation(df, 4).collect()}
+        assert got == _python_lpa(edges, 4)
+        # min-label communities: the 1-clique converges to 1
+        assert {got[n] for n in (1, 2, 3)} == {1}
+        assert {got[n] for n in (11, 12, 13)} == {10}
+
+    def test_matches_python_on_fixture_graph(self, spark, sf_small):
+        """Spark LPA label assignment must equal the independent python
+        sync-LPA on the identical mutual-top-K edge set."""
+        from lexam_data_pipeline_spark.ml.graph import (
+            LPA_N_ITER,
+            label_propagation,
+        )
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            TRIANGLE_TOP_K,
+            copurchase_mutual_topk,
+        )
+
+        pairs_df = copurchase_mutual_topk(spark, sf_small, TRIANGLE_TOP_K)
+        pairs = [(r["u"], r["v"]) for r in pairs_df.collect()]
+        want = _python_lpa(pairs, LPA_N_ITER)
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(pairs_df, LPA_N_ITER).collect()
+        }
+        assert got == want
+
+    def test_fixture_query_community_sizes(self, spark, sf_small):
+        from collections import Counter
+
+        from lexam_data_pipeline_spark.ml.graph import (
+            LPA_N_ITER,
+            q_label_propagation,
+        )
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            TRIANGLE_TOP_K,
+            copurchase_mutual_topk,
+        )
+
+        pairs = [
+            (r["u"], r["v"])
+            for r in copurchase_mutual_topk(spark, sf_small, TRIANGLE_TOP_K).collect()
+        ]
+        sizes = Counter(_python_lpa(pairs, LPA_N_ITER).values())
+        want = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        got = [
+            (r["community"], r["size"])
+            for r in q_label_propagation(spark, sf_small).collect()
+        ]
+        assert got == want

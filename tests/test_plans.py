@@ -231,3 +231,17 @@ def test_session_stats_native_session_window_single_shuffle(spark, sf_small):
     plan = _plan(QUERIES["q_session_stats"](spark, sf_small))
     assert "session_window" in plan
     assert "Window" not in plan  # aggregate, not a window-function pass
+
+
+def test_label_propagation_argmax_is_aggregate_not_window(spark, sf_small):
+    """LPA iterations must stay JVM-side, and the per-node modal-label
+    argmax must compile to the fused min(struct) AGGREGATE — the only
+    row_number windows allowed are the graph build's top-K rankings,
+    which carry the WindowGroupLimit pushdown (never a full sort of an
+    unbounded neighbor list)."""
+    plan = _plan(QUERIES["q_label_propagation"](spark, sf_small))
+    assert "Python" not in plan
+    assert "min(struct(nc" in plan  # the fused argmax aggregate
+    # every row_number window is a WindowGroupLimit-pushed top-K from
+    # the graph build, not an LPA iteration
+    assert plan.count("Window [row_number") <= plan.count("WindowGroupLimit")

@@ -98,6 +98,7 @@ PROBES = [
     "q_customer_ltv_cohort",
     "q_lorenz_deciles",
     "q_session_stats",
+    "q_label_propagation",
 ]
 
 OFFSETS = {
