@@ -157,6 +157,9 @@ def main() -> None:
         "q_lorenz_deciles",
         "q_session_stats",
         "q_label_propagation",
+        "q_window_funnel",
+        "q_abandoned_carts",
+        "q_table_profile",
         "q_multimodal_features",
     ):
         if extra in queries and extra not in names:

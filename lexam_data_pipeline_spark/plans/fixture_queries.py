@@ -3232,3 +3232,176 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_events"),
         F.max("n_events").cast("bigint").alias("max_events"),
     )
+
+
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-style ``windowFunnel``: per user, the deepest
+    view→click→purchase chain with strictly increasing timestamps that
+    fits inside ONE HOUR of the opening view; output is the user count
+    at each max level (0 = never viewed).
+
+    Semantics pinned exactly: a chain may start at ANY view, and given
+    a fixed start the earliest qualifying click maximizes the chance of
+    completing the chain — so per start the greedy step is optimal and
+    "max over starts of greedy depth" is the true maximum.  The oracle
+    replays the same rule with correlated subqueries.
+
+    Scale shape: one shuffle collects each user's per-type timestamp
+    arrays (map-side partial ``collect_list``); the chain search is
+    JVM-side higher-order functions over those BOUNDED arrays (per-user
+    event counts; no self-join of the events table, which is the naive
+    O(|events|²) formulation the oracle uses).  Timestamps stay integer
+    micros throughout."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("event_type") == "view", F.col("t")))
+        ).alias("views"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("t")))
+        ).alias("clicks"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("t")))
+        ).alias("purchases"),
+    )
+    hour = 3600 * 1000000
+    # per view v: earliest click in (v, v+1h]; then any purchase in
+    # (that click, v+1h].  level(v) = 1 + has_click + has_purchase.
+    level = F.when(F.size("views") == 0, F.lit(0)).otherwise(
+        F.aggregate(
+            F.col("views"),
+            F.lit(0),
+            lambda acc, v: F.greatest(
+                acc,
+                F.lit(1)
+                + F.when(
+                    F.exists(
+                        F.col("clicks"),
+                        lambda c: (c > v) & (c <= v + F.lit(hour)),
+                    ),
+                    F.lit(1)
+                    + F.when(
+                        F.exists(
+                            F.col("purchases"),
+                            lambda p: (
+                                p
+                                > F.array_min(
+                                    F.filter(
+                                        F.col("clicks"),
+                                        lambda c: (c > v) & (c <= v + F.lit(hour)),
+                                    )
+                                )
+                            )
+                            & (p <= v + F.lit(hour)),
+                        ),
+                        F.lit(1),
+                    ).otherwise(F.lit(0)),
+                ).otherwise(F.lit(0)),
+            ),
+        )
+    )
+    return (
+        per_user.select(level.cast("bigint").alias("funnel_level"))
+        .groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+def q_abandoned_carts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cart abandonment at SESSION grain (vs :func:`q_funnel_steps`'s
+    user grain): among 30-minute-gap sessions that contain a click, how
+    many never purchase, and how much clicked-on value walks away.
+
+    One sessionize window + one per-session aggregate + a 1-row rollup;
+    value stays exact integer cents until the output."""
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_user))
+    sid = F.sum(F.when(gap_us > 1800 * 1000000, 1).otherwise(0)).over(
+        w_user.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = (
+        ev.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("has_click"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "has_purchase"
+            ),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    (F.col("value").cast("decimal(18,2)") * 100).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("click_cents"),
+        )
+        .filter(F.col("has_click") == 1)
+    )
+    return sessions.agg(
+        F.sum(F.when(F.col("has_purchase") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_abandoned"),
+        F.sum(F.when(F.col("has_purchase") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_converted"),
+        F.round(
+            F.sum(F.when(F.col("has_purchase") == 0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("abandonment_rate"),
+        (
+            F.sum(
+                F.when(F.col("has_purchase") == 0, F.col("click_cents")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / 100.0
+        ).alias("value_at_risk"),
+    )
+
+
+#: columns profiled by q_table_profile — int/string only, so min/max
+#: stringify identically in Spark and DuckDB (doubles format differently)
+PROFILE_COLUMNS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (the deequ/data-quality staple): per
+    column of ``orders`` — null count, exact distinct count, min/max —
+    computed in a SINGLE aggregate then unpivoted with ``stack``.
+
+    Scale notes: multiple exact COUNT(DISTINCT)s in one aggregate
+    compile to Spark's Expand strategy — one shuffle carrying
+    #distinct-columns copies of each row.  That is the right exact plan
+    at profile cardinalities; the documented 100 TB switch is
+    approx_count_distinct (HLL, one copy).  Min/max stringify from
+    int/string columns only, so both engines format identically."""
+    o = load_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    aggs = [n.alias("n_rows")]
+    for c in PROFILE_COLUMNS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in PROFILE_COLUMNS
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(PROFILE_COLUMNS)}, {stack_args}) AS "
+        "(column, n_nulls, n_distinct, min_value, max_value)",
+    ).select(
+        "column",
+        F.col("n_rows").cast("bigint"),
+        F.col("n_nulls").cast("bigint"),
+        F.col("n_distinct").cast("bigint"),
+        "min_value",
+        "max_value",
+    )

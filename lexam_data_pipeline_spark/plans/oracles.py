@@ -1719,3 +1719,121 @@ CORE_ORACLES["q_session_stats"] = """
            CAST(max(n_events) AS BIGINT) AS max_events
     FROM bucketed GROUP BY dur_bucket_min
 """
+
+
+# windowFunnel semantics replayed with correlated subqueries: chain may
+# start at any view; given the start, earliest qualifying click then any
+# purchase inside the hour.  Integer micros everywhere.
+CORE_ORACLES["q_window_funnel"] = """
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+    ),
+    users AS (SELECT DISTINCT user_id FROM ev),
+    starts AS (
+        SELECT v.user_id, v.t AS vt,
+               (SELECT min(c.t) FROM ev c
+                WHERE c.user_id = v.user_id AND c.event_type = 'click'
+                  AND c.t > v.t AND c.t <= v.t + 3600000000) AS ct
+        FROM ev v WHERE v.event_type = 'view'
+    ),
+    lv AS (
+        SELECT user_id,
+               CASE
+                   WHEN ct IS NOT NULL AND EXISTS (
+                       SELECT 1 FROM ev p
+                       WHERE p.user_id = starts.user_id
+                         AND p.event_type = 'purchase'
+                         AND p.t > starts.ct AND p.t <= starts.vt + 3600000000)
+                       THEN 3
+                   WHEN ct IS NOT NULL THEN 2
+                   ELSE 1
+               END AS lvl
+        FROM starts
+    ),
+    per_user AS (
+        SELECT u.user_id, coalesce(max(lv.lvl), 0) AS funnel_level
+        FROM users u LEFT JOIN lv ON u.user_id = lv.user_id
+        GROUP BY u.user_id
+    )
+    SELECT CAST(funnel_level AS BIGINT) AS funnel_level,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY funnel_level
+"""
+
+
+# Same 30-minute sessions as q_sessionize; click-value in exact cents.
+CORE_ORACLES["q_abandoned_carts"] = """
+    WITH flagged AS (
+        SELECT user_id, ts, event_type, value,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts))
+                         > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, event_type, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    per AS (
+        SELECT user_id, sid,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS has_click,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS has_purchase,
+               CAST(sum(CASE WHEN event_type = 'click'
+                        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS click_cents
+        FROM sess GROUP BY user_id, sid
+    ),
+    clicked AS (SELECT * FROM per WHERE has_click = 1)
+    SELECT CAST(sum(CASE WHEN has_purchase = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_abandoned,
+           CAST(sum(CASE WHEN has_purchase = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted,
+           round(CAST(sum(CASE WHEN has_purchase = 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS abandonment_rate,
+           CAST(CAST(sum(CASE WHEN has_purchase = 0 THEN click_cents ELSE 0 END)
+                AS BIGINT) AS DOUBLE) / 100.0 AS value_at_risk
+    FROM clicked
+"""
+
+
+# One row per profiled column; int/string columns only so min/max
+# stringification matches Spark's byte-for-byte.
+CORE_ORACLES["q_table_profile"] = """
+    WITH base AS (SELECT count(*) AS n_rows FROM orders)
+    SELECT p.column, base.n_rows, p.n_nulls, p.n_distinct,
+           p.min_value, p.max_value
+    FROM base, (
+        SELECT 'o_orderkey' AS column,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey',
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT o_custkey) AS BIGINT),
+               CAST(min(o_custkey) AS VARCHAR),
+               CAST(max(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus',
+               CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+               min(o_orderstatus),
+               max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority',
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+               min(o_orderpriority),
+               max(o_orderpriority)
+        FROM orders
+    ) p
+"""

@@ -245,3 +245,20 @@ def test_label_propagation_argmax_is_aggregate_not_window(spark, sf_small):
     # every row_number window is a WindowGroupLimit-pushed top-K from
     # the graph build, not an LPA iteration
     assert plan.count("Window [row_number") <= plan.count("WindowGroupLimit")
+
+
+def test_window_funnel_is_one_aggregate_no_self_join(spark, sf_small):
+    """The chain search must run as JVM HOFs over per-user arrays — ONE
+    aggregation of events, never the naive events-to-events self-join."""
+    plan = _plan(QUERIES["q_window_funnel"](spark, sf_small))
+    assert "Python" not in plan
+    assert "Join" not in plan
+    assert "aggregate(" in plan  # the HOF fold over per-user views
+
+
+def test_table_profile_multi_distinct_uses_expand(spark, sf_small):
+    """Exact multi-column COUNT(DISTINCT) must compile to the single
+    Expand strategy (one scan, one shuffle) — not one scan per column."""
+    plan = _plan(QUERIES["q_table_profile"](spark, sf_small))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1

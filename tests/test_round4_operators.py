@@ -1218,3 +1218,140 @@ class TestSessionStats:
 
         df = q_session_stats(spark, sf_oracle)
         assert df.count() == len(df.collect())
+
+
+class TestWindowFunnel:
+    def test_toy_levels(self, spark, tmp_path):
+        """Pin the chain rule: strict ordering, 1-hour budget from the
+        OPENING view, later views can out-run earlier ones."""
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_window_funnel
+
+        d = _write_events(
+            tmp_path,
+            [
+                # user 1: full chain inside the hour -> 3
+                (1, 1, "2024-01-01 10:00:00", "view"),
+                (2, 1, "2024-01-01 10:20:00", "click"),
+                (3, 1, "2024-01-01 10:40:00", "purchase"),
+                # user 2: purchase drifts past the hour -> 2
+                (4, 2, "2024-01-01 10:00:00", "view"),
+                (5, 2, "2024-01-01 10:30:00", "click"),
+                (6, 2, "2024-01-01 11:30:00", "purchase"),
+                # user 3: purchase BEFORE the click -> 2 (strict order)
+                (7, 3, "2024-01-01 10:00:00", "view"),
+                (8, 3, "2024-01-01 10:05:00", "purchase"),
+                (9, 3, "2024-01-01 10:30:00", "click"),
+                # user 4: first view too early, SECOND view completes -> 3
+                (10, 4, "2024-01-01 08:00:00", "view"),
+                (11, 4, "2024-01-01 10:00:00", "view"),
+                (12, 4, "2024-01-01 10:10:00", "click"),
+                (13, 4, "2024-01-01 10:20:00", "purchase"),
+                # user 5: clicks only, never viewed -> 0
+                (14, 5, "2024-01-01 10:00:00", "click"),
+                # user 6: view only -> 1
+                (15, 6, "2024-01-01 10:00:00", "view"),
+            ],
+        )
+        got = {
+            r["funnel_level"]: r["n_users"]
+            for r in q_window_funnel(spark, d).collect()
+        }
+        assert got == {0: 1, 1: 1, 2: 2, 3: 2}
+
+    def test_matches_python_recount(self, spark, sf_oracle):
+        from collections import defaultdict
+
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_window_funnel
+
+        HOUR = 3_600_000_000
+        evs = defaultdict(lambda: defaultdict(list))
+        for r in (
+            load_table(spark, sf_oracle, "events")
+            .select("user_id", "event_type", F.unix_micros("ts").alias("t"))
+            .collect()
+        ):
+            evs[r["user_id"]][r["event_type"]].append(r["t"])
+        hist = defaultdict(int)
+        for u, by_type in evs.items():
+            views = sorted(by_type.get("view", []))
+            clicks = sorted(by_type.get("click", []))
+            purchases = sorted(by_type.get("purchase", []))
+            best = 0
+            for v in views:
+                lvl = 1
+                cs = [c for c in clicks if v < c <= v + HOUR]
+                if cs:
+                    lvl = 2
+                    c0 = min(cs)
+                    if any(c0 < p <= v + HOUR for p in purchases):
+                        lvl = 3
+                best = max(best, lvl)
+            hist[best] += 1
+        got = {
+            r["funnel_level"]: r["n_users"]
+            for r in q_window_funnel(spark, sf_oracle).collect()
+        }
+        assert got == dict(hist)
+
+
+class TestAbandonedCarts:
+    def test_matches_python_recount(self, spark, sf_oracle):
+        from collections import defaultdict
+
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            q_abandoned_carts,
+        )
+
+        by_user = defaultdict(list)
+        for r in (
+            load_table(spark, sf_oracle, "events")
+            .select("user_id", "ts", "event_type", "value")
+            .collect()
+        ):
+            by_user[r["user_id"]].append((r["ts"], r["event_type"], r["value"]))
+        n_ab = n_conv = cents_at_risk = 0
+        for evs in by_user.values():
+            evs.sort()
+            sessions = [[evs[0]]]
+            for prev, cur in zip(evs, evs[1:]):
+                if (cur[0] - prev[0]).total_seconds() > 1800:
+                    sessions.append([])
+                sessions[-1].append(cur)
+            for s in sessions:
+                types = {t for _, t, _ in s}
+                if "click" not in types:
+                    continue
+                cents = sum(round(v * 100) for _, t, v in s if t == "click")
+                if "purchase" in types:
+                    n_conv += 1
+                else:
+                    n_ab += 1
+                    cents_at_risk += cents
+        r = q_abandoned_carts(spark, sf_oracle).collect()[0]
+        assert (r["n_abandoned"], r["n_converted"]) == (n_ab, n_conv)
+        assert r["abandonment_rate"] == round(n_ab / (n_ab + n_conv), 6)
+        assert round(r["value_at_risk"] * 100) == cents_at_risk
+
+
+class TestTableProfile:
+    def test_matches_pandas_profile(self, spark, sf_oracle):
+        import pandas as pd  # noqa: F401
+
+        from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            PROFILE_COLUMNS,
+            q_table_profile,
+        )
+
+        pdf = load_table(spark, sf_oracle, "orders").toPandas()
+        got = {r["column"]: r for r in q_table_profile(spark, sf_oracle).collect()}
+        assert set(got) == set(PROFILE_COLUMNS)
+        for c in PROFILE_COLUMNS:
+            r = got[c]
+            assert r["n_rows"] == len(pdf)
+            assert r["n_nulls"] == int(pdf[c].isna().sum())
+            assert r["n_distinct"] == int(pdf[c].nunique())
+            assert r["min_value"] == str(pdf[c].min())
+            assert r["max_value"] == str(pdf[c].max())

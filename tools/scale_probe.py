@@ -99,6 +99,9 @@ PROBES = [
     "q_lorenz_deciles",
     "q_session_stats",
     "q_label_propagation",
+    "q_window_funnel",
+    "q_abandoned_carts",
+    "q_table_profile",
 ]
 
 OFFSETS = {
