@@ -219,3 +219,48 @@ SQL_QUERIES["q_time_decay"] = """
                 * 10000.0D) AS BIGINT)) / 10000.0D, 4) AS decayed_value
     FROM events GROUP BY user_id
 """
+
+SQL_QUERIES["q_gini_revenue"] = """
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT c_mktsegment, cents,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY cents, c_custkey) AS i
+        FROM rev JOIN customer ON o_custkey = c_custkey
+    ),
+    agg AS (
+        SELECT c_mktsegment, count(*) AS n_customers,
+               sum(cents) AS sum_x, sum(i * cents) AS sum_ix
+        FROM ranked GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n_customers,
+           CAST(sum_x AS DOUBLE) / 100.0D AS total_revenue,
+           round((2.0D * sum_ix) / (n_customers * sum_x)
+                 - (n_customers + 1.0D) / n_customers, 6) AS gini
+    FROM agg
+"""
+
+SQL_QUERIES["q_session_stats"] = """
+    WITH per_session AS (
+        SELECT user_id, count(*) AS n_events,
+               unix_micros(max(ts)) - unix_micros(min(ts)) AS dur_us
+        FROM events
+        GROUP BY user_id, session_window(ts, '30 minutes')
+    ),
+    bucketed AS (
+        SELECT least((dur_us DIV 600000000) * 10, 60L) AS dur_bucket_min,
+               n_events
+        FROM per_session
+    )
+    SELECT CAST(dur_bucket_min AS BIGINT) AS dur_bucket_min,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS total_events,
+           round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS avg_events,
+           CAST(max(n_events) AS BIGINT) AS max_events
+    FROM bucketed GROUP BY dur_bucket_min
+"""
