@@ -160,6 +160,9 @@ def main() -> None:
         "q_window_funnel",
         "q_abandoned_carts",
         "q_table_profile",
+        "q_rfm_segments",
+        "q_linear_attribution",
+        "q_mom_growth",
         "q_multimodal_features",
     ):
         if extra in queries and extra not in names:

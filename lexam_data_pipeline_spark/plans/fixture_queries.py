@@ -3405,3 +3405,195 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment RFM (recency / frequency / monetary) quintile scoring
+    — the classic customer-base segmentation: each customer gets three
+    1–5 scores (quintiles of days-since-last-order, order count, and
+    lifetime cents WITHIN their market segment), and the output counts
+    customers and revenue per (segment, R, F, M) cell.
+
+    Mirrors the reference's per-group scoring rollups
+    (backend/app/routers/stats.py:1) re-expressed as one windowed
+    aggregate chain.
+
+    Scale: quintiles partition by c_mktsegment over the PRE-AGGREGATED
+    per-customer table (orders of magnitude smaller than orders), never
+    a global single-partition sort — same posture as
+    :func:`q_lorenz_deciles`.  The recency anchor is the corpus max
+    order date (one broadcast scalar join).  Exact-integer core: cents
+    and day arithmetic; every ntile carries a custkey tiebreak so
+    assignment is engine-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor_date"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .join(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("anchor_date", "last_order").alias("r_days"),
+            "n_orders",
+            "cents",
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    seg = Window.partitionBy("c_mktsegment")
+    scored = per_cust.select(
+        "c_mktsegment",
+        "cents",
+        F.ntile(5)
+        .over(seg.orderBy(F.col("r_days").asc(), F.col("o_custkey").asc()))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(seg.orderBy(F.col("n_orders").desc(), F.col("o_custkey").asc()))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(seg.orderBy(F.col("cents").desc(), F.col("o_custkey").asc()))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("c_mktsegment", "r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            (F.sum("cents").cast("double") / 100.0).alias("segment_revenue"),
+        )
+        .select(
+            "c_mktsegment",
+            F.col("r_score").cast("bigint"),
+            F.col("f_score").cast("bigint"),
+            F.col("m_score").cast("bigint"),
+            "n_customers",
+            "segment_revenue",
+        )
+    )
+
+
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch revenue attribution: each ``purchase`` event's value
+    is split EQUALLY across the user's ``view``/``click`` touches in the
+    preceding 24 hours; purchases with no preceding touch credit a
+    synthetic ``direct`` channel.  Output: credited revenue, touch
+    count, and distinct purchases per channel.
+
+    Mirrors the reference's per-event credit rollups
+    (backend/app/routers/stats.py:1) as a single range-join + window.
+
+    Scale: the touch↔purchase join is an EQUI-join on user_id (shuffle
+    key) with the 24 h window as a join-time range filter, so state per
+    key is bounded by one user's day — never a cross join.  Exact
+    integer split: purchase cents are floor'd once, divided with
+    integer DIV, and the remainder rides the MOST RECENT touch, so
+    credit sums are engine-exact (no float-order ambiguity) and total
+    credited cents equal total purchase cents."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("p_cents"),
+    )
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+    )
+    day_us = 24 * 3600 * 1000000
+    joined = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.unix_micros("t_ts") < F.unix_micros("p_ts"))
+        & (F.unix_micros("t_ts") >= F.unix_micros("p_ts") - F.lit(day_us)),
+        "left",
+    )
+    w_p = Window.partitionBy("p_id")
+    w_rn = w_p.orderBy(F.col("t_ts").desc(), F.col("t_id").desc())
+    credited = (
+        joined.withColumn("n_touch", F.count("t_id").over(w_p))
+        .withColumn("rn", F.row_number().over(w_rn))
+        .select(
+            F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"),
+            F.when(F.col("n_touch") == 0, F.col("p_cents"))
+            .otherwise(
+                F.expr("p_cents DIV n_touch")
+                + F.when(
+                    F.col("rn") == 1, F.col("p_cents") % F.col("n_touch")
+                ).otherwise(F.lit(0))
+            )
+            .alias("credit_cents"),
+            "p_id",
+        )
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            (F.sum("credit_cents").cast("double") / 100.0).alias(
+                "attributed_revenue"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            F.count_distinct("p_id").cast("bigint").alias("n_purchases"),
+        )
+    )
+
+
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth — the
+    executive-dashboard growth table: monthly revenue with absolute and
+    percentage deltas vs the prior month (lag) and the same month one
+    year earlier (self-join on the calendar key, exact under gaps —
+    never ``lag(12)``, which silently misaligns on missing months).
+
+    Mirrors the reference's period-delta cards
+    (backend/app/routers/dashboard.py:1).
+
+    Scale: both windows and the YoY join run over the ~#months-sized
+    aggregate, not over orders; the monthly rollup itself is one
+    map-side-combinable shuffle.  Cents stay integral until the final
+    display division; pct deltas are single double divisions of
+    bigints (deterministic, no sum-order ambiguity)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("yr", "mo")
+    cur = monthly.withColumn("prev_cents", F.lag("cents").over(w))
+    prior = monthly.select(
+        (F.col("yr") + 1).alias("yr"), F.col("mo").alias("mo"),
+        F.col("cents").alias("yoy_cents"),
+    )
+    return (
+        cur.join(prior, ["yr", "mo"], "left")
+        .select(
+            F.col("yr").cast("bigint"),
+            F.col("mo").cast("bigint"),
+            (F.col("cents").cast("double") / 100.0).alias("revenue"),
+            F.round(
+                (F.col("cents") - F.col("prev_cents")).cast("double") / 100.0, 2
+            ).alias("mom_abs"),
+            F.round(
+                100.0
+                * (F.col("cents") - F.col("prev_cents")).cast("double")
+                / F.col("prev_cents").cast("double"),
+                4,
+            ).alias("mom_pct"),
+            F.round(
+                100.0
+                * (F.col("cents") - F.col("yoy_cents")).cast("double")
+                / F.col("yoy_cents").cast("double"),
+                4,
+            ).alias("yoy_pct"),
+        )
+    )

@@ -1837,3 +1837,111 @@ CORE_ORACLES["q_table_profile"] = """
         FROM orders
     ) p
 """
+
+
+# Per-segment quintiles with custkey tiebreaks (ntile assignment is then
+# engine-exact); HUGEINT sums cast back to BIGINT before the display
+# division so the double expression matches Spark bit-for-bit.
+CORE_ORACLES["q_rfm_segments"] = """
+    WITH anchor AS (
+        SELECT max(o_orderdate) AS anchor_date FROM orders
+    ),
+    per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate),
+                         (SELECT anchor_date FROM anchor)) AS r_days,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT c_mktsegment, cents,
+               ntile(5) OVER (PARTITION BY c_mktsegment
+                              ORDER BY r_days ASC, o_custkey ASC) AS r_score,
+               ntile(5) OVER (PARTITION BY c_mktsegment
+                              ORDER BY n_orders DESC, o_custkey ASC) AS f_score,
+               ntile(5) OVER (PARTITION BY c_mktsegment
+                              ORDER BY cents DESC, o_custkey ASC) AS m_score
+        FROM per_cust JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0
+               AS segment_revenue
+    FROM scored
+    GROUP BY c_mktsegment, r_score, f_score, m_score
+"""
+
+
+# Integer credit split: floor'd cents, integer division, remainder on
+# the most recent touch — total credited cents equal purchase cents and
+# no float sum-order ambiguity exists on either engine.
+CORE_ORACLES["q_linear_attribution"] = """
+    WITH purchases AS (
+        SELECT user_id AS p_user, ts AS p_ts, event_id AS p_id,
+               CAST(floor(value * 100) AS BIGINT) AS p_cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id AS t_user, ts AS t_ts, event_id AS t_id,
+               event_type AS channel
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    joined AS (
+        SELECT p.*, t.t_ts, t.t_id, t.channel
+        FROM purchases p LEFT JOIN touches t
+          ON p.p_user = t.t_user
+         AND epoch_us(t.t_ts) < epoch_us(p.p_ts)
+         AND epoch_us(t.t_ts) >= epoch_us(p.p_ts) - 86400000000
+    ),
+    credited AS (
+        SELECT coalesce(channel, 'direct') AS channel, p_id,
+               CASE WHEN count(t_id) OVER (PARTITION BY p_id) = 0
+                    THEN p_cents
+                    ELSE p_cents // count(t_id) OVER (PARTITION BY p_id)
+                         + CASE WHEN row_number() OVER (
+                                    PARTITION BY p_id
+                                    ORDER BY t_ts DESC, t_id DESC) = 1
+                                THEN p_cents % count(t_id) OVER (PARTITION BY p_id)
+                                ELSE 0 END
+               END AS credit_cents
+        FROM joined
+    )
+    SELECT channel,
+           CAST(CAST(sum(credit_cents) AS BIGINT) AS DOUBLE) / 100.0
+               AS attributed_revenue,
+           CAST(count(*) AS BIGINT) AS n_credits,
+           CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases
+    FROM credited GROUP BY channel
+"""
+
+
+# YoY via calendar-key self-join (exact under month gaps); pct deltas
+# are single double divisions of bigints — deterministic on both
+# engines.
+CORE_ORACLES["q_mom_growth"] = """
+    WITH monthly AS (
+        SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY yr, mo
+    ),
+    cur AS (
+        SELECT yr, mo, cents,
+               lag(cents) OVER (ORDER BY yr, mo) AS prev_cents
+        FROM monthly
+    )
+    SELECT CAST(c.yr AS BIGINT) AS yr, CAST(c.mo AS BIGINT) AS mo,
+           CAST(c.cents AS DOUBLE) / 100.0 AS revenue,
+           round(CAST(c.cents - c.prev_cents AS DOUBLE) / 100.0, 2) AS mom_abs,
+           round(100.0 * CAST(c.cents - c.prev_cents AS DOUBLE)
+                 / CAST(c.prev_cents AS DOUBLE), 4) AS mom_pct,
+           round(100.0 * CAST(c.cents - y.cents AS DOUBLE)
+                 / CAST(y.cents AS DOUBLE), 4) AS yoy_pct
+    FROM cur c LEFT JOIN monthly y
+      ON c.yr = y.yr + 1 AND c.mo = y.mo
+"""

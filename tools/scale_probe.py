@@ -102,6 +102,9 @@ PROBES = [
     "q_window_funnel",
     "q_abandoned_carts",
     "q_table_profile",
+    "q_rfm_segments",
+    "q_linear_attribution",
+    "q_mom_growth",
 ]
 
 OFFSETS = {
