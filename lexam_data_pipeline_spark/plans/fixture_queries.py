@@ -3597,3 +3597,453 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("yoy_pct"),
         )
     )
+
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes with right
+    censoring — the churn-analysis staple: lifetime = whole hours
+    between a user's first and last event; users still active within
+    12 h of the corpus end are censored (their lifetime is a lower
+    bound, they leave the risk set without counting as a churn event).
+
+    Mirrors the reference's per-user lifecycle rollups
+    (backend/app/routers/stats.py:1) lifted to the estimator the churn
+    team would actually plot.
+
+    Cross-engine parity: the survival product is a SEQUENTIAL LEFT FOLD
+    over the hazard array (``F.aggregate`` with a 1.0 seed here,
+    ``list_reduce(list_prepend(1.0, ...))`` in DuckDB) — identical IEEE
+    multiplication order, and each hazard is a single bigint/bigint
+    division, so the curve is bit-exact.
+
+    Scale: the only fact-sized stage is the per-user first/last
+    aggregate (one map-side-combined shuffle).  Everything after runs on
+    the ≤(corpus-days) curve spine: the risk-set window, the one-row
+    census join, and the hazard array (collected to ONE row of ≤ a few
+    hundred structs, broadcast back) are all constant-size regardless of
+    corpus row count."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+    # Corpus horizon from per_user, NOT a second events scan: the census
+    # and the hazard array below also derive from spine, so every branch
+    # shares the one per-user shuffle (AQE ReusedExchange collapses them
+    # at runtime — the fact is read once).
+    horizon = per_user.agg(F.max("last_us").alias("corpus_max_us"))
+    hour_us = 3600 * 1000000
+    obs = per_user.join(F.broadcast(horizon)).select(
+        F.expr(f"(last_us - first_us) DIV {hour_us}").alias("t_hour"),
+        F.when(
+            F.col("corpus_max_us") - F.col("last_us") >= 12 * hour_us,
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("is_death"),
+    )
+    spine = obs.groupBy("t_hour").agg(
+        F.sum("is_death").cast("bigint").alias("n_deaths"),
+        F.sum(1 - F.col("is_death")).cast("bigint").alias("n_censored"),
+        F.count(F.lit(1)).cast("bigint").alias("n_leaving"),
+    )
+    total = spine.agg(F.sum("n_leaving").alias("n_total"))
+    w_prior = Window.orderBy("t_hour").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    curve = (
+        spine.join(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum("n_leaving").over(w_prior), F.lit(0)),
+        )
+        .withColumn(
+            "hazard",
+            F.col("n_deaths").cast("double") / F.col("n_risk").cast("double"),
+        )
+    )
+    hz = curve.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("t_hour"), F.col("hazard")))
+        ).alias("hs")
+    )
+    return (
+        curve.join(F.broadcast(hz))
+        .select(
+            "t_hour",
+            "n_risk",
+            "n_deaths",
+            "n_censored",
+            F.aggregate(
+                F.transform(
+                    F.filter("hs", lambda s: s["t_hour"] <= F.col("t_hour")),
+                    lambda s: s["hazard"],
+                ),
+                F.lit(1.0),
+                lambda acc, x: acc * (1 - x),
+            ).alias("survival"),
+        )
+    )
+
+
+def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 0.3) of monthly
+    revenue — the smoothed trend line next to :func:`q_mom_growth`'s raw
+    deltas.  EWMA is inherently recursive (each value depends on the
+    previous), which SQL windows can't express directly; both engines
+    compute it as a SEQUENTIAL LEFT FOLD over the ordered monthly array
+    (``F.aggregate`` seeded with the first month here, DuckDB
+    ``list_reduce`` whose implicit seed IS the first element), so the
+    smoothing recurrence runs in identical IEEE order — bit-exact.
+
+    Mirrors the reference's dashboard trend cards
+    (backend/app/routers/dashboard.py:1).
+
+    Scale: the fold runs over the ~#months spine collected to ONE row
+    (the monthly rollup is the only fact-sized shuffle, map-side
+    combined).  Per-row prefix slices make the curve O(months²) ops on
+    ≤ thousands of months — constant next to the scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    arr = monthly.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (F.col("yr") * 12 + F.col("mo")).alias("midx"),
+                    (F.col("cents").cast("double") / 100.0).alias("rev"),
+                )
+            )
+        ).alias("ms")
+    )
+    # Prefix fold per month: seed = first month's revenue, then
+    # acc*0.7 + x*0.3 over months 2..i in calendar order.
+    pref = F.transform(
+        F.filter("ms", lambda s: s["midx"] <= F.col("yr") * 12 + F.col("mo")),
+        lambda s: s["rev"],
+    )
+    return (
+        monthly.join(F.broadcast(arr))
+        .select(
+            F.col("yr").cast("bigint"),
+            F.col("mo").cast("bigint"),
+            (F.col("cents").cast("double") / 100.0).alias("revenue"),
+            F.aggregate(
+                F.slice(pref, 2, F.greatest(F.size(pref) - 1, F.lit(0))),
+                F.element_at(pref, 1),
+                lambda acc, x: acc * F.lit(0.7) + x * F.lit(0.3),
+            ).alias("ewma"),
+        )
+    )
+
+
+def q_autocorr_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of monthly revenue at lags 1–6 — the
+    seasonality probe behind every forecasting decision (a 12-month
+    business cycle shows up as a lag-12 peak; these fixtures span ~80
+    months so lags 1–6 stay well-populated).
+
+    The series is monthly revenue in floor'd kilodollars: bigint values
+    small enough that every moment sum (n, Σx, Σy, Σxx, Σyy, Σxy) stays
+    exactly representable as a double at fixture scales, so the Pearson
+    closed form is identical IEEE arithmetic on both engines (same
+    moment-sum posture as :func:`q_corr_stats`).  Lag alignment is a
+    calendar-key self-join (midx = midx + L) — exact under month gaps,
+    never ``lag(L)``.
+
+    Scale: one fact shuffle builds the monthly spine; the 6 lag joins
+    and moment sums run on the ~#months aggregate (broadcast both
+    sides)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx")
+    ).agg(
+        F.floor(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")) / 1000
+        ).cast("bigint").alias("kd")
+    )
+    lags = spark.range(1, 7).select(F.col("id").alias("lag"))
+    x = monthly.select(F.col("midx").alias("xm"), F.col("kd").alias("x"))
+    y = monthly.select(F.col("midx").alias("ym"), F.col("kd").alias("y"))
+    # Keep each equi-key one-sided: (xm - lag) lives entirely on the
+    # (lags × x) side, so Catalyst extracts a proper hash-join key — a
+    # mixed-side expression like ym + lag = xm degrades to a
+    # nested-loop join.
+    pairs = (
+        F.broadcast(lags)
+        .join(x, how="cross")
+        .join(y, F.col("xm") - F.col("lag") == F.col("ym"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    denom2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    return m.select(
+        "lag",
+        F.col("n_pairs").cast("bigint"),
+        F.when(denom2 > 0, (n * sxy - sx * sy) / F.sqrt(denom2)).alias("acf"),
+    )
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over daily revenue: the day where the
+    cumulative deviation from the global mean peaks is the classic
+    level-shift candidate.  Reports the top-10 days by |CUSUM|.
+
+    Works entirely in scaled integers: CUSUM_i = Σ_{j≤i}(x_j − μ) is
+    multiplied through by n to avoid the float mean — ``n·prefix_i −
+    i·total`` — so the statistic is exact bigint arithmetic and the
+    running prefix sum is associative (safe under DuckDB's segment-tree
+    window accumulation vs Spark's running fold; float prefixes would
+    NOT be).
+
+    Scale: the day spine is one map-side-combined fact shuffle; the
+    cumulative window and top-k then run on ~#days rows (the global
+    ordering is over the spine, never the fact table), and the top-10 is
+    a TakeOrdered."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    census = daily.agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("cents").alias("total_cents")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    scanned = (
+        daily.join(F.broadcast(census))
+        .withColumn("prefix", F.sum("cents").over(w))
+        .withColumn("rn", F.row_number().over(Window.orderBy("day")))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.col("cents").cast("double") / 100.0).alias("revenue"),
+            (
+                F.col("n_days") * F.col("prefix")
+                - F.col("rn") * F.col("total_cents")
+            ).alias("cusum_scaled"),
+        )
+    )
+    return scanned.orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.asc("day")
+    ).limit(10)
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted median and p90 of line-item quantity per return
+    flag: "the quantity at which half the money sits below" — a
+    different (and for pricing, more decision-relevant) center than the
+    row-count median.
+
+    Exact and integer-only: weights are cents, the cumulative weight is
+    an associative bigint window sum, and the quantile pick is the first
+    value whose doubled (×10 for p90) cumulative weight crosses the
+    doubled total — no division anywhere until the display column.
+
+    Scale: the window runs over the (flag, quantity) PRE-AGGREGATE —
+    ~50 distinct quantities per flag regardless of fact rows — never
+    over lineitem itself, which is the mistake that made
+    :func:`q_outlier_mad`'s exact path a straggler risk.  One fact
+    shuffle total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    by_q = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                "bigint"
+            )
+        ).alias("w_cents")
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("qty")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("flag")
+    scored = by_q.select(
+        "flag",
+        "qty",
+        F.sum("w_cents").over(w_cum).alias("cum_w"),
+        F.sum("w_cents").over(w_all).alias("total_w"),
+    )
+    return (
+        scored.groupBy("flag")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cum_w") >= F.col("total_w"), F.col("qty"))
+            ).alias("w_median_qty"),
+            F.min(
+                F.when(10 * F.col("cum_w") >= 9 * F.col("total_w"), F.col("qty"))
+            ).alias("w_p90_qty"),
+            (F.max("total_w").cast("double") / 100.0).alias("total_weight"),
+        )
+    )
+
+
+def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-expectations-style data-quality rule report over ``orders``:
+    six named expectations (key uniqueness, referential integrity to
+    ``customer``, value positivity, date range, status domain, priority
+    non-null) with checked/violation counts and a pass verdict — the
+    machine-readable gate a pipeline would run before promoting a batch,
+    complementing :func:`q_table_profile`'s per-column stats.
+
+    Mirrors the reference's ingest validation checks
+    (backend/app/seed.py:1) generalized into a rule engine.
+
+    Scale: five of the six rules fuse into ONE aggregate scan of orders
+    (conditional sums + one exact count-distinct); referential integrity
+    is a single anti-join against the customer keys (shuffle join at
+    scale, AQE-broadcast at fixture scale).  Output is 6 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust_keys = load_table(spark, sf_dir, "customer").select("c_custkey")
+    one = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias(
+            "dup_keys"
+        ),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0),
+                1,
+            ).otherwise(0)
+        ).alias("bad_price"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+                | (F.col("o_orderdate") >= F.lit("2002-01-01").cast("date")),
+                1,
+            ).otherwise(0)
+        ).alias("bad_date"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+        F.sum(
+            F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)
+        ).alias("null_priority"),
+    )
+    orphans = (
+        orders.join(
+            cust_keys, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+        )
+        .agg(F.count(F.lit(1)).alias("orphan_orders"))
+    )
+    wide = one.join(F.broadcast(orphans))
+    report = wide.selectExpr(
+        """stack(6,
+            'orderkey_unique', dup_keys,
+            'custkey_ri', orphan_orders,
+            'totalprice_positive', bad_price,
+            'orderdate_in_range', bad_date,
+            'status_in_domain', bad_status,
+            'priority_nonnull', null_priority
+        ) as (rule, n_violations)""",
+        "n_rows",
+    )
+    return report.select(
+        "rule",
+        F.col("n_rows").cast("bigint").alias("n_checked"),
+        F.col("n_violations").cast("bigint"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+#: Basket caps for q_basket_pairs (mirrored exactly in the oracle): the
+#: per-order item ceiling bounds the O(items²) pair fan-out per basket.
+BASKET_MAX_ITEMS = 20
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over line items: directional
+    part-pair rules a→b ranked by confidence, with support and lift —
+    the retail cross-sell classic (and the asymmetric complement of
+    :func:`q_cooccur_lift`'s symmetric document-level lift).
+
+    All three measures are exact integer ratios (pair, antecedent, and
+    basket counts), floor-scaled to bigints before ranking; the top-20
+    carries a full (a, b) tiebreak.
+
+    Scale: pair generation is per-basket — a nested ``transform`` over
+    each order's sorted distinct parts, capped at
+    ``BASKET_MAX_ITEMS`` — so fan-out is O(basket²) with basket ≤ 20,
+    linear in orders, never a self-join of the fact table.  The pair
+    aggregate and item counts are map-side combined; the rule join
+    runs pair-table × item-counts (AQE-broadcast at fixture scale) and
+    the final top-20 is a TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.slice(
+            F.array_sort(F.collect_set("l_partkey")), 1, BASKET_MAX_ITEMS
+        ).alias("parts")
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    items = baskets.select(
+        "l_orderkey", F.explode("parts").alias("part")
+    )
+    item_n = items.groupBy("part").agg(F.count(F.lit(1)).alias("part_n"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("parts"),
+                    i + 2,
+                    F.greatest(F.size("parts") - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("lo"), y.alias("hi")),
+            ),
+        )
+    )
+    undirected = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.lo").alias("lo"), F.col("p.hi").alias("hi"))
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+    )
+    directional = undirected.select(
+        F.col("lo").alias("a"), F.col("hi").alias("b"), "pair_n"
+    ).unionByName(
+        undirected.select(
+            F.col("hi").alias("a"), F.col("lo").alias("b"), "pair_n"
+        )
+    )
+    an = item_n.select(F.col("part").alias("a"), F.col("part_n").alias("a_n"))
+    bn = item_n.select(F.col("part").alias("b"), F.col("part_n").alias("b_n"))
+    scored = (
+        directional.join(an, "a")
+        .join(bn, "b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "a",
+            "b",
+            "pair_n",
+            F.floor(
+                F.lit(1000000.0) * F.col("pair_n") / F.col("a_n")
+            ).cast("bigint").alias("conf_scaled"),
+            F.floor(
+                F.lit(1000000.0) * F.col("pair_n") / F.col("n_orders")
+            ).cast("bigint").alias("supp_scaled"),
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("pair_n") * F.col("n_orders"))
+                / (F.col("a_n") * F.col("b_n"))
+            ).cast("bigint").alias("lift_scaled"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("conf_scaled"), F.asc("a"), F.asc("b")
+    ).limit(20)

@@ -1945,3 +1945,266 @@ CORE_ORACLES["q_mom_growth"] = """
     FROM cur c LEFT JOIN monthly y
       ON c.yr = y.yr + 1 AND c.mo = y.mo
 """
+
+
+# Survival product is a sequential left fold over the ordered hazard
+# array (list_reduce with a prepended 1.0 seed) — identical IEEE
+# multiplication order to Spark's F.aggregate, so bit-exact.
+CORE_ORACLES["q_survival_km"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               min(epoch_us(ts)) AS first_us,
+               max(epoch_us(ts)) AS last_us
+        FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT max(epoch_us(ts)) AS corpus_max_us FROM events),
+    obs AS (
+        SELECT (last_us - first_us) // 3600000000 AS t_hour,
+               CASE WHEN (SELECT corpus_max_us FROM horizon) - last_us
+                         >= 43200000000
+                    THEN 1 ELSE 0 END AS is_death
+        FROM per_user
+    ),
+    spine AS (
+        SELECT t_hour,
+               CAST(sum(is_death) AS BIGINT) AS n_deaths,
+               CAST(sum(1 - is_death) AS BIGINT) AS n_censored,
+               CAST(count(*) AS BIGINT) AS n_leaving
+        FROM obs GROUP BY t_hour
+    ),
+    curve AS (
+        SELECT t_hour, n_deaths, n_censored,
+               (SELECT count(*) FROM obs)
+                 - coalesce(sum(n_leaving) OVER (
+                       ORDER BY t_hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS n_risk
+        FROM spine
+    ),
+    hz AS (
+        SELECT list(struct_pack(
+                   t_hour := t_hour,
+                   hazard := CAST(n_deaths AS DOUBLE) / CAST(n_risk AS DOUBLE)
+               ) ORDER BY t_hour) AS hs
+        FROM curve
+    )
+    SELECT c.t_hour, CAST(c.n_risk AS BIGINT) AS n_risk, c.n_deaths,
+           c.n_censored,
+           list_reduce(list_prepend(1.0::DOUBLE,
+               list_transform(list_filter(hz.hs, s -> s.t_hour <= c.t_hour),
+                              s -> s.hazard)),
+               (acc, x) -> acc * (1 - x)) AS survival
+    FROM curve c, hz
+"""
+
+
+# EWMA recurrence as list_reduce whose implicit seed is the first
+# element — matches Spark's F.aggregate(slice(2..), element_at(1), ...)
+# fold exactly.
+CORE_ORACLES["q_ewma_revenue"] = """
+    WITH monthly AS (
+        SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY yr, mo
+    ),
+    arr AS (
+        SELECT list(struct_pack(
+                   midx := yr * 12 + mo,
+                   rev := CAST(cents AS DOUBLE) / 100.0
+               ) ORDER BY yr * 12 + mo) AS ms
+        FROM monthly
+    )
+    SELECT CAST(m.yr AS BIGINT) AS yr, CAST(m.mo AS BIGINT) AS mo,
+           CAST(m.cents AS DOUBLE) / 100.0 AS revenue,
+           list_reduce(
+               list_transform(list_filter(arr.ms,
+                   s -> s.midx <= m.yr * 12 + m.mo), s -> s.rev),
+               (acc, x) -> acc * 0.7 + x * 0.3) AS ewma
+    FROM monthly m, arr
+"""
+
+
+# Kilodollar-floored monthly series keeps every moment sum exactly
+# double-representable; calendar-key lag join is exact under gaps.
+CORE_ORACLES["q_autocorr_revenue"] = """
+    WITH monthly AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000)
+                    AS BIGINT) AS kd
+        FROM orders GROUP BY midx
+    ),
+    lags AS (SELECT unnest(generate_series(1, 6)) AS lag),
+    pairs AS (
+        SELECT l.lag, x.kd AS x, y.kd AS y
+        FROM lags l
+        JOIN monthly y ON TRUE
+        JOIN monthly x ON x.midx = y.midx + l.lag
+    ),
+    m AS (
+        SELECT lag, count(*) AS n_pairs,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS acf
+    FROM m
+"""
+
+
+# n·prefix − i·total keeps CUSUM in exact bigints (no float mean), so
+# window accumulation order is irrelevant on both engines.
+CORE_ORACLES["q_cusum_changepoint"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY day
+    ),
+    census AS (
+        SELECT count(*) AS n_days, CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM daily
+    ),
+    scanned AS (
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(cents AS DOUBLE) / 100.0 AS revenue,
+               CAST(census.n_days
+                    * CAST(sum(cents) OVER (
+                          ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      ) AS BIGINT)
+                    - row_number() OVER (ORDER BY day) * census.total_cents
+                    AS BIGINT) AS cusum_scaled
+        FROM daily, census
+    )
+    SELECT day, revenue, cusum_scaled
+    FROM scanned
+    ORDER BY abs(cusum_scaled) DESC, day ASC
+    LIMIT 10
+"""
+
+
+# Integer-only weighted quantiles: doubled cumulative-weight crossings
+# over the (flag, quantity) pre-aggregate.
+CORE_ORACLES["q_weighted_median"] = """
+    WITH by_q AS (
+        SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS w_cents
+        FROM lineitem GROUP BY flag, qty
+    ),
+    scored AS (
+        SELECT flag, qty,
+               CAST(sum(w_cents) OVER (
+                   PARTITION BY flag ORDER BY qty
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_w,
+               CAST(sum(w_cents) OVER (PARTITION BY flag) AS BIGINT)
+                   AS total_w
+        FROM by_q
+    )
+    SELECT flag,
+           min(CASE WHEN 2 * cum_w >= total_w THEN qty END) AS w_median_qty,
+           min(CASE WHEN 10 * cum_w >= 9 * total_w THEN qty END) AS w_p90_qty,
+           CAST(max(total_w) AS DOUBLE) / 100.0 AS total_weight
+    FROM scored GROUP BY flag
+"""
+
+
+# Six expectations: five fuse into one aggregate scan; referential
+# integrity is an anti-join count.
+CORE_ORACLES["q_expectations_report"] = """
+    WITH one AS (
+        SELECT count(*) AS n_rows,
+               count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+               sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                        THEN 1 ELSE 0 END) AS bad_price,
+               sum(CASE WHEN o_orderdate < DATE '1995-01-01'
+                          OR o_orderdate >= DATE '2002-01-01'
+                        THEN 1 ELSE 0 END) AS bad_date,
+               sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                        THEN 1 ELSE 0 END) AS bad_status,
+               sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                   AS null_priority
+        FROM orders
+    ),
+    orphans AS (
+        SELECT count(*) AS orphan_orders
+        FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+        )
+    ),
+    report(rule, n_violations, n_rows) AS (
+        SELECT 'orderkey_unique', dup_keys, n_rows FROM one
+        UNION ALL
+        SELECT 'custkey_ri', orphan_orders, n_rows FROM one, orphans
+        UNION ALL SELECT 'totalprice_positive', bad_price, n_rows FROM one
+        UNION ALL SELECT 'orderdate_in_range', bad_date, n_rows FROM one
+        UNION ALL SELECT 'status_in_domain', bad_status, n_rows FROM one
+        UNION ALL SELECT 'priority_nonnull', null_priority, n_rows FROM one
+    )
+    SELECT rule, CAST(n_rows AS BIGINT) AS n_checked,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM report
+"""
+
+
+# Mirrors the Spark basket cap exactly: sorted distinct parts per order,
+# first 20 kept; directional rules from the undirected pair counts.
+CORE_ORACLES["q_basket_pairs"] = """
+    WITH ranked AS (
+        SELECT l_orderkey, l_partkey,
+               row_number() OVER (
+                   PARTITION BY l_orderkey ORDER BY l_partkey
+               ) AS rn
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    ),
+    kept AS (SELECT l_orderkey, l_partkey FROM ranked WHERE rn <= 20),
+    n_orders AS (
+        SELECT count(DISTINCT l_orderkey) AS n_orders FROM kept
+    ),
+    item_n AS (
+        SELECT l_partkey AS part, count(*) AS part_n
+        FROM kept GROUP BY part
+    ),
+    undirected AS (
+        SELECT k1.l_partkey AS lo, k2.l_partkey AS hi, count(*) AS pair_n
+        FROM kept k1
+        JOIN kept k2 ON k1.l_orderkey = k2.l_orderkey
+                    AND k1.l_partkey < k2.l_partkey
+        GROUP BY lo, hi
+    ),
+    directional AS (
+        SELECT lo AS a, hi AS b, pair_n FROM undirected
+        UNION ALL
+        SELECT hi AS a, lo AS b, pair_n FROM undirected
+    )
+    SELECT d.a, d.b, CAST(d.pair_n AS BIGINT) AS pair_n,
+           CAST(floor(1000000.0 * d.pair_n / an.part_n) AS BIGINT)
+               AS conf_scaled,
+           CAST(floor(1000000.0 * d.pair_n / n_orders.n_orders) AS BIGINT)
+               AS supp_scaled,
+           CAST(floor(1000000.0 * (d.pair_n * n_orders.n_orders)
+                      / (an.part_n * bn.part_n)) AS BIGINT) AS lift_scaled
+    FROM directional d
+    JOIN item_n an ON an.part = d.a
+    JOIN item_n bn ON bn.part = d.b
+    CROSS JOIN n_orders
+    ORDER BY conf_scaled DESC, a ASC, b ASC
+    LIMIT 20
+"""

@@ -262,3 +262,95 @@ def test_table_profile_multi_distinct_uses_expand(spark, sf_small):
     plan = _plan(QUERIES["q_table_profile"](spark, sf_small))
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_rfm_windows_partition_by_segment(spark, sf_small):
+    """Every RFM ntile must be segment-partitioned over the per-customer
+    AGGREGATE — a global (unpartitioned) quintile sort of the fact table
+    is the scale mistake this query exists to avoid."""
+    plan = _plan(QUERIES["q_rfm_segments"](spark, sf_small))
+    assert "windowspecdefinition(c_mktsegment" in plan
+    # the only sorts are the segment-partitioned window sorts
+    assert "c_mktsegment" in plan.split("Window")[0] or "Sort" in plan
+
+
+def test_linear_attribution_join_is_equi_not_cartesian(spark, sf_small):
+    """The touch↔purchase range join must key on user_id (equi shuffle
+    join with the 24 h window as a residual filter) — never a cartesian
+    or broadcast-nested-loop over events."""
+    plan = _plan(QUERIES["q_linear_attribution"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_survival_km_single_fact_aggregate(spark, sf_small):
+    """Only the per-user first/last aggregate touches the fact table —
+    horizon, census, curve, and the hazard array all derive from it, so
+    AQE ReusedExchange collapses every branch onto ONE events shuffle."""
+    df = QUERIES["q_survival_km"](spark, sf_small)
+    df.collect()
+    plan = _plan(df)
+    assert "hashpartitioning(user_id" in plan
+    assert "ReusedExchange" in plan  # shared per-user/spine branches
+    assert "aggregate(" in plan  # the sequential survival fold
+
+
+def test_ewma_is_fold_over_collected_spine(spark, sf_small):
+    """The EWMA recurrence must compile to the HOF left fold over the
+    collected monthly array — no Python stage, no recursive self-join."""
+    plan = _plan(QUERIES["q_ewma_revenue"](spark, sf_small))
+    assert "aggregate(" in plan
+    assert "Python" not in plan
+
+
+def test_autocorr_lag_joins_run_on_spine(spark, sf_small):
+    """Lag alignment must join the ~#months aggregate with itself —
+    both join inputs are post-aggregate, so no join input is a raw
+    parquet scan."""
+    plan = _plan(QUERIES["q_autocorr_revenue"](spark, sf_small))
+    # the lag alignment is a HASH join (one-sided key extraction works);
+    # only the deliberate 6-row lag fan-out is a nested-loop cross
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_cusum_final_is_takeordered(spark, sf_small):
+    """Top-10 |CUSUM| must compile to TakeOrderedAndProject (never a
+    global sort of the day spine followed by LIMIT)."""
+    plan = _plan(QUERIES["q_cusum_changepoint"](spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_median_window_runs_on_preaggregate(spark, sf_small):
+    """The cumulative-weight window must consume the (flag, qty)
+    pre-aggregate — one parquet scan, windows partitioned by flag."""
+    plan = _plan(QUERIES["q_weighted_median"](spark, sf_small))
+    assert plan.count("Scan parquet") == 1
+    assert "windowspecdefinition(flag" in plan
+
+
+def test_expectations_five_rules_fuse_into_one_scan(spark, sf_small):
+    """Five of the six rules share ONE aggregate scan of orders (the
+    count-distinct compiles to Expand); referential integrity adds one
+    anti-join — so orders is scanned at most twice, customer once."""
+    plan = _plan(QUERIES["q_expectations_report"](spark, sf_small))
+    # the single exact count-distinct rides the same scan as the four
+    # conditional sums via the two-phase keyed-by-orderkey strategy
+    assert "partial_count(distinct" in plan or "count(distinct" in plan
+    orders_scans = sum(
+        1 for ln in plan.splitlines() if "Scan parquet" in ln and "orders" in ln
+    )
+    assert orders_scans <= 2, plan
+
+
+def test_basket_pairs_no_fact_self_join(spark, sf_small):
+    """Pair generation must be the per-basket nested transform over the
+    capped parts array — lineitem is never self-joined; rule scoring
+    joins run post-aggregate and the top-20 is a TakeOrdered."""
+    df = QUERIES["q_basket_pairs"](spark, sf_small)
+    df.collect()
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # every branch shares the baskets exchange at runtime
+    assert "ReusedExchange" in plan

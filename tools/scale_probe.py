@@ -105,6 +105,13 @@ PROBES = [
     "q_rfm_segments",
     "q_linear_attribution",
     "q_mom_growth",
+    "q_survival_km",
+    "q_ewma_revenue",
+    "q_autocorr_revenue",
+    "q_cusum_changepoint",
+    "q_weighted_median",
+    "q_expectations_report",
+    "q_basket_pairs",
 ]
 
 OFFSETS = {
