@@ -170,6 +170,11 @@ def main() -> None:
         "q_weighted_median",
         "q_expectations_report",
         "q_basket_pairs",
+        "q_holt_forecast",
+        "q_seasonal_decompose",
+        "q_benford_digits",
+        "q_percent_rank_spend",
+        "q_order_gap_stats",
         "q_multimodal_features",
     ):
         if extra in queries and extra not in names:

@@ -4047,3 +4047,283 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("conf_scaled"), F.asc("a"), F.asc("b")
     ).limit(20)
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (alpha = 0.2, beta = 0.1) over
+    monthly revenue, with a 6-month linear forecast — the level+trend
+    upgrade of :func:`q_ewma_revenue` (which can't follow a trending
+    series).
+
+    The coupled (level, trend) recurrence runs as ONE ordered fold with
+    a 2-element ARRAY accumulator — identical IEEE operation order on
+    both engines (``F.aggregate`` here, DuckDB ``list_reduce``; array
+    accumulator because DuckDB 1.0's list_reduce mis-evaluates STRUCT
+    accumulators across iterations — verified empirically).  Seed is the
+    textbook (l₂, b₂) = (x₂, x₂−x₁); months 3..n fold in calendar
+    order; forecast(h) = l + h·b.
+
+    Scale: one map-side-combined fact shuffle builds the spine; the fold
+    runs on the collected ~#months array (one row) and the output is 6
+    rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    arr = monthly.agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("midx"),
+                        (F.col("cents").cast("double") / 100.0).alias("rev"),
+                    )
+                )
+            ),
+            lambda s: s["rev"],
+        ).alias("revs")
+    )
+    a, b = F.lit(0.2), F.lit(0.1)
+    seed = F.array(
+        F.element_at("revs", 2),
+        F.element_at("revs", 2) - F.element_at("revs", 1),
+    )
+
+    def step(acc, x):
+        lvl = a * x + (F.lit(1.0) - a) * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+        trend = b * (
+            (
+                a * x
+                + (F.lit(1.0) - a)
+                * (F.element_at(acc, 1) + F.element_at(acc, 2))
+            )
+            - F.element_at(acc, 1)
+        ) + (F.lit(1.0) - b) * F.element_at(acc, 2)
+        return F.array(lvl, trend)
+
+    fitted = arr.select(
+        F.aggregate(
+            F.slice("revs", 3, F.greatest(F.size("revs") - 2, F.lit(0))),
+            seed,
+            step,
+        ).alias("state")
+    )
+    horizons = spark.range(1, 7).select(F.col("id").alias("h"))
+    return (
+        F.broadcast(horizons)
+        .join(fitted, how="cross")
+        .select(
+            "h",
+            (
+                F.element_at("state", 1)
+                + F.col("h") * F.element_at("state", 2)
+            ).alias("forecast"),
+            F.element_at("state", 1).alias("level"),
+            F.element_at("state", 2).alias("trend"),
+        )
+    )
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily revenue by day-of-week:
+    expected(day) = overall mean + dow effect, residual = actual −
+    expected; reports the top-10 anomaly days by |residual| — the
+    seasonality-aware upgrade of a plain z-score scan (a quiet Sunday is
+    NOT an anomaly; a quiet Monday is).
+
+    Engine-portable day-of-week: ``datediff(day, 1995-01-01) % 7`` —
+    exact integer arithmetic on both engines (Spark's ``dayofweek`` and
+    DuckDB's disagree on numbering).  Every mean is an exact-bigint /
+    exact-bigint double division; expected/residual are then identical
+    IEEE adds.
+
+    Scale: one fact shuffle to the day spine; the dow means and census
+    are spine-sized aggregates broadcast back; top-10 is a
+    TakeOrdered."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    daily = daily.withColumn(
+        "dow", F.datediff("day", F.lit("1995-01-01").cast("date")) % 7
+    )
+    census = daily.agg(
+        F.sum("cents").alias("tot"), F.count(F.lit(1)).alias("n_days")
+    )
+    by_dow = daily.groupBy("dow").agg(
+        F.sum("cents").alias("dow_tot"), F.count(F.lit(1)).alias("dow_n")
+    )
+    overall = F.col("tot").cast("double") / F.col("n_days").cast("double")
+    dow_mean = F.col("dow_tot").cast("double") / F.col("dow_n").cast("double")
+    scored = (
+        daily.join(F.broadcast(by_dow), "dow")
+        .join(F.broadcast(census))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dow").cast("bigint").alias("dow"),
+            (F.col("cents").cast("double") / 100.0).alias("revenue"),
+            (dow_mean / 100.0).alias("expected"),
+            ((F.col("cents").cast("double") - dow_mean) / 100.0).alias(
+                "residual"
+            ),
+            ((dow_mean - overall) / 100.0).alias("dow_effect"),
+        )
+    )
+    return scored.orderBy(F.abs(F.col("residual")).desc(), F.asc("day")).limit(
+        10
+    )
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fraud/data-fabrication screen: observed leading-digit shares vs the
+    Benford expectation, with per-digit chi-square contributions.
+
+    The nine Benford constants are hard-coded as identical double
+    literals on both engines (log10(1+1/d) — computing them via libm at
+    runtime would be a cross-engine parity hazard).  Per-digit rows keep
+    every float op single-row (obs bigint, n bigint, literal constants):
+    no cross-row float summation anywhere, so the output is bit-exact.
+
+    Scale: digit extraction is a map-side expression; the digit rollup
+    shuffles 9 groups; the Benford table is a 9-row broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = (
+        orders.where(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = digits.agg(F.sum("n_obs").alias("n_total"))
+    benford = spark.createDataFrame(
+        [
+            (1, 0.30102999566398120),
+            (2, 0.17609125905568124),
+            (3, 0.12493873660829993),
+            (4, 0.09691001300805642),
+            (5, 0.07918124604762482),
+            (6, 0.06694678963061322),
+            (7, 0.05799194697768673),
+            (8, 0.05115252244738129),
+            (9, 0.04575749056067514),
+        ],
+        "digit bigint, exp_share double",
+    )
+    obs = F.col("n_obs").cast("double")
+    exp_n = F.col("exp_share") * F.col("n_total").cast("double")
+    return (
+        digits.join(F.broadcast(benford), "digit")
+        .join(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n_obs").cast("bigint"),
+            (obs / F.col("n_total").cast("double")).alias("obs_share"),
+            "exp_share",
+            ((obs - exp_n) * (obs - exp_n) / exp_n).alias("chi2_contrib"),
+        )
+    )
+
+
+def q_percent_rank_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of lifetime spend within each market
+    segment — the two rank-normalizing window functions the contract
+    didn't yet exercise, realized the scale-correct way: over the
+    per-customer PRE-aggregate (the only fact-sized stage is the spend
+    rollup), partitioned by segment so no global sort exists.
+
+    Both functions are exact integer ratios ((rank−1)/(n−1),
+    peers_cume/n) of deterministic ranks (spend cents desc, custkey
+    tiebreak), so the doubles match bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cents").desc(), F.col("o_custkey").asc()
+    )
+    return spend.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("cents").cast("double") / 100.0).alias("spend"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap analysis: days between each customer's
+    consecutive orders, bucketed into the reorder-cadence histogram
+    (same-day, ≤1 w, ≤1 mo, ≤3 mo, ≤1 yr, >1 yr) with exact counts and
+    shares — the purchase-frequency view behind replenishment and churn
+    models (:func:`q_survival_km`'s discrete cousin).
+
+    The lag window partitions by customer — per-partition state is one
+    customer's orders, bounded and skew-free — with a full
+    (date, orderkey) tiebreak so same-day orders produce a
+    deterministic 0-day gap.  Buckets and shares are exact integer
+    arithmetic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(w)
+            ).alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    bucket = (
+        F.when(F.col("gap_days") == 0, "0_same_day")
+        .when(F.col("gap_days") <= 7, "1_within_week")
+        .when(F.col("gap_days") <= 30, "2_within_month")
+        .when(F.col("gap_days") <= 90, "3_within_quarter")
+        .when(F.col("gap_days") <= 365, "4_within_year")
+        .otherwise("5_over_year")
+    )
+    hist = gaps.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_days").cast("bigint").alias("min_gap"),
+        F.max("gap_days").cast("bigint").alias("max_gap"),
+        F.sum("gap_days").alias("sum_gap"),
+    )
+    total = hist.agg(F.sum("n_gaps").alias("n_total"))
+    return hist.join(F.broadcast(total)).select(
+        "bucket",
+        F.col("n_gaps").cast("bigint"),
+        "min_gap",
+        "max_gap",
+        (
+            F.col("sum_gap").cast("double") / F.col("n_gaps").cast("double")
+        ).alias("avg_gap"),
+        (
+            F.col("n_gaps").cast("double") / F.col("n_total").cast("double")
+        ).alias("share"),
+    )

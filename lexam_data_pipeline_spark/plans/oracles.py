@@ -2208,3 +2208,174 @@ CORE_ORACLES["q_basket_pairs"] = """
     ORDER BY conf_scaled DESC, a ASC, b ASC
     LIMIT 20
 """
+
+
+# Holt fold with a 2-element ARRAY accumulator (DuckDB 1.0 list_reduce
+# mis-evaluates struct accumulators across iterations); alpha/beta
+# complements written as (1.0 - a) on BOTH engines so the constant
+# folding is the identical IEEE op.
+CORE_ORACLES["q_holt_forecast"] = """
+    WITH monthly AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY midx
+    ),
+    arr AS (
+        SELECT list(CAST(cents AS DOUBLE) / 100.0 ORDER BY midx) AS revs
+        FROM monthly
+    ),
+    fitted AS (
+        SELECT list_reduce(
+            list_prepend(
+                [revs[2], revs[2] - revs[1]],
+                list_transform(list_slice(revs, 3, length(revs)),
+                               x -> [x, 0.0::DOUBLE])),
+            (acc, x) -> [
+                0.2 * x[1] + (1.0 - 0.2) * (acc[1] + acc[2]),
+                0.1 * ((0.2 * x[1] + (1.0 - 0.2) * (acc[1] + acc[2]))
+                       - acc[1])
+                + (1.0 - 0.1) * acc[2]
+            ]) AS state
+        FROM arr
+    )
+    SELECT CAST(h AS BIGINT) AS h,
+           state[1] + h * state[2] AS forecast,
+           state[1] AS level,
+           state[2] AS trend
+    FROM (SELECT unnest(generate_series(1, 6)) AS h), fitted
+"""
+
+
+# Engine-portable dow via datediff % 7; every mean is exact-bigint /
+# exact-bigint.
+CORE_ORACLES["q_seasonal_decompose"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY day
+    ),
+    tagged AS (
+        SELECT day, cents, (day - DATE '1995-01-01') % 7 AS dow FROM daily
+    ),
+    census AS (
+        SELECT CAST(sum(cents) AS BIGINT) AS tot, count(*) AS n_days
+        FROM tagged
+    ),
+    by_dow AS (
+        SELECT dow, CAST(sum(cents) AS BIGINT) AS dow_tot,
+               count(*) AS dow_n
+        FROM tagged GROUP BY dow
+    )
+    SELECT strftime(t.day, '%Y-%m-%d') AS day,
+           CAST(t.dow AS BIGINT) AS dow,
+           CAST(t.cents AS DOUBLE) / 100.0 AS revenue,
+           (CAST(d.dow_tot AS DOUBLE) / CAST(d.dow_n AS DOUBLE)) / 100.0
+               AS expected,
+           (CAST(t.cents AS DOUBLE)
+            - CAST(d.dow_tot AS DOUBLE) / CAST(d.dow_n AS DOUBLE)) / 100.0
+               AS residual,
+           (CAST(d.dow_tot AS DOUBLE) / CAST(d.dow_n AS DOUBLE)
+            - CAST(c.tot AS DOUBLE) / CAST(c.n_days AS DOUBLE)) / 100.0
+               AS dow_effect
+    FROM tagged t JOIN by_dow d USING (dow) CROSS JOIN census c
+    ORDER BY abs(CAST(t.cents AS DOUBLE)
+                 - CAST(d.dow_tot AS DOUBLE) / CAST(d.dow_n AS DOUBLE)) DESC,
+             t.day ASC
+    LIMIT 10
+"""
+
+
+# Benford constants as identical double literals on both engines;
+# per-digit rows avoid any cross-row float summation.
+CORE_ORACLES["q_benford_digits"] = """
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               count(*) AS n_obs
+        FROM orders WHERE o_totalprice >= 1
+        GROUP BY digit
+    ),
+    total AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM digits),
+    -- String→DOUBLE casts are load-bearing: DuckDB routes bare decimal
+    -- literals (even with ::DOUBLE) through DECIMAL, whose re-rounding
+    -- diverges one ulp from the correctly-rounded double the Spark side
+    -- parses; VARCHAR→DOUBLE parses correctly-rounded.
+    benford(digit, exp_share) AS (VALUES
+        (1, CAST('0.30102999566398120' AS DOUBLE)),
+        (2, CAST('0.17609125905568124' AS DOUBLE)),
+        (3, CAST('0.12493873660829993' AS DOUBLE)),
+        (4, CAST('0.09691001300805642' AS DOUBLE)),
+        (5, CAST('0.07918124604762482' AS DOUBLE)),
+        (6, CAST('0.06694678963061322' AS DOUBLE)),
+        (7, CAST('0.05799194697768673' AS DOUBLE)),
+        (8, CAST('0.05115252244738129' AS DOUBLE)),
+        (9, CAST('0.04575749056067514' AS DOUBLE)))
+    SELECT d.digit, CAST(d.n_obs AS BIGINT) AS n_obs,
+           CAST(d.n_obs AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS obs_share,
+           b.exp_share,
+           (CAST(d.n_obs AS DOUBLE) - b.exp_share * CAST(t.n_total AS DOUBLE))
+           * (CAST(d.n_obs AS DOUBLE) - b.exp_share * CAST(t.n_total AS DOUBLE))
+           / (b.exp_share * CAST(t.n_total AS DOUBLE)) AS chi2_contrib
+    FROM digits d JOIN benford b USING (digit) CROSS JOIN total t
+"""
+
+
+# Exact-ratio rank normalizers over the per-customer pre-aggregate.
+CORE_ORACLES["q_percent_rank_spend"] = """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT s.o_custkey AS custkey, c.c_mktsegment AS segment,
+           CAST(s.cents AS DOUBLE) / 100.0 AS spend,
+           percent_rank() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY s.cents DESC, s.o_custkey ASC
+           ) AS pct_rank,
+           cume_dist() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY s.cents DESC, s.o_custkey ASC
+           ) AS cume
+    FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+"""
+
+
+# Per-customer lag with a full (date, orderkey) tiebreak; buckets and
+# shares are exact integer arithmetic.
+CORE_ORACLES["q_order_gap_stats"] = """
+    WITH gaps AS (
+        SELECT date_diff('day',
+                   CAST(lag(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ) AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+    ),
+    tagged AS (
+        SELECT CASE WHEN gap_days = 0 THEN '0_same_day'
+                    WHEN gap_days <= 7 THEN '1_within_week'
+                    WHEN gap_days <= 30 THEN '2_within_month'
+                    WHEN gap_days <= 90 THEN '3_within_quarter'
+                    WHEN gap_days <= 365 THEN '4_within_year'
+                    ELSE '5_over_year' END AS bucket,
+               gap_days
+        FROM gaps WHERE gap_days IS NOT NULL
+    ),
+    hist AS (
+        SELECT bucket, count(*) AS n_gaps,
+               CAST(min(gap_days) AS BIGINT) AS min_gap,
+               CAST(max(gap_days) AS BIGINT) AS max_gap,
+               CAST(sum(gap_days) AS BIGINT) AS sum_gap
+        FROM tagged GROUP BY bucket
+    ),
+    total AS (SELECT CAST(sum(n_gaps) AS BIGINT) AS n_total FROM hist)
+    SELECT bucket, CAST(n_gaps AS BIGINT) AS n_gaps, min_gap, max_gap,
+           CAST(sum_gap AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS avg_gap,
+           CAST(n_gaps AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+    FROM hist CROSS JOIN total
+"""

@@ -30,7 +30,7 @@ CORE_QUERIES: dict[str, QueryFn] = {
 #: registry reaches this count from a bare interpreter, so a broken ML
 #: import can't silently shrink the contract (round-1 lesson: 7 keys had
 #: no driver correctness row).
-EXPECTED_QUERY_COUNT = 164
+EXPECTED_QUERY_COUNT = 169
 
 #: The external correctness harness verifies the FIRST 50 registered keys
 #: (observed: rounds 1 and 2 each produced rows for exactly the first 50,

