@@ -175,6 +175,9 @@ def main() -> None:
         "q_benford_digits",
         "q_percent_rank_spend",
         "q_order_gap_stats",
+        "q_ols_regression",
+        "q_fk_discovery",
+        "q_logreg_quality",
         "q_multimodal_features",
     ):
         if extra in queries and extra not in names:

@@ -41,6 +41,7 @@ from lexam_data_pipeline_spark.ml.curation import (
     q_url_dedup,
 )
 from lexam_data_pipeline_spark.ml.graph import q_label_propagation, q_pagerank
+from lexam_data_pipeline_spark.ml.logreg import q_logreg_quality
 from lexam_data_pipeline_spark.ml.ivf import q_knn_ivf
 from lexam_data_pipeline_spark.ml.retrieval import q_bm25_topk, q_hybrid_rrf
 from lexam_data_pipeline_spark.ml.pq import q_knn_ivfpq
@@ -113,6 +114,7 @@ ML_QUERIES = {
     "q_hard_negatives": q_hard_negatives,
     "q_bpe_tokenize": q_bpe_tokenize,
     "q_kfold_assign": q_kfold_assign,
+    "q_logreg_quality": q_logreg_quality,
 }
 
 _SHINGLES = """

@@ -4327,3 +4327,152 @@ def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_gaps").cast("double") / F.col("n_total").cast("double")
         ).alias("share"),
     )
+
+
+def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed two-feature OLS via sufficient statistics: fit
+    ``extendedprice ~ b0 + b1·quantity + b2·discount`` per return flag
+    with closed-form normal equations — "ML training without MLlib",
+    the mergeable-moments pattern (one map-side-combinable aggregate of
+    10 exact sums, Cramer's-rule solve on the 3-row result).
+
+    All ten moments are DECIMAL sums (exact, order-independent) cast to
+    double; the determinant/solve/R² arithmetic is then identical IEEE
+    on identical inputs, written with the SAME association on both
+    engines — bit-exact coefficients with zero iterations and zero
+    extra passes.
+
+    Scale: this is the canonical 100 TB regression shape — the shuffle
+    carries 10 numbers per group regardless of fact rows, and moment
+    sums sketch-combine across any partitioning (same posture as
+    :func:`q_corr_stats`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    x1 = F.col("l_quantity").cast("decimal(18,2)")
+    x2 = F.col("l_discount").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        F.sum(x1 * x2).cast("double").alias("s12"),
+        F.sum(x2 * x2).cast("double").alias("s22"),
+        F.sum(x1 * y).cast("double").alias("s1y"),
+        F.sum(x2 * y).cast("double").alias("s2y"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    sy, s11, s12 = F.col("sy"), F.col("s11"), F.col("s12")
+    s22, s1y, s2y, syy = (
+        F.col("s22"),
+        F.col("s1y"),
+        F.col("s2y"),
+        F.col("syy"),
+    )
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    d0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    d1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    d2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    b0, b1, b2 = d0 / det, d1 / det, d2 / det
+    sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    sst = syy - sy * sy / n
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        b0.alias("b0"),
+        b1.alias("b1_quantity"),
+        b2.alias("b2_discount"),
+        (F.lit(1.0) - sse / sst).alias("r2"),
+    )
+
+
+#: Candidate FK edges probed by q_fk_discovery: (child table, child col,
+#: parent table, parent col).  Includes one deliberate negative control.
+FK_CANDIDATES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"),
+)
+
+
+def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated foreign-key discovery by containment: for each
+    candidate (child column → parent column) edge, the fraction of the
+    child's DISTINCT values present in the parent — containment 1.0 ⇒
+    a valid FK, the classic schema-inference primitive behind data
+    catalogs (the last candidate is a deliberate negative control).
+
+    All counts are exact integers; containment is one double division.
+
+    Scale: each side is reduced to its distinct-value set FIRST (one
+    map-side-combinable shuffle per column), and the match count is a
+    semi-join of those two distinct sets — never a row-level join of
+    the facts.  The per-candidate loop is driver-side plan
+    construction; the union executes as independent parallel stages."""
+    parts = []
+    for child_t, child_c, parent_t, parent_c in FK_CANDIDATES:
+        child = (
+            load_table(spark, sf_dir, child_t)
+            .select(F.col(child_c).alias("v"))
+            .where(F.col("v").isNotNull())
+            .distinct()
+        )
+        parent = (
+            load_table(spark, sf_dir, parent_t)
+            .select(F.col(parent_c).alias("v"))
+            .where(F.col("v").isNotNull())
+            .distinct()
+        )
+        matched = child.join(parent, "v", "left_semi")
+        stats = child.agg(
+            F.count(F.lit(1)).alias("n_child_distinct")
+        ).join(
+            F.broadcast(
+                matched.agg(F.count(F.lit(1)).alias("n_matched"))
+            )
+        ).join(
+            F.broadcast(
+                parent.agg(F.count(F.lit(1)).alias("n_parent_distinct"))
+            )
+        )
+        parts.append(
+            stats.select(
+                F.lit(f"{child_t}.{child_c}").alias("child"),
+                F.lit(f"{parent_t}.{parent_c}").alias("parent"),
+                F.col("n_child_distinct").cast("bigint"),
+                F.col("n_parent_distinct").cast("bigint"),
+                F.col("n_matched").cast("bigint"),
+                (
+                    F.col("n_matched").cast("double")
+                    / F.col("n_child_distinct").cast("double")
+                ).alias("containment"),
+                (F.col("n_matched") == F.col("n_child_distinct")).alias(
+                    "is_fk"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2379,3 +2379,97 @@ CORE_ORACLES["q_order_gap_stats"] = """
            CAST(n_gaps AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
     FROM hist CROSS JOIN total
 """
+
+
+# Identical Cramer's-rule association on both engines over exact
+# decimal moment sums cast to double — bit-exact coefficients.
+CORE_ORACLES["q_ols_regression"] = """
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sy,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS s11,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                   AS s12,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                   AS s22,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS s1y,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS s2y,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS syy
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    solved AS (
+        SELECT *,
+               (n * (s11 * s22 - s12 * s12)
+                - s1 * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s12 - s11 * s2)) AS det,
+               (sy * (s11 * s22 - s12 * s12)
+                - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y)) AS d0,
+               (n * (s1y * s22 - s12 * s2y)
+                - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2)) AS d1,
+               (n * (s11 * s2y - s1y * s12)
+                - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2)) AS d2
+        FROM m
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           d0 / det AS b0,
+           d1 / det AS b1_quantity,
+           d2 / det AS b2_discount,
+           1.0 - (syy - (d0 / det) * sy - (d1 / det) * s1y
+                  - (d2 / det) * s2y)
+               / (syy - sy * sy / n) AS r2
+    FROM solved
+"""
+
+
+# Containment over distinct sets, mirrored candidate-for-candidate
+# (incl. the negative control); the candidate list is imported from the
+# query module so the two sides can never drift.
+from lexam_data_pipeline_spark.plans.fixture_queries import (  # noqa: E402
+    FK_CANDIDATES as _FK_CANDIDATES,
+)
+
+CORE_ORACLES["q_fk_discovery"] = " UNION ALL ".join(
+    f"""
+    SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+           CAST((SELECT count(DISTINCT {cc}) FROM {ct}
+                 WHERE {cc} IS NOT NULL) AS BIGINT) AS n_child_distinct,
+           CAST((SELECT count(DISTINCT {pc}) FROM {pt}
+                 WHERE {pc} IS NOT NULL) AS BIGINT) AS n_parent_distinct,
+           CAST((SELECT count(*) FROM
+                    (SELECT DISTINCT {cc} AS v FROM {ct}
+                     WHERE {cc} IS NOT NULL) c
+                 WHERE EXISTS (SELECT 1 FROM {pt} p
+                               WHERE p.{pc} = c.v)) AS BIGINT) AS n_matched,
+           CAST((SELECT count(*) FROM
+                    (SELECT DISTINCT {cc} AS v FROM {ct}
+                     WHERE {cc} IS NOT NULL) c
+                 WHERE EXISTS (SELECT 1 FROM {pt} p
+                               WHERE p.{pc} = c.v)) AS DOUBLE)
+           / CAST((SELECT count(DISTINCT {cc}) FROM {ct}
+                   WHERE {cc} IS NOT NULL) AS DOUBLE) AS containment,
+           (SELECT count(*) FROM
+               (SELECT DISTINCT {cc} AS v FROM {ct}
+                WHERE {cc} IS NOT NULL) c
+            WHERE EXISTS (SELECT 1 FROM {pt} p WHERE p.{pc} = c.v))
+           = (SELECT count(DISTINCT {cc}) FROM {ct}
+              WHERE {cc} IS NOT NULL) AS is_fk
+    """
+    for ct, cc, pt, pc in _FK_CANDIDATES
+)

@@ -393,3 +393,23 @@ def test_order_gap_lag_partitions_by_customer(spark, sf_small):
     plan = _plan(QUERIES["q_order_gap_stats"](spark, sf_small))
     assert "windowspecdefinition(o_custkey" in plan
     assert "SinglePartition" not in plan.split("windowspecdefinition")[0] or True
+
+
+def test_ols_is_single_moment_aggregate(spark, sf_small):
+    """The whole regression is ONE partial+final aggregate of 10 moment
+    sums — no join, no window, one exchange (same posture as
+    q_corr_stats)."""
+    plan = _plan(QUERIES["q_ols_regression"](spark, sf_small))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_fk_discovery_joins_distinct_sets_only(spark, sf_small):
+    """Every containment semi-join consumes DISTINCT-reduced sides —
+    each join input has a HashAggregate below it, so fact rows never
+    meet in a join."""
+    plan = _plan(QUERIES["q_fk_discovery"](spark, sf_small))
+    assert "LeftSemi" in plan
+    # distinct reduction = HashAggregate pairs under every semi join
+    assert plan.count("HashAggregate") >= plan.count("LeftSemi")

@@ -117,6 +117,9 @@ PROBES = [
     "q_benford_digits",
     "q_percent_rank_spend",
     "q_order_gap_stats",
+    "q_ols_regression",
+    "q_fk_discovery",
+    "q_logreg_quality",
 ]
 
 OFFSETS = {
