@@ -40,8 +40,13 @@ from lexam_data_pipeline_spark.ml.curation import (
     q_split_assign,
     q_url_dedup,
 )
+from lexam_data_pipeline_spark.ml.dsir import q_dsir_select
 from lexam_data_pipeline_spark.ml.graph import q_label_propagation, q_pagerank
+from lexam_data_pipeline_spark.ml.kmeans import q_kmeans_clusters
+from lexam_data_pipeline_spark.ml.lm import q_lm_surprisal
 from lexam_data_pipeline_spark.ml.logreg import q_logreg_quality
+from lexam_data_pipeline_spark.ml.pca import q_pca_variance
+from lexam_data_pipeline_spark.ml.semdedup import q_semantic_dedup
 from lexam_data_pipeline_spark.ml.ivf import q_knn_ivf
 from lexam_data_pipeline_spark.ml.retrieval import q_bm25_topk, q_hybrid_rrf
 from lexam_data_pipeline_spark.ml.pq import q_knn_ivfpq
@@ -115,6 +120,11 @@ ML_QUERIES = {
     "q_bpe_tokenize": q_bpe_tokenize,
     "q_kfold_assign": q_kfold_assign,
     "q_logreg_quality": q_logreg_quality,
+    "q_kmeans_clusters": q_kmeans_clusters,
+    "q_pca_variance": q_pca_variance,
+    "q_lm_surprisal": q_lm_surprisal,
+    "q_semantic_dedup": q_semantic_dedup,
+    "q_dsir_select": q_dsir_select,
 }
 
 _SHINGLES = """
@@ -1092,3 +1102,42 @@ def _lpa_oracle_sql(n_iter: int) -> str:
 
 
 ML_ORACLES["q_label_propagation"] = _lpa_oracle_sql(4)
+
+
+# DSIR importance selection: md5 bucketing, integer counts, and the
+# identically associated IEEE division chain — mirrors ml/dsir.py
+# expression for expression (round(1e6 · ((n_t/t_t) / (n_r/t_r)))).
+ML_ORACLES["q_dsir_select"] = """
+    WITH tb AS (
+        SELECT doc_id, lang, substr(md5(w), 1, 2) AS b
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> x <> '')) AS w
+            FROM documents
+        )
+    ),
+    raw AS (SELECT b, count(*) AS n_r FROM tb GROUP BY b),
+    tgt AS (SELECT b, count(*) AS n_t FROM tb WHERE lang = 'en' GROUP BY b),
+    tot AS (
+        SELECT count(*) AS t_r,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_t
+        FROM tb
+    ),
+    w AS (
+        SELECT raw.b,
+               CAST(round(1e6 * (
+                   (CAST(COALESCE(n_t, 0) AS DOUBLE) / CAST(t_t AS DOUBLE))
+                   / (CAST(n_r AS DOUBLE) / CAST(t_r AS DOUBLE))
+               )) AS BIGINT) AS wgt
+        FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+    )
+    SELECT doc_id, lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(wgt) AS BIGINT) AS score
+    FROM tb JOIN w USING (b)
+    GROUP BY doc_id, lang
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+"""

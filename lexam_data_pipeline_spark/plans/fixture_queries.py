@@ -4476,3 +4476,211 @@ def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+#: (table, key column) pairs profiled by q_skew_diagnostics.
+SKEW_TARGETS = (
+    ("events", "user_id"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+)
+
+
+def q_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew profiler: per candidate shuffle key, the
+    per-key count distribution that decides whether a plain hash join
+    is safe or the key needs salting/AQE skew handling — row count,
+    distinct keys, max and p99 per-key counts, the hot key's share,
+    and skew = max/mean (the number a planner compares against its
+    skew-join threshold).
+
+    Counts are exact integers; p99 uses linearly interpolated exact
+    ``percentile`` with the engine-portable round-4 tactic of
+    :func:`q_percentile_multi`; shares/ratios are single IEEE
+    divisions of exact counts.
+
+    Scale: per (table, key) the plan is one map-side-combinable
+    groupBy (shuffle carries one bigint per distinct key) and a
+    bounded second aggregate over the per-key counts.  The per-key
+    count table is exactly what the exact-percentile needs — at 100 TB
+    swap ``percentile`` for ``approx_percentile`` (the
+    ``q_approx_quantiles`` pattern) if distinct keys overflow one
+    reducer.  The per-target loop is driver-side plan construction;
+    the union's branches execute as independent stages."""
+    parts = []
+    for table, keycol in SKEW_TARGETS:
+        cnts = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(keycol).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        parts.append(
+            cnts.agg(
+                F.lit(f"{table}.{keycol}").alias("key"),
+                F.sum("cnt").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.max("cnt").cast("bigint").alias("max_cnt"),
+                F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_cnt"),
+                (
+                    F.max("cnt").cast("double")
+                    / F.sum("cnt").cast("double")
+                ).alias("max_share"),
+                (
+                    F.max("cnt").cast("double")
+                    * F.count(F.lit(1)).cast("double")
+                    / F.sum("cnt").cast("double")
+                ).alias("skew"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocking + edit-distance scoring: customers
+    are blocked on a name-prefix key (bounding candidate pairs), scored
+    pairwise with Levenshtein inside each block, and matched at
+    distance ≤ 1 — the classic record-linkage pipeline (Fellegi-Sunter
+    blocking stage), reported per nation of the left record.
+
+    Levenshtein is integer dynamic programming — identical in every
+    engine — and all counts are exact, so the key is fully
+    oracle-checked.
+
+    Scale: the self-join keys on the block prefix, so both sides
+    shuffle ONCE on a key whose group size is bounded by construction
+    (≤ 100 names share a 7-digit prefix); pair fan-out is O(block²)
+    per block, linear in blocks — never an unblocked n² comparison.
+    Block width is the standard ER knob: widen the prefix to shrink
+    blocks when a corpus makes 100² per-block pairs hot."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.substring("c_name", 10, 7).alias("blk"),
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    pairs = a.join(b, "blk").where(F.col("a.c_custkey") < F.col("b.c_custkey"))
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        pairs.select(
+            F.col("a.c_nationkey").alias("c_nationkey"),
+            (dist <= 1).cast("bigint").alias("is_match"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("is_match").cast("bigint").alias("n_matches"),
+            (
+                F.sum("is_match").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("match_rate"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+#: How many hot items get a neighbor list, and neighbors per item.
+ITEM_SIM_TOP_ITEMS = 20
+ITEM_SIM_TOP_K = 3
+
+
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering neighbors: for the 20 most
+    frequent parts, the top-3 co-purchased neighbors by co-occurrence
+    cosine — the "customers also bought" primitive.
+
+    Similarity is the integer-exact squared cosine
+    ``round(1e6 · n_ab² / (n_a · n_b))`` (squares avoid sqrt, keeping
+    both engines in exact-integer + one IEEE division territory — the
+    same tactic as the integer-scaled BM25 idf).  Ranking carries a
+    full (sim desc, neighbor asc) tiebreak; the hot-item list is
+    deterministic via (count desc, partkey asc).
+
+    Scale: pair generation is the per-basket ``transform`` fan-out of
+    :func:`q_basket_pairs` (O(basket²), basket ≤ 20, linear in
+    orders — never a fact self-join); the hot-item list is a 20-row
+    broadcast; the per-item top-k is a bounded window over ≤ 20
+    partitions AFTER the semi-join cuts the pair table down."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.slice(
+            F.array_sort(F.collect_set("l_partkey")), 1, BASKET_MAX_ITEMS
+        ).alias("parts")
+    )
+    items = baskets.select("l_orderkey", F.explode("parts").alias("part"))
+    item_n = items.groupBy("part").agg(F.count(F.lit(1)).alias("item_n"))
+    hot = item_n.orderBy(
+        F.col("item_n").desc(), F.col("part").asc()
+    ).limit(ITEM_SIM_TOP_ITEMS)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("parts"),
+                    i + 2,
+                    F.greatest(F.size("parts") - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("lo"), y.alias("hi")),
+            ),
+        )
+    )
+    undirected = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.lo").alias("lo"), F.col("p.hi").alias("hi"))
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+    )
+    directed = undirected.select(
+        F.col("lo").alias("item"), F.col("hi").alias("neighbor"), "pair_n"
+    ).unionByName(
+        undirected.select(
+            F.col("hi").alias("item"), F.col("lo").alias("neighbor"), "pair_n"
+        )
+    )
+    scored = (
+        directed.join(
+            F.broadcast(hot.select(F.col("part").alias("item"), "item_n")),
+            "item",
+        )
+        .join(
+            item_n.select(
+                F.col("part").alias("neighbor"),
+                F.col("item_n").alias("neighbor_n"),
+            ),
+            "neighbor",
+        )
+        .withColumn(
+            "sim_scaled",
+            F.round(
+                F.lit(1e6)
+                * (
+                    F.col("pair_n").cast("double")
+                    * F.col("pair_n").cast("double")
+                )
+                / (
+                    F.col("item_n").cast("double")
+                    * F.col("neighbor_n").cast("double")
+                )
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("sim_scaled").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ITEM_SIM_TOP_K)
+        .select(
+            "item",
+            "neighbor",
+            F.col("item_n").cast("bigint").alias("item_n"),
+            F.col("neighbor_n").cast("bigint").alias("neighbor_n"),
+            F.col("pair_n").cast("bigint").alias("pair_n"),
+            "sim_scaled",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("item", "rank")
+    )

@@ -2473,3 +2473,113 @@ CORE_ORACLES["q_fk_discovery"] = " UNION ALL ".join(
     """
     for ct, cc, pt, pc in _FK_CANDIDATES
 )
+
+
+# Shuffle-key skew profiler, mirrored target-for-target; p99 uses the
+# round-4 quantile_cont tactic of q_percentile_multi.
+from lexam_data_pipeline_spark.plans.fixture_queries import (  # noqa: E402
+    SKEW_TARGETS as _SKEW_TARGETS,
+)
+
+CORE_ORACLES["q_skew_diagnostics"] = " UNION ALL ".join(
+    f"""
+    SELECT '{t}.{k}' AS key,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+           CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS max_share,
+           CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+               / CAST(sum(cnt) AS DOUBLE) AS skew
+    FROM (SELECT {k} AS kk, count(*) AS cnt FROM {t} GROUP BY kk)
+    """
+    for t, k in _SKEW_TARGETS
+)
+
+
+# Blocking + Levenshtein ER, per left-record nation; levenshtein is
+# integer DP in both engines.
+CORE_ORACLES["q_entity_resolution"] = """
+    WITH c AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               substr(c_name, 10, 7) AS blk
+        FROM customer
+    ),
+    pairs AS (
+        SELECT a.c_nationkey,
+               CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+                    THEN 1 ELSE 0 END AS is_match
+        FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(is_match) AS BIGINT) AS n_matches,
+           CAST(sum(is_match) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS match_rate
+    FROM pairs
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+"""
+
+
+# Item-item CF neighbors: squared-cosine round(1e6·n_ab²/(n_a·n_b)),
+# identical association both engines; basket capping mirrors
+# q_basket_pairs (rn <= 20 by partkey order).
+CORE_ORACLES["q_item_similarity"] = """
+    WITH ranked AS (
+        SELECT l_orderkey, l_partkey,
+               row_number() OVER (
+                   PARTITION BY l_orderkey ORDER BY l_partkey
+               ) AS rn
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    ),
+    kept AS (SELECT l_orderkey, l_partkey FROM ranked WHERE rn <= 20),
+    item_n AS (
+        SELECT l_partkey AS part, count(*) AS item_n
+        FROM kept GROUP BY part
+    ),
+    hot AS (
+        SELECT part, item_n FROM item_n
+        ORDER BY item_n DESC, part ASC
+        LIMIT 20
+    ),
+    undirected AS (
+        SELECT k1.l_partkey AS lo, k2.l_partkey AS hi, count(*) AS pair_n
+        FROM kept k1
+        JOIN kept k2 ON k1.l_orderkey = k2.l_orderkey
+                    AND k1.l_partkey < k2.l_partkey
+        GROUP BY lo, hi
+    ),
+    directed AS (
+        SELECT lo AS item, hi AS neighbor, pair_n FROM undirected
+        UNION ALL
+        SELECT hi AS item, lo AS neighbor, pair_n FROM undirected
+    ),
+    scored AS (
+        SELECT d.item, d.neighbor, h.item_n, nn.item_n AS neighbor_n,
+               d.pair_n,
+               CAST(round(1e6
+                   * (CAST(d.pair_n AS DOUBLE) * CAST(d.pair_n AS DOUBLE))
+                   / (CAST(h.item_n AS DOUBLE) * CAST(nn.item_n AS DOUBLE))
+               ) AS BIGINT) AS sim_scaled
+        FROM directed d
+        JOIN hot h ON h.part = d.item
+        JOIN item_n nn ON nn.part = d.neighbor
+    )
+    SELECT item, neighbor,
+           CAST(item_n AS BIGINT) AS item_n,
+           CAST(neighbor_n AS BIGINT) AS neighbor_n,
+           CAST(pair_n AS BIGINT) AS pair_n,
+           sim_scaled,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY item
+                   ORDER BY sim_scaled DESC, neighbor ASC
+               ) AS rank
+        FROM scored
+    )
+    WHERE rank <= 3
+    ORDER BY item, rank
+"""

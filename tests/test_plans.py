@@ -413,3 +413,29 @@ def test_fk_discovery_joins_distinct_sets_only(spark, sf_small):
     assert "LeftSemi" in plan
     # distinct reduction = HashAggregate pairs under every semi join
     assert plan.count("HashAggregate") >= plan.count("LeftSemi")
+
+
+def test_dsir_weight_join_is_broadcast(spark, sf_small):
+    """The 256-row importance table reaches the corpus scorer as a
+    broadcast — the corpus never shuffles for the weight join (its only
+    wide exchange is the per-doc aggregate)."""
+    plan = _plan(QUERIES["q_dsir_select"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_entity_resolution_single_block_shuffle(spark, sf_small):
+    """The ER self-join keys on the bounded block prefix: a SortMerge/
+    Hash join on blk, never a cartesian product."""
+    plan = _plan(QUERIES["q_entity_resolution"](spark, sf_small))
+    assert "Cartesian" not in plan
+    assert "levenshtein" in plan
+
+
+def test_item_similarity_hot_items_broadcast(spark, sf_small):
+    """The 20-row hot-item list is broadcast into the pair table; pair
+    generation is basket-local explode, not a fact self-join."""
+    plan = _plan(QUERIES["q_item_similarity"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    # no join of lineitem against lineitem: the only scans feed the
+    # basket collect_set aggregate
+    assert "Cartesian" not in plan

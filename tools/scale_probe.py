@@ -120,6 +120,14 @@ PROBES = [
     "q_ols_regression",
     "q_fk_discovery",
     "q_logreg_quality",
+    "q_kmeans_clusters",
+    "q_pca_variance",
+    "q_lm_surprisal",
+    "q_semantic_dedup",
+    "q_dsir_select",
+    "q_skew_diagnostics",
+    "q_entity_resolution",
+    "q_item_similarity",
 ]
 
 OFFSETS = {
