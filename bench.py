@@ -186,6 +186,9 @@ def main() -> None:
         "q_skew_diagnostics",
         "q_entity_resolution",
         "q_item_similarity",
+        "q_isotonic_calibration",
+        "q_ngram_novelty",
+        "q_nb_classifier",
         "q_multimodal_features",
     ):
         if extra in queries and extra not in names:

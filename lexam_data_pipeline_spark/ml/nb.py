@@ -1,0 +1,113 @@
+"""In-engine multinomial Naive Bayes over hashed token buckets —
+language classification with a distributed-trained, driver-finished,
+broadcast-scored model (the classic "sufficient statistics to the
+driver, tiny model back to the cluster" split, same posture as
+:mod:`ml.logreg` / :mod:`ml.kmeans`).
+
+Train: per-(class, bucket) token counts are ONE map-side-combinable
+aggregate whose output is bounded at |classes| × 256 rows — that
+table, not the corpus, is what lands on the driver.  Smoothed
+log-likelihoods ``floor(1e6 · ln((n_bc + 1) / (n_c + B)))`` and class
+log-priors are computed in Python and shipped back as a literal
+weight DataFrame.
+
+Score: tokens join the broadcast weight table (one row per
+class × bucket), per-(doc, class) BIGINT sums, window argmax with a
+deterministic (score desc, class asc) tiebreak, then the confusion
+matrix — exact integer counts all the way; the executors never call
+``log``.
+
+Why the key is fully oracle-checked despite ``log``: the driver's
+``math.log`` and DuckDB's ``ln`` both resolve to the platform libm,
+and both sides floor to the SAME scaled integer (floor, not
+round — half-even vs half-away tie rules can never diverge) before any sum — so
+the weight tables are bit-identical and everything downstream is
+integer arithmetic (the tactic that keeps this out of rows-only
+territory, unlike the float-sum ML keys).
+
+Scale: the corpus is scanned twice (count aggregate, scoring join);
+the model is O(classes × buckets) — broadcast-sized by construction.
+Widening to the paper-standard 10⁴ buckets (md5 substr 1,4) changes
+nothing structurally.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window
+
+from lexam_data_pipeline_spark.catalog import load_table
+from lexam_data_pipeline_spark.ml.dsir import _bucketed_tokens
+
+#: Number of hash buckets (md5 first-2-hex); the smoothing denominator.
+NB_BUCKETS = 256
+
+#: Fixed-point scale for log-probabilities.
+NB_SCALE = 1_000_000
+
+
+def train_nb(docs: DataFrame) -> tuple[list[tuple[str, int]], list[tuple[str, str, int]]]:
+    """(priors, weights): class log-priors and per-(class, bucket)
+    smoothed log-likelihoods, both as scaled BIGINTs.
+
+    The collect is bounded: |classes| class rows + |classes| × 256
+    count rows."""
+    toks = _bucketed_tokens(docs)
+    class_rows = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).collect()
+    n_total = sum(r["n_docs"] for r in class_rows)
+    priors = [
+        (r["lang"], math.floor(NB_SCALE * math.log(r["n_docs"] / n_total)))
+        for r in class_rows
+    ]
+    cnt_rows = (
+        toks.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    tok_totals: dict[str, int] = {}
+    for r in cnt_rows:
+        tok_totals[r["lang"]] = tok_totals.get(r["lang"], 0) + r["n"]
+    counts = {(r["lang"], r["b"]): r["n"] for r in cnt_rows}
+    weights = []
+    for lang, _ in priors:
+        denom = tok_totals.get(lang, 0) + NB_BUCKETS
+        for bi in range(NB_BUCKETS):
+            b = format(bi, "02x")
+            n_bc = counts.get((lang, b), 0)
+            weights.append(
+                (lang, b, math.floor(NB_SCALE * math.log((n_bc + 1) / denom)))
+            )
+    return priors, weights
+
+
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes language identification confusion matrix: train on
+    the full corpus, classify every document, count (true, predicted)
+    pairs — the eval-tier view of an in-engine generative classifier.
+
+    Oracle-checked end to end (see module docstring for why the log
+    table is engine-portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    priors, weights = train_nb(docs)
+    wdf = spark.createDataFrame(weights, "cand string, b string, w long")
+    pdf = spark.createDataFrame(priors, "cand string, prior long")
+    toks = _bucketed_tokens(docs)
+    scores = (
+        toks.join(F.broadcast(wdf), "b")
+        .groupBy("doc_id", "lang", "cand")
+        .agg(F.sum("w").alias("s"))
+        .join(F.broadcast(pdf), "cand")
+        .withColumn("score", F.col("s") + F.col("prior"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    pred = (
+        scores.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("cand").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("lang", "pred_lang")
+    )

@@ -45,6 +45,7 @@ from lexam_data_pipeline_spark.ml.graph import q_label_propagation, q_pagerank
 from lexam_data_pipeline_spark.ml.kmeans import q_kmeans_clusters
 from lexam_data_pipeline_spark.ml.lm import q_lm_surprisal
 from lexam_data_pipeline_spark.ml.logreg import q_logreg_quality
+from lexam_data_pipeline_spark.ml.nb import q_nb_classifier
 from lexam_data_pipeline_spark.ml.pca import q_pca_variance
 from lexam_data_pipeline_spark.ml.semdedup import q_semantic_dedup
 from lexam_data_pipeline_spark.ml.ivf import q_knn_ivf
@@ -125,6 +126,7 @@ ML_QUERIES = {
     "q_lm_surprisal": q_lm_surprisal,
     "q_semantic_dedup": q_semantic_dedup,
     "q_dsir_select": q_dsir_select,
+    "q_nb_classifier": q_nb_classifier,
 }
 
 _SHINGLES = """
@@ -1140,4 +1142,64 @@ ML_ORACLES["q_dsir_select"] = """
     GROUP BY doc_id, lang
     ORDER BY score DESC, doc_id ASC
     LIMIT 20
+"""
+
+
+# Naive Bayes confusion matrix: the weight table is recomputed in SQL
+# with the SAME floor(1e6·ln(...)) fixed-point rule (platform libm on
+# both sides), so scoring is pure integer arithmetic — see ml/nb.py.
+ML_ORACLES["q_nb_classifier"] = """
+    WITH tb AS (
+        SELECT doc_id, lang, substr(md5(w), 1, 2) AS b
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> x <> '')) AS w
+            FROM documents
+        )
+    ),
+    cls AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    tot AS (SELECT sum(n_docs) AS n_total FROM cls),
+    priors AS (
+        SELECT lang AS cand,
+               CAST(floor(1000000 * ln(CAST(n_docs AS DOUBLE)
+                                       / CAST(n_total AS DOUBLE)))
+                    AS BIGINT) AS prior
+        FROM cls CROSS JOIN tot
+    ),
+    cnts AS (SELECT lang, b, count(*) AS n FROM tb GROUP BY lang, b),
+    tok_tot AS (SELECT lang, sum(n) AS t FROM cnts GROUP BY lang),
+    wt AS (
+        SELECT c.lang AS cand, printf('%02x', gs.i) AS b,
+               CAST(floor(1000000 * ln(
+                   CAST(COALESCE(n.n, 0) + 1 AS DOUBLE)
+                   / CAST(tt.t + 256 AS DOUBLE)
+               )) AS BIGINT) AS w
+        FROM cls c
+        CROSS JOIN generate_series(0, 255) gs(i)
+        JOIN tok_tot tt ON tt.lang = c.lang
+        LEFT JOIN cnts n ON n.lang = c.lang AND n.b = printf('%02x', gs.i)
+    ),
+    scores AS (
+        SELECT tb.doc_id, tb.lang, wt.cand,
+               sum(wt.w) + any_value(p.prior) AS score
+        FROM tb
+        JOIN wt USING (b)
+        JOIN priors p ON p.cand = wt.cand
+        GROUP BY tb.doc_id, tb.lang, wt.cand
+    ),
+    pred AS (
+        SELECT doc_id, lang, cand AS pred_lang
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, cand ASC
+            ) AS rn
+            FROM scores
+        ) WHERE rn = 1
+    )
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM pred
+    GROUP BY lang, pred_lang
+    ORDER BY lang, pred_lang
 """

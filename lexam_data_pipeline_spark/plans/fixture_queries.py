@@ -4684,3 +4684,146 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item", "rank")
     )
+
+
+#: Bin count for the isotonic fit (finer than CALIB_BINS so pooling
+#: has something to pool).
+ISO_BINS = 20
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) score calibration: fit the monotone step function
+    mapping the pseudo-confidence score of :func:`q_calibration_bins`
+    to observed positive rate — the standard post-hoc calibrator run on
+    judge/classifier scores before thresholding them for filtering.
+
+    The split realized here is the canonical scale shape for isotonic
+    regression on big data: the DISTRIBUTED part is one bounded
+    per-bin aggregate (exact integer ``n``/``n_pos`` per score bin);
+    the pool-adjacent-violators sweep then runs on the driver over
+    ``ISO_BINS`` rows — O(bins) state, independent of corpus size.
+    Pooling decisions compare rates by exact integer cross-
+    multiplication (``pos_a·n_b > pos_b·n_a``), so the fit is fully
+    deterministic; the only floats are the final per-block divisions.
+
+    Rows-only by declared design (no SQL realization of the iterative
+    PAV sweep); ``tests/test_isotonic.py`` is the oracle — an
+    independent numpy PAV on the same bins must agree exactly, and the
+    output must be monotone with pool means preserving block totals."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.pmod(F.col("o_orderkey") * F.lit(CALIB_MULT), F.lit(CALIB_MOD))
+    binned = orders.select(
+        h.alias("h"),
+        (F.col("o_orderstatus") == "F").cast("bigint").alias("label"),
+    ).withColumn(
+        "bin",
+        ((F.col("h") * F.lit(ISO_BINS)) / F.lit(CALIB_MOD))
+        .cast("bigint")
+        .cast("int"),
+    )
+    rows = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").alias("n_pos"),
+        )
+        .orderBy("bin")
+        .collect()
+    )
+    # PAV sweep over <= ISO_BINS rows: blocks carry exact integer
+    # (n, n_pos) totals; a violator (rate[i] > rate[i+1], compared by
+    # cross-multiplication) merges into its left neighbour and the
+    # merge cascades left while monotonicity is still broken.
+    blocks: list[list[int]] = []  # [first_bin, last_bin, n, n_pos]
+    for r in rows:
+        blocks.append([r["bin"], r["bin"], int(r["n"]), int(r["n_pos"])])
+        while (
+            len(blocks) > 1
+            and blocks[-2][3] * blocks[-1][2] > blocks[-1][3] * blocks[-2][2]
+        ):
+            b = blocks.pop()
+            blocks[-1][1] = b[1]
+            blocks[-1][2] += b[2]
+            blocks[-1][3] += b[3]
+    out = []
+    for pool_id, (first, last, n, n_pos) in enumerate(blocks):
+        for r in rows:
+            if first <= r["bin"] <= last:
+                out.append(
+                    (
+                        int(r["bin"]),
+                        int(r["n"]),
+                        round(int(r["n_pos"]) / int(r["n"]), 6),
+                        int(pool_id),
+                        round(n_pos / n, 6),
+                    )
+                )
+    return spark.createDataFrame(
+        out,
+        "bin int, n bigint, raw_rate double, pool_id int, iso_rate double",
+    ).orderBy("bin")
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test n-gram novelty audit (the memorization-risk
+    measurement of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499 — public method): split
+    the corpus with the engine-portable md5-threshold rule, build the
+    train side's distinct 3-gram set, and score every test document by
+    the share of its 3-grams already seen in train — the 20 least
+    novel documents are the contamination/memorization suspects.
+
+    All counts are exact integers over distinct shingles; novelty is
+    one IEEE division — fully oracle-checked.
+
+    Scale: the train set is DISTINCT-reduced before the join and both
+    sides key on ``md5(shingle)`` so the wide exchange carries 16-byte
+    hashes, never shingle text (the decontamination-join posture of
+    :mod:`ml.decontam`); per-doc scoring is one map-side-combinable
+    regroup.  The final top-20 is a TakeOrdered, not a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_remove(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "")
+    with_sh = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias("hb"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(3))),
+            )
+        ).alias("shingles"),
+    ).where(F.size(toks) >= 3)
+    exploded = with_sh.select(
+        "doc_id", "lang", "hb", F.explode("shingles").alias("s")
+    ).withColumn("sh", F.md5("s")).drop("s")
+    train_set = (
+        exploded.where(F.col("hb") < "80000000").select("sh").distinct()
+    )
+    test = exploded.where(F.col("hb") >= "80000000")
+    seen = test.join(
+        train_set.withColumn("seen", F.lit(1)), "sh", "left"
+    )
+    return (
+        seen.groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("seen"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_seen"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_shingles",
+            "n_seen",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_seen").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy(F.col("novelty").asc(), F.col("doc_id").asc())
+        .limit(20)
+    )

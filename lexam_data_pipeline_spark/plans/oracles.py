@@ -2583,3 +2583,45 @@ CORE_ORACLES["q_item_similarity"] = """
     WHERE rank <= 3
     ORDER BY item, rank
 """
+
+
+# Train→test 3-gram novelty, mirrored op-for-op: identical tokenizer,
+# identical md5-threshold split, distinct shingles per doc, and the
+# md5-keyed membership join.
+CORE_ORACLES["q_ngram_novelty"] = """
+    WITH sh AS (
+        SELECT doc_id, lang,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hb,
+               list_distinct(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+        FROM (
+            SELECT doc_id, lang,
+                   list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents
+        )
+        WHERE len(toks) >= 3
+    ),
+    ex AS (
+        SELECT doc_id, lang, hb, md5(unnest(shingles)) AS s_h
+        FROM sh
+    ),
+    train_set AS (
+        SELECT DISTINCT s_h FROM ex WHERE hb < '80000000'
+    ),
+    test AS (SELECT * FROM ex WHERE hb >= '80000000')
+    SELECT doc_id, lang,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN t.s_h IN (SELECT s_h FROM train_set)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+           round(1.0 - CAST(sum(CASE WHEN t.s_h IN
+                                     (SELECT s_h FROM train_set)
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM test t
+    GROUP BY doc_id, lang
+    ORDER BY novelty ASC, doc_id ASC
+    LIMIT 20
+"""

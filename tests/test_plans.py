@@ -439,3 +439,19 @@ def test_item_similarity_hot_items_broadcast(spark, sf_small):
     # no join of lineitem against lineitem: the only scans feed the
     # basket collect_set aggregate
     assert "Cartesian" not in plan
+
+
+def test_ngram_novelty_takeordered_and_distinct_train(spark, sf_small):
+    """Top-20 least-novel docs is a TakeOrdered (no global sort of the
+    shingle table) and the train side is DISTINCT-reduced (HashAggregate)
+    before the membership join."""
+    plan = _plan(QUERIES["q_ngram_novelty"](spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" in plan
+
+
+def test_nb_weight_table_is_broadcast(spark, sf_small):
+    """The classes×256 weight table and the priors both arrive via
+    broadcast; the corpus's only wide exchanges are its aggregates."""
+    plan = _plan(QUERIES["q_nb_classifier"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan

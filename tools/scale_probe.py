@@ -128,6 +128,9 @@ PROBES = [
     "q_skew_diagnostics",
     "q_entity_resolution",
     "q_item_similarity",
+    "q_isotonic_calibration",
+    "q_ngram_novelty",
+    "q_nb_classifier",
 ]
 
 OFFSETS = {
