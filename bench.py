@@ -189,6 +189,10 @@ def main() -> None:
         "q_isotonic_calibration",
         "q_ngram_novelty",
         "q_nb_classifier",
+        "q_column_entropy",
+        "q_mutual_information",
+        "q_ndcg_eval",
+        "q_boosted_stumps",
         "q_multimodal_features",
     ):
         if extra in queries and extra not in names:

@@ -77,10 +77,15 @@ def bucket_weights(toks: DataFrame, target_lang: str = TARGET_LANG) -> DataFrame
         ).alias("t_t"),
     )
     joined = raw.join(tgt, "b", "left").join(F.broadcast(totals))
-    p_t = F.coalesce(F.col("n_t"), F.lit(0)).cast("double") / F.col(
-        "t_t"
-    ).cast("double")
-    p_r = F.col("n_r").cast("double") / F.col("t_r").cast("double")
+    # nullif guards: a corpus with no target-language (or no) tokens
+    # yields null weights instead of an ANSI divide-by-zero; on real
+    # corpora the totals are nonzero so the division chain is unchanged
+    p_t = F.coalesce(F.col("n_t"), F.lit(0)).cast("double") / F.nullif(
+        F.col("t_t").cast("double"), F.lit(0.0)
+    )
+    p_r = F.col("n_r").cast("double") / F.nullif(
+        F.col("t_r").cast("double"), F.lit(0.0)
+    )
     return joined.select(
         "b",
         F.round(F.lit(1e6) * (p_t / p_r)).cast("bigint").alias("wgt"),

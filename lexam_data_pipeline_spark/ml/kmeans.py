@@ -93,6 +93,8 @@ def train_kmeans(
     import numpy as np
 
     seeds = base.orderBy("vec_id").limit(k).collect()
+    if not seeds:  # empty corpus: no centroids to train
+        return []
     C = np.array([r["e"] for r in sorted(seeds, key=lambda r: r["vec_id"])])
     if len(C) < k:  # degenerate corpus smaller than k: pad by repeating
         C = np.concatenate([C] * (k // len(C) + 1))[:k]
@@ -156,4 +158,8 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kmeans_base",
     )
     centroids = train_kmeans(base, K_CLUSTERS, N_ITER)
+    if not centroids:  # empty corpus: schema-stable empty result
+        return emb.sparkSession.createDataFrame(
+            [], "cluster int, n_points bigint, sse double"
+        )
     return cluster_stats(base, centroids).orderBy("cluster")

@@ -101,6 +101,8 @@ def train_logreg(
             *[F.sum(err * xj).alias(f"g{j}") for j, xj in enumerate(xs)],
         ).collect()[0]
         n = float(row["n"])
+        if n == 0.0:  # empty feature table: nothing to fit
+            return w
         w = [wj - lr * float(row[f"g{j}"]) / n for j, wj in enumerate(w)]
     return w
 
@@ -133,6 +135,8 @@ def train_logreg_newton(
             for j in range(i, N_FEATURES)
         ]
         row = features.agg(*aggs).collect()[0]
+        if row["g0"] is None:  # empty feature table: nothing to fit
+            return w
         g = np.array([float(row[f"g{j}"]) for j in range(N_FEATURES)])
         H = np.zeros((N_FEATURES, N_FEATURES))
         for i in range(N_FEATURES):

@@ -64,6 +64,8 @@ def corpus_moments(base: DataFrame):
         kernel, "n long, s array<double>, ss array<double>"
     ).collect()
     n = sum(r["n"] for r in parts)
+    if n == 0:  # empty corpus: no moments
+        return 0, None, None
     d = len(parts[0]["s"])
     s = np.zeros(d)
     ss = np.zeros((d, d))
@@ -106,12 +108,19 @@ def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_pca.py is the oracle via ``numpy.linalg.eigh``."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select(F.col("embedding").cast("array<double>").alias("e"))
-    _, _, cov = corpus_moments(base)
+    n, _, cov = corpus_moments(base)
+    schema = (
+        "component int, eigenvalue double, var_share double, cum_share double"
+    )
+    if n == 0:  # empty corpus: schema-stable empty result
+        return spark.createDataFrame([], schema)
     comps = top_components(cov, N_COMPONENTS)
     trace = float(cov.trace())
     rows, cum = [], 0.0
     for i, (lam, _) in enumerate(comps, start=1):
-        share = lam / trace
+        # constant corpus: zero total variance → shares are 0 by
+        # convention instead of a ZeroDivisionError
+        share = lam / trace if trace > 0.0 else 0.0
         cum += share
         rows.append(
             (i, round(lam, 6), round(share, 6), round(cum, 6))

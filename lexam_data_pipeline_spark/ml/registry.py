@@ -45,6 +45,7 @@ from lexam_data_pipeline_spark.ml.graph import q_label_propagation, q_pagerank
 from lexam_data_pipeline_spark.ml.kmeans import q_kmeans_clusters
 from lexam_data_pipeline_spark.ml.lm import q_lm_surprisal
 from lexam_data_pipeline_spark.ml.logreg import q_logreg_quality
+from lexam_data_pipeline_spark.ml.boost import q_boosted_stumps
 from lexam_data_pipeline_spark.ml.nb import q_nb_classifier
 from lexam_data_pipeline_spark.ml.pca import q_pca_variance
 from lexam_data_pipeline_spark.ml.semdedup import q_semantic_dedup
@@ -127,6 +128,7 @@ ML_QUERIES = {
     "q_semantic_dedup": q_semantic_dedup,
     "q_dsir_select": q_dsir_select,
     "q_nb_classifier": q_nb_classifier,
+    "q_boosted_stumps": q_boosted_stumps,
 }
 
 _SHINGLES = """
@@ -1202,4 +1204,141 @@ ML_ORACLES["q_nb_classifier"] = """
     FROM pred
     GROUP BY lang, pred_lang
     ORDER BY lang, pred_lang
+"""
+
+
+# Boosted stumps, three rounds unrolled as CTEs.  Every quantity is
+# exact integer arithmetic (doubling weights, weighted-error sums,
+# vote counts); binning replicates the engine's float32→double
+# comparisons expression-for-expression — see ml/boost.py.
+ML_ORACLES["q_boosted_stumps"] = """
+    WITH base AS (
+        SELECT vec_id,
+               CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+               gs.f AS f,
+               CAST(embedding[gs.f + 1] AS DOUBLE) AS x
+        FROM embeddings CROSS JOIN generate_series(0, 7) gs(f)
+    ),
+    stats AS (SELECT f, min(x) AS mn, max(x) AS mx FROM base GROUP BY f),
+    binned AS (
+        SELECT b.vec_id, b.y, b.f,
+               CASE WHEN s.mx = s.mn THEN 0
+                    ELSE least(CAST(floor((b.x - s.mn)
+                                          / ((s.mx - s.mn) / 8.0))
+                               AS INT), 7)
+               END AS bin
+        FROM base b JOIN stats s USING (f)
+    ),
+    cand AS (
+        SELECT fs.f, ts.t, ps.p
+        FROM generate_series(0, 7) fs(f)
+        CROSS JOIN generate_series(1, 7) ts(t)
+        CROSS JOIN (VALUES (1), (-1)) ps(p)
+    ),
+    c1 AS (
+        SELECT f, bin, y, CAST(count(*) AS BIGINT) AS sw
+        FROM binned GROUP BY f, bin, y
+    ),
+    e1 AS (
+        SELECT cand.f, cand.t, cand.p,
+               sum(CASE WHEN (CASE WHEN cand.p = 1 THEN c.bin >= cand.t
+                                   ELSE c.bin < cand.t END) <> (c.y = 1)
+                        THEN c.sw ELSE 0 END) AS err
+        FROM cand JOIN c1 c ON c.f = cand.f
+        GROUP BY cand.f, cand.t, cand.p
+    ),
+    s1 AS (SELECT f, t, p, CAST(err AS BIGINT) AS err
+           FROM e1 ORDER BY err, f, t, p LIMIT 1),
+    p1 AS (
+        SELECT b.vec_id, b.y,
+               CASE WHEN (s.p = 1 AND b.bin >= s.t)
+                      OR (s.p = -1 AND b.bin < s.t)
+                    THEN 1 ELSE 0 END AS pp
+        FROM binned b JOIN s1 s ON b.f = s.f
+    ),
+    m1 AS (SELECT vec_id, y, pp,
+                  CASE WHEN pp <> y THEN 1 ELSE 0 END AS m FROM p1),
+    acc1 AS (SELECT CAST(count(*) FILTER (WHERE pp = y) AS BIGINT)
+                 AS n_correct FROM m1),
+    c2 AS (
+        SELECT b.f, b.bin, b.y,
+               CAST(sum(CASE WHEN m1.m = 1 THEN 2 ELSE 1 END) AS BIGINT)
+                   AS sw
+        FROM binned b JOIN m1 ON m1.vec_id = b.vec_id
+        GROUP BY b.f, b.bin, b.y
+    ),
+    e2 AS (
+        SELECT cand.f, cand.t, cand.p,
+               sum(CASE WHEN (CASE WHEN cand.p = 1 THEN c.bin >= cand.t
+                                   ELSE c.bin < cand.t END) <> (c.y = 1)
+                        THEN c.sw ELSE 0 END) AS err
+        FROM cand JOIN c2 c ON c.f = cand.f
+        GROUP BY cand.f, cand.t, cand.p
+    ),
+    s2 AS (SELECT f, t, p, CAST(err AS BIGINT) AS err
+           FROM e2 ORDER BY err, f, t, p LIMIT 1),
+    p2 AS (
+        SELECT b.vec_id, b.y,
+               CASE WHEN (s.p = 1 AND b.bin >= s.t)
+                      OR (s.p = -1 AND b.bin < s.t)
+                    THEN 1 ELSE 0 END AS pp
+        FROM binned b JOIN s2 s ON b.f = s.f
+    ),
+    m2 AS (SELECT vec_id, y, pp,
+                  CASE WHEN pp <> y THEN 1 ELSE 0 END AS m FROM p2),
+    acc2 AS (
+        SELECT CAST(count(*) FILTER (
+                   WHERE (CASE WHEN (2 * a.pp - 1) + (2 * b.pp - 1) > 0
+                               THEN 1 ELSE 0 END) = a.y) AS BIGINT)
+            AS n_correct
+        FROM p1 a JOIN p2 b USING (vec_id)
+    ),
+    c3 AS (
+        SELECT b.f, b.bin, b.y,
+               CAST(sum((CASE WHEN m1.m = 1 THEN 2 ELSE 1 END)
+                        * (CASE WHEN m2.m = 1 THEN 2 ELSE 1 END))
+                    AS BIGINT) AS sw
+        FROM binned b
+        JOIN m1 ON m1.vec_id = b.vec_id
+        JOIN m2 ON m2.vec_id = b.vec_id
+        GROUP BY b.f, b.bin, b.y
+    ),
+    e3 AS (
+        SELECT cand.f, cand.t, cand.p,
+               sum(CASE WHEN (CASE WHEN cand.p = 1 THEN c.bin >= cand.t
+                                   ELSE c.bin < cand.t END) <> (c.y = 1)
+                        THEN c.sw ELSE 0 END) AS err
+        FROM cand JOIN c3 c ON c.f = cand.f
+        GROUP BY cand.f, cand.t, cand.p
+    ),
+    s3 AS (SELECT f, t, p, CAST(err AS BIGINT) AS err
+           FROM e3 ORDER BY err, f, t, p LIMIT 1),
+    p3 AS (
+        SELECT b.vec_id, b.y,
+               CASE WHEN (s.p = 1 AND b.bin >= s.t)
+                      OR (s.p = -1 AND b.bin < s.t)
+                    THEN 1 ELSE 0 END AS pp
+        FROM binned b JOIN s3 s ON b.f = s.f
+    ),
+    acc3 AS (
+        SELECT CAST(count(*) FILTER (
+                   WHERE (CASE WHEN (2 * a.pp - 1) + (2 * b.pp - 1)
+                                    + (2 * c.pp - 1) > 0
+                               THEN 1 ELSE 0 END) = a.y) AS BIGINT)
+            AS n_correct
+        FROM p1 a JOIN p2 b USING (vec_id) JOIN p3 c USING (vec_id)
+    )
+    SELECT CAST(1 AS INT) AS round, CAST(s1.f AS INT) AS feature,
+           CAST(s1.t AS INT) AS thr_bin, CAST(s1.p AS INT) AS polarity,
+           s1.err AS weighted_err, acc1.n_correct
+    FROM s1 CROSS JOIN acc1
+    UNION ALL
+    SELECT CAST(2 AS INT), CAST(s2.f AS INT), CAST(s2.t AS INT),
+           CAST(s2.p AS INT), s2.err, acc2.n_correct
+    FROM s2 CROSS JOIN acc2
+    UNION ALL
+    SELECT CAST(3 AS INT), CAST(s3.f AS INT), CAST(s3.t AS INT),
+           CAST(s3.p AS INT), s3.err, acc3.n_correct
+    FROM s3 CROSS JOIN acc3
+    ORDER BY round
 """

@@ -112,5 +112,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "semdedup_base",
     )
     centroids = train_kmeans(base, K_CLUSTERS, N_ITER)
+    if not centroids:  # empty corpus: schema-stable empty result
+        return emb.sparkSession.createDataFrame(
+            [], "cluster int, n_vectors bigint, n_kept bigint, n_dropped bigint"
+        )
     assigned = _assign(base, centroids)
     return semantic_dedup_stats(assigned, TAU).orderBy("cluster")

@@ -26,6 +26,8 @@ query realizes; see SURVEY.md §2 for the full mapping.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from lexam_data_pipeline_spark.catalog import load_table
@@ -4088,9 +4090,11 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revs")
     )
     a, b = F.lit(0.2), F.lit(0.1)
+    # try_element_at: a <2-month series seeds (null, null) and yields
+    # null forecasts instead of an ANSI array-index error
     seed = F.array(
-        F.element_at("revs", 2),
-        F.element_at("revs", 2) - F.element_at("revs", 1),
+        F.try_element_at("revs", F.lit(2)),
+        F.try_element_at("revs", F.lit(2)) - F.try_element_at("revs", F.lit(1)),
     )
 
     def step(acc, x):
@@ -4390,9 +4394,13 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         - s1 * (s1 * s2y - s1y * s2)
         + sy * (s1 * s12 - s11 * s2)
     )
-    b0, b1, b2 = d0 / det, d1 / det, d2 / det
+    # nullif guards: a singular system (degenerate group of 1-2 rows)
+    # yields null coefficients instead of an ANSI divide-by-zero; on
+    # real groups det/sst are nonzero so values are bit-identical
+    safe_det = F.nullif(det, F.lit(0.0))
+    b0, b1, b2 = d0 / safe_det, d1 / safe_det, d2 / safe_det
     sse = syy - b0 * sy - b1 * s1y - b2 * s2y
-    sst = syy - sy * sy / n
+    sst = F.nullif(syy - sy * sy / n, F.lit(0.0))
     return m.select(
         "l_returnflag",
         F.col("n").cast("bigint").alias("n_rows"),
@@ -4465,7 +4473,9 @@ def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_matched").cast("bigint"),
                 (
                     F.col("n_matched").cast("double")
-                    / F.col("n_child_distinct").cast("double")
+                    / F.nullif(
+                        F.col("n_child_distinct").cast("double"), F.lit(0.0)
+                    )
                 ).alias("containment"),
                 (F.col("n_matched") == F.col("n_child_distinct")).alias(
                     "is_fk"
@@ -4841,4 +4851,238 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("novelty").asc(), F.col("doc_id").asc())
         .limit(20)
+    )
+
+
+#: Fixed-point scale shared by the information-theoretic keys: per-term
+#: ``floor(SCALE · x)`` BIGINTs sum exactly in any order, so the only
+#: engine-sensitive op is ``ln`` itself (platform libm on both sides —
+#: the portability argument established for the NB weight table,
+#: ml/nb.py module docstring).
+ENTROPY_SCALE = 1_000_000
+
+
+def _entropy_profile(df: DataFrame, table: str, cols: tuple[str, ...]) -> DataFrame:
+    """Per-column Shannon entropy via ONE scan of the table: ``stack``
+    unpivots the profiled columns, a single (column, value)-count
+    aggregate feeds every per-column profile.
+
+    ``H_bits = (ln N − Σ floor(1e6·n_i·ln n_i)/1e6/N) / ln 2`` — the
+    inner sum is exact BIGINT arithmetic (order-independent), the outer
+    expression is a handful of deterministic double ops."""
+    pairs = ", ".join(f"'{c}', {c}" for c in cols)
+    unpivoted = df.selectExpr(
+        f"stack({len(cols)}, {pairs}) AS (column_name, v)"
+    )
+    counts = unpivoted.groupBy("column_name", "v").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    term = F.floor(
+        F.lit(float(ENTROPY_SCALE)) * F.col("n").cast("double") * F.log("n")
+    ).cast("bigint")
+    return counts.groupBy("column_name").agg(
+        F.lit(table).alias("table_name"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_share"),
+        F.round(
+            (
+                F.log(F.sum("n").cast("double"))
+                - F.sum(term) / F.lit(float(ENTROPY_SCALE)) / F.sum("n")
+            )
+            / F.lit(math.log(2.0)),
+            6,
+        ).alias("entropy_bits"),
+    ).select(
+        "table_name", "column_name", "n_rows", "n_distinct",
+        "top_share", "entropy_bits",
+    )
+
+
+def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-content profile of the catalog's categorical columns
+    (the data-catalog companion to :func:`q_table_profile`): per column —
+    row count, exact distinct count, majority share, and Shannon entropy
+    in bits.  Low-entropy / high-top-share columns are the constant-ish
+    candidates a pipeline drops or dictionary-encodes; entropy also ranks
+    stratification keys for :func:`q_sample_stratified`-style splits.
+
+    Engine-portable despite ``ln``: each per-value term is floored to a
+    scaled BIGINT before summing (exact, order-independent — the ml/nb.py
+    tactic), and the closing expression is division-and-log on exact
+    aggregates only.
+
+    Scale: ONE scan per table (``stack`` unpivots the profiled columns
+    in-map), one map-side-combinable (column, value)-count aggregate —
+    the shuffle carries |distinct| rows per column, nothing else; the
+    three per-table profiles run as one union job."""
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    parts = [
+        _entropy_profile(docs, "documents", ("lang", "source")),
+        _entropy_profile(orders, "orders", ("o_orderstatus", "o_orderpriority")),
+        _entropy_profile(events, "events", ("event_type",)),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name", "column_name")
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (bits) between document language and source —
+    the feature-relevance / leakage probe run before stratifying or
+    mixing a corpus (is `source` informative about `lang`?), plus both
+    marginal entropies and the normalized MI ``mi / min(H_a, H_b)``.
+
+    Exactness: joint and marginal counts are exact integers; each joint
+    cell contributes ``floor(1e6 · n_ab · ln(n_ab·N / (n_a·n_b)))`` — the
+    log argument is a ratio of exactly-representable int64 products, the
+    floored terms sum exactly, and the final conversion is a fixed
+    handful of double ops (see ml/nb.py for the libm-portability
+    argument).
+
+    Scale: the corpus contributes exactly ONE (a, b)-pair count
+    aggregate (map-side combinable); the |langs| × |sources| cell table
+    is the sufficient statistic and lands on the driver (bounded by
+    construction — the ml/nb.py posture), where marginals and the
+    floor-scaled terms finish in exact integer arithmetic.  Final
+    rounding happens in a Spark expression so the established
+    F.round/DuckDB round parity path applies."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.groupBy(F.col("lang").alias("a"), F.col("source").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .collect()
+    )
+    schema = (
+        "n_rows bigint, n_cells bigint, _mi double, _ha double, "
+        "_hb double, _nmi double"
+    )
+    n = sum(r["n_ab"] for r in cells)
+    if n == 0:  # degenerate empty corpus: schema-stable empty result
+        row = spark.createDataFrame([], schema)
+        return row.select(
+            "n_rows",
+            "n_cells",
+            F.col("_mi").alias("mi_bits"),
+            F.col("_ha").alias("h_lang_bits"),
+            F.col("_hb").alias("h_source_bits"),
+            F.col("_nmi").alias("normalized_mi"),
+        )
+    ma: dict[str, int] = {}
+    mb: dict[str, int] = {}
+    for r in cells:
+        ma[r["a"]] = ma.get(r["a"], 0) + r["n_ab"]
+        mb[r["b"]] = mb.get(r["b"], 0) + r["n_ab"]
+    s_mi = sum(
+        math.floor(
+            float(ENTROPY_SCALE)
+            * r["n_ab"]
+            * math.log((r["n_ab"] * n) / (ma[r["a"]] * mb[r["b"]]))
+        )
+        for r in cells
+    )
+    ent = lambda m: (  # noqa: E731 — local formula, not an API
+        math.log(n)
+        - sum(
+            math.floor(float(ENTROPY_SCALE) * c * math.log(c))
+            for c in m.values()
+        )
+        / float(ENTROPY_SCALE)
+        / n
+    ) / math.log(2.0)
+    mi = s_mi / float(ENTROPY_SCALE) / n / math.log(2.0)
+    ha, hb = ent(ma), ent(mb)
+    # constant column(s): min entropy 0 → normalized MI undefined (null)
+    nmi = mi / min(ha, hb) if min(ha, hb) > 0.0 else None
+    row = spark.createDataFrame([(n, len(cells), mi, ha, hb, nmi)], schema)
+    return row.select(
+        "n_rows",
+        "n_cells",
+        F.round("_mi", 6).alias("mi_bits"),
+        F.round("_ha", 6).alias("h_lang_bits"),
+        F.round("_hb", 6).alias("h_source_bits"),
+        F.round("_nmi", 6).alias("normalized_mi"),
+    )
+
+
+#: NDCG cutoff.
+NDCG_K = 10
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per nation for the ranking "top customers by account
+    balance", graded by realized activity (order count) — the standard
+    listwise ranking-quality metric (Järvelin & Kekäläinen 2002), here
+    auditing how well a static score (acctbal) predicts engagement.
+
+    Engine-portable: relevance grades and rank positions are exact
+    integers; the irrational discounts ``1/log2(i+1)`` are pre-floored
+    to scaled BIGINTs ``D_i = floor(1e6·ln 2 / ln(i+1))`` (driver-side
+    math.log here, ln() in the oracle — same platform libm, the ml/nb.py
+    argument), so DCG and IDCG are exact integer dot products and the
+    single float op is the final ratio.
+
+    Scale: the ranking is a per-nation top-K window over customers
+    (25 groups); relevance joins from a pre-aggregated per-customer
+    order count (grouped BEFORE the join, so the join is K-rows-per-
+    nation vs an aggregate, not a fact-table fan-out)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    discounts = [
+        (i, math.floor(ENTROPY_SCALE * math.log(2.0) / math.log(i + 1.0)))
+        for i in range(1, NDCG_K + 1)
+    ]
+    ddf = spark.createDataFrame(discounts, "rank int, d long")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    topk = (
+        customer.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= NDCG_K)
+        .select("c_nationkey", "c_custkey", "rank")
+    )
+    rel = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("rel"))
+    graded = topk.join(
+        rel, topk.c_custkey == rel.o_custkey, "left"
+    ).select(
+        "c_nationkey",
+        "rank",
+        F.coalesce(F.col("rel"), F.lit(0)).cast("bigint").alias("rel"),
+    )
+    iw = Window.partitionBy("c_nationkey").orderBy(
+        F.col("rel").desc(), F.col("rank").asc()
+    )
+    ideal = graded.withColumn("irank", F.row_number().over(iw))
+    scored = (
+        ideal.join(F.broadcast(ddf), "rank")
+        .join(
+            F.broadcast(ddf.select(F.col("rank").alias("irank"), F.col("d").alias("id"))),
+            "irank",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.col("rel") * F.col("d")).cast("bigint").alias("dcg_scaled"),
+            F.sum(F.col("rel") * F.col("id")).cast("bigint").alias("idcg_scaled"),
+        )
+    )
+    return (
+        scored.join(
+            F.broadcast(nation),
+            scored.c_nationkey == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            "dcg_scaled",
+            "idcg_scaled",
+            F.round(
+                F.col("dcg_scaled")
+                / F.nullif(F.col("idcg_scaled"), F.lit(0)).cast("double"),
+                6,
+            ).alias("ndcg"),
+        )
+        .orderBy("n_name")
     )

@@ -2625,3 +2625,128 @@ CORE_ORACLES["q_ngram_novelty"] = """
     ORDER BY novelty ASC, doc_id ASC
     LIMIT 20
 """
+
+
+# Per-column Shannon entropy with the floor-scaled BIGINT term trick
+# (ml/nb.py portability argument): 1000000.0 * n * ln(n) must keep the
+# Spark expression's left-assoc multiplication order.
+_ENTROPY_COL = """
+    SELECT '{table}' AS table_name, '{col}' AS column_name,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_share,
+           round((ln(CAST(sum(n) AS DOUBLE))
+                  - sum(CAST(floor(1000000.0 * n * ln(CAST(n AS DOUBLE)))
+                             AS BIGINT)) / 1000000.0 / sum(n))
+                 / ln(2), 6) AS entropy_bits
+    FROM (SELECT {col} AS v, count(*) AS n FROM {table} GROUP BY {col})
+"""
+
+CORE_ORACLES["q_column_entropy"] = (
+    " UNION ALL ".join(
+        _ENTROPY_COL.format(table=t, col=c)
+        for t, c in (
+            ("documents", "lang"),
+            ("documents", "source"),
+            ("orders", "o_orderstatus"),
+            ("orders", "o_orderpriority"),
+            ("events", "event_type"),
+        )
+    )
+    + " ORDER BY table_name, column_name"
+)
+
+
+# Mutual information lang x source, floor-scaled joint terms; the final
+# divisions replicate the Spark expression's left-assoc order
+# (s / 1e6 / N / ln 2).
+CORE_ORACLES["q_mutual_information"] = """
+    WITH cells AS (
+        SELECT lang AS a, source AS b, count(*) AS n_ab
+        FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT sum(n_ab) AS n FROM cells),
+    ma AS (SELECT a, sum(n_ab) AS n_a FROM cells GROUP BY a),
+    mb AS (SELECT b, sum(n_ab) AS n_b FROM cells GROUP BY b),
+    j AS (
+        SELECT c.n_ab, m.n_a, k.n_b, t.n
+        FROM cells c JOIN ma m USING (a) JOIN mb k USING (b)
+        CROSS JOIN tot t
+    ),
+    mi AS (
+        SELECT any_value(n) AS n_rows, count(*) AS n_cells,
+               sum(CAST(floor(1000000.0 * n_ab *
+                       ln(CAST(n_ab * n AS DOUBLE)
+                          / CAST(n_a * n_b AS DOUBLE))) AS BIGINT)) AS s
+        FROM j
+    ),
+    ha AS (
+        SELECT (ln(CAST(t.n AS DOUBLE))
+                - sum(CAST(floor(1000000.0 * n_a * ln(CAST(n_a AS DOUBLE)))
+                           AS BIGINT)) / 1000000.0 / t.n) / ln(2) AS h
+        FROM ma CROSS JOIN tot t GROUP BY t.n
+    ),
+    hb AS (
+        SELECT (ln(CAST(t.n AS DOUBLE))
+                - sum(CAST(floor(1000000.0 * n_b * ln(CAST(n_b AS DOUBLE)))
+                           AS BIGINT)) / 1000000.0 / t.n) / ln(2) AS h
+        FROM mb CROSS JOIN tot t GROUP BY t.n
+    )
+    SELECT CAST(mi.n_rows AS BIGINT) AS n_rows,
+           CAST(mi.n_cells AS BIGINT) AS n_cells,
+           round(mi.s / 1000000.0 / mi.n_rows / ln(2), 6) AS mi_bits,
+           round(ha.h, 6) AS h_lang_bits,
+           round(hb.h, 6) AS h_source_bits,
+           round((mi.s / 1000000.0 / mi.n_rows / ln(2))
+                 / least(ha.h, hb.h), 6) AS normalized_mi
+    FROM mi CROSS JOIN ha CROSS JOIN hb
+"""
+
+
+# NDCG@10 per nation; the discount table recomputes the SAME
+# floor(1e6·ln2/ln(i+1)) fixed-point rule the Spark side builds with
+# driver math.log (platform libm on both sides).
+CORE_ORACLES["q_ndcg_eval"] = """
+    WITH rel AS (
+        SELECT o_custkey, count(*) AS rel FROM orders GROUP BY o_custkey
+    ),
+    topk AS (
+        SELECT c_nationkey, c_custkey,
+               row_number() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey ASC
+               ) AS rank
+        FROM customer
+        QUALIFY rank <= 10
+    ),
+    graded AS (
+        SELECT t.c_nationkey, t.rank,
+               CAST(COALESCE(r.rel, 0) AS BIGINT) AS rel
+        FROM topk t LEFT JOIN rel r ON r.o_custkey = t.c_custkey
+    ),
+    ideal AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY c_nationkey ORDER BY rel DESC, rank ASC
+        ) AS irank
+        FROM graded
+    ),
+    d AS (
+        SELECT i AS rank,
+               CAST(floor(1000000.0 * ln(2) / ln(i + 1)) AS BIGINT) AS d
+        FROM generate_series(1, 10) gs(i)
+    ),
+    scored AS (
+        SELECT c_nationkey,
+               CAST(sum(rel * d1.d) AS BIGINT) AS dcg_scaled,
+               CAST(sum(rel * d2.d) AS BIGINT) AS idcg_scaled
+        FROM ideal
+        JOIN d d1 ON d1.rank = ideal.rank
+        JOIN d d2 ON d2.rank = ideal.irank
+        GROUP BY c_nationkey
+    )
+    SELECT n_name, dcg_scaled, idcg_scaled,
+           round(CAST(dcg_scaled AS DOUBLE) / nullif(idcg_scaled, 0), 6)
+               AS ndcg
+    FROM scored JOIN nation ON n_nationkey = c_nationkey
+    ORDER BY n_name
+"""

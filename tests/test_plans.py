@@ -455,3 +455,27 @@ def test_nb_weight_table_is_broadcast(spark, sf_small):
     broadcast; the corpus's only wide exchanges are its aggregates."""
     plan = _plan(QUERIES["q_nb_classifier"](spark, sf_small))
     assert "BroadcastHashJoin" in plan
+
+
+def test_ndcg_discount_table_broadcast(spark, sf_small):
+    """The 10-row discount table and the nation dim arrive via
+    broadcast; relevance is pre-aggregated before the join (no
+    customer×orders fan-out)."""
+    plan = _plan(QUERIES["q_ndcg_eval"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mutual_information_sufficient_stats_split(spark, sf_small):
+    """The corpus contributes exactly one cell aggregate (collected at
+    query-build time); the RETURNED plan is a local projection with no
+    parquet rescans and no join of any kind."""
+    plan = _plan(QUERIES["q_mutual_information"](spark, sf_small))
+    assert plan.count("Scan parquet") == 0
+    assert "Join" not in plan
+
+
+def test_column_entropy_one_scan_per_table(spark, sf_small):
+    """stack-unpivot profiling: three tables, exactly three scans."""
+    plan = _plan(QUERIES["q_column_entropy"](spark, sf_small))
+    assert plan.count("Scan parquet") == 3

@@ -131,6 +131,10 @@ PROBES = [
     "q_isotonic_calibration",
     "q_ngram_novelty",
     "q_nb_classifier",
+    "q_column_entropy",
+    "q_mutual_information",
+    "q_ndcg_eval",
+    "q_boosted_stumps",
 ]
 
 OFFSETS = {
