@@ -193,6 +193,9 @@ def main() -> None:
         "q_mutual_information",
         "q_ndcg_eval",
         "q_boosted_stumps",
+        "q_js_divergence",
+        "q_split_audit",
+        "q_compression_ratio",
         "q_multimodal_features",
     ):
         if extra in queries and extra not in names:

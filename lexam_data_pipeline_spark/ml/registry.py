@@ -46,6 +46,7 @@ from lexam_data_pipeline_spark.ml.kmeans import q_kmeans_clusters
 from lexam_data_pipeline_spark.ml.lm import q_lm_surprisal
 from lexam_data_pipeline_spark.ml.logreg import q_logreg_quality
 from lexam_data_pipeline_spark.ml.boost import q_boosted_stumps
+from lexam_data_pipeline_spark.ml.compress import q_compression_ratio
 from lexam_data_pipeline_spark.ml.nb import q_nb_classifier
 from lexam_data_pipeline_spark.ml.pca import q_pca_variance
 from lexam_data_pipeline_spark.ml.semdedup import q_semantic_dedup
@@ -129,6 +130,7 @@ ML_QUERIES = {
     "q_dsir_select": q_dsir_select,
     "q_nb_classifier": q_nb_classifier,
     "q_boosted_stumps": q_boosted_stumps,
+    "q_compression_ratio": q_compression_ratio,
 }
 
 _SHINGLES = """

@@ -5086,3 +5086,111 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence (bits) between each source's language
+    distribution and the corpus-wide one — the bounded, symmetric drift
+    score run between ingest batches / data sources before mixing (the
+    information-theoretic upgrade of :func:`q_chi_square`: JSD is finite
+    even when a source lacks a language entirely).
+
+    Exactness: all distributions are exact integer counts; each term is
+    ``floor(1e6 · c · ln(ratio-of-int64-products))`` — floored BIGINTs
+    sum exactly in any order, and the closing expression is a fixed
+    handful of double ops (the ml/nb.py libm-portability argument).
+
+    Scale: ONE (source, lang)-pair count aggregate; the bounded cell
+    table is the sufficient statistic and finishes on the driver (the
+    :func:`q_mutual_information` posture)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.groupBy(F.col("source").alias("s"), F.col("lang").alias("l"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    schema = "source string, n_docs bigint, _jsd double"
+    if not cells:
+        return spark.createDataFrame([], schema).select(
+            "source", "n_docs", F.col("_jsd").alias("jsd_bits")
+        )
+    counts = {(r["s"], r["l"]): r["c"] for r in cells}
+    a_tot: dict[str, int] = {}
+    b_tot: dict[str, int] = {}
+    for (s, l), c in counts.items():
+        a_tot[s] = a_tot.get(s, 0) + c
+        b_tot[l] = b_tot.get(l, 0) + c
+    bb = sum(b_tot.values())
+    rows = []
+    for s in sorted(a_tot):
+        a = a_tot[s]
+        sp = sq = 0
+        for l, b in b_tot.items():
+            cab = counts.get((s, l), 0)
+            denom = cab * bb + b * a
+            if cab > 0:
+                sp += math.floor(
+                    1000000.0 * cab * math.log((2 * cab * bb) / denom)
+                )
+            if b > 0:
+                sq += math.floor(
+                    1000000.0 * b * math.log((2 * b * a) / denom)
+                )
+        jsd = (sp / 1000000.0 / a + sq / 1000000.0 / bb) / 2 / math.log(2.0)
+        rows.append((s, a, jsd))
+    return (
+        spark.createDataFrame(rows, schema)
+        .select("source", "n_docs", F.round("_jsd", 6).alias("jsd_bits"))
+        .orderBy("source")
+    )
+
+
+def q_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split audit: apply the engine-portable md5-threshold
+    split rule (the :func:`q_ngram_novelty` split) and report, per
+    (split, language) — counts, within-split share, the expected count
+    under independence, and the chi-square contribution — the leakage /
+    stratification-skew check run on every holdout before trusting eval
+    numbers on it.
+
+    Counts are exact integers; expected counts and contributions are
+    single deterministic double expressions over exact aggregates (the
+    :func:`q_chi_square` tactic — no libm at all).
+
+    Scale: one (split, lang) count aggregate; marginals are window sums
+    over the tiny contingency table, never a second corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+        < "80000000",
+        "train",
+    ).otherwise("test")
+    cells = docs.groupBy(
+        split.alias("split"), F.col("lang").alias("lang")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_split = Window.partitionBy("split")
+    w_lang = Window.partitionBy("lang")
+    w_all = Window.partitionBy()
+    with_m = cells.select(
+        "split",
+        "lang",
+        "n",
+        F.sum("n").over(w_split).alias("n_split"),
+        F.sum("n").over(w_lang).alias("n_lang"),
+        F.sum("n").over(w_all).alias("n_total"),
+    )
+    expected = (
+        F.col("n_split").cast("double")
+        * F.col("n_lang").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    return with_m.select(
+        "split",
+        "lang",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("n_split"), 6).alias("share_in_split"),
+        F.round(expected, 6).alias("expected"),
+        F.round(
+            (F.col("n") - expected) * (F.col("n") - expected) / expected, 6
+        ).alias("chi2_contrib"),
+    ).orderBy("split", "lang")

@@ -2750,3 +2750,71 @@ CORE_ORACLES["q_ndcg_eval"] = """
     FROM scored JOIN nation ON n_nationkey = c_nationkey
     ORDER BY n_name
 """
+
+
+# Jensen–Shannon drift per source, mirrored op-for-op: integer product
+# ratios inside ln, floor-scaled BIGINT term sums, and the same
+# left-assoc closing division chain.
+CORE_ORACLES["q_js_divergence"] = """
+    WITH cells AS (
+        SELECT source AS s, lang AS l, count(*) AS c
+        FROM documents GROUP BY source, lang
+    ),
+    a_tot AS (SELECT s, sum(c) AS a FROM cells GROUP BY s),
+    b_tot AS (SELECT l, sum(c) AS b FROM cells GROUP BY l),
+    tot AS (SELECT sum(c) AS bb FROM cells),
+    grid AS (
+        SELECT at.s, at.a, bt.l, bt.b, COALESCE(c.c, 0) AS cab, t.bb
+        FROM a_tot at
+        CROSS JOIN b_tot bt
+        LEFT JOIN cells c ON c.s = at.s AND c.l = bt.l
+        CROSS JOIN tot t
+    ),
+    terms AS (
+        SELECT s, a, bb,
+               sum(CASE WHEN cab > 0 THEN
+                   CAST(floor(1000000.0 * cab *
+                        ln(CAST(2 * cab * bb AS DOUBLE)
+                           / CAST(cab * bb + b * a AS DOUBLE)))
+                        AS BIGINT) ELSE 0 END) AS sp,
+               sum(CASE WHEN b > 0 THEN
+                   CAST(floor(1000000.0 * b *
+                        ln(CAST(2 * b * a AS DOUBLE)
+                           / CAST(cab * bb + b * a AS DOUBLE)))
+                        AS BIGINT) ELSE 0 END) AS sq
+        FROM grid GROUP BY s, a, bb
+    )
+    SELECT s AS source, CAST(a AS BIGINT) AS n_docs,
+           round((sp / 1000000.0 / a + sq / 1000000.0 / bb) / 2 / ln(2), 6)
+               AS jsd_bits
+    FROM terms ORDER BY source
+"""
+
+
+# Split audit: md5-threshold split, contingency marginals, chi-square
+# contributions — all exact integers + one double expression per row.
+CORE_ORACLES["q_split_audit"] = """
+    WITH cells AS (
+        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '80000000'
+                    THEN 'train' ELSE 'test' END AS split,
+               lang, count(*) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT split, lang, n,
+               sum(n) OVER (PARTITION BY split) AS n_split,
+               sum(n) OVER (PARTITION BY lang) AS n_lang,
+               sum(n) OVER () AS n_total
+        FROM cells
+    )
+    SELECT split, lang, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / n_split, 6) AS share_in_split,
+           round(CAST(n_split AS DOUBLE) * n_lang / n_total, 6) AS expected,
+           round((n - CAST(n_split AS DOUBLE) * n_lang / n_total)
+                 * (n - CAST(n_split AS DOUBLE) * n_lang / n_total)
+                 / (CAST(n_split AS DOUBLE) * n_lang / n_total), 6)
+               AS chi2_contrib
+    FROM m
+    ORDER BY split, lang
+"""

@@ -17,7 +17,11 @@ from lexam_data_pipeline_spark.plans.registry import build_queries
 QUERIES = build_queries()
 
 #: queries whose plans legitimately contain an Arrow Python stage
-PYTHON_STAGES = {"q_multimodal_features", "q_dedup_embedding_blocked"}
+PYTHON_STAGES = {
+    "q_multimodal_features",
+    "q_dedup_embedding_blocked",
+    "q_compression_ratio",  # zlib kernel is the declared Python stage
+}
 
 
 def _plan(df) -> str:
@@ -479,3 +483,19 @@ def test_column_entropy_one_scan_per_table(spark, sf_small):
     """stack-unpivot profiling: three tables, exactly three scans."""
     plan = _plan(QUERIES["q_column_entropy"](spark, sf_small))
     assert plan.count("Scan parquet") == 3
+
+
+def test_split_audit_single_contingency_aggregate(spark, sf_small):
+    """One corpus scan feeds the (split, lang) aggregate; marginals are
+    window sums over the tiny cell table — no second scan, no join."""
+    plan = _plan(QUERIES["q_split_audit"](spark, sf_small))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_js_divergence_sufficient_stats_split(spark, sf_small):
+    """Like q_mutual_information: the returned plan is a local
+    projection — the corpus contributed one collected cell aggregate."""
+    plan = _plan(QUERIES["q_js_divergence"](spark, sf_small))
+    assert plan.count("Scan parquet") == 0
+    assert "Join" not in plan

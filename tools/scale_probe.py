@@ -135,6 +135,9 @@ PROBES = [
     "q_mutual_information",
     "q_ndcg_eval",
     "q_boosted_stumps",
+    "q_js_divergence",
+    "q_split_audit",
+    "q_compression_ratio",
 ]
 
 OFFSETS = {
