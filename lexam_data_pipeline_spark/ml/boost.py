@@ -62,11 +62,24 @@ def _binned_vectors(emb: DataFrame) -> DataFrame:
     bin 0).  All float ops are comparisons and one division chain on
     exactly-representable float32→double values — no accumulation, so
     the binning is deterministic and engine-portable."""
-    feats = emb.select(
-        "vec_id",
-        (F.col("label") >= BOOST_LABEL_SPLIT).cast("int").alias("y"),
-        F.posexplode(F.slice("embedding", 1, BOOST_FEATURES)).alias("f", "xf"),
-    ).withColumn("x", F.col("xf").cast("double"))
+    feats = (
+        emb
+        # vectors shorter than the feature width can't fill a bin row
+        # per feature (element_at on the short bv would be an ANSI
+        # error); NULL labels map to the negative class exactly like
+        # the oracle's CASE WHEN
+        .where(F.size("embedding") >= BOOST_FEATURES)
+        .select(
+            "vec_id",
+            F.when(F.col("label") >= BOOST_LABEL_SPLIT, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("y"),
+            F.posexplode(
+                F.slice("embedding", 1, BOOST_FEATURES)
+            ).alias("f", "xf"),
+        )
+        .withColumn("x", F.col("xf").cast("double"))
+    )
     stats = feats.groupBy("f").agg(
         F.min("x").alias("mn"), F.max("x").alias("mx")
     )

@@ -33,6 +33,8 @@ def compression_stats(docs: DataFrame) -> DataFrame:
     """Per-document exact byte counts: ``doc_id, source, raw_bytes,
     comp_bytes`` (UTF-8 length and zlib-level-6 compressed length)."""
 
+    level = ZLIB_LEVEL  # captured by value; kernel stays self-contained
+
     def kernel(batches):
         import zlib
 
@@ -43,7 +45,7 @@ def compression_stats(docs: DataFrame) -> DataFrame:
             for text in pdf["text"]:
                 data = (text or "").encode("utf-8")
                 raw.append(len(data))
-                comp.append(len(zlib.compress(data, 6)))
+                comp.append(len(zlib.compress(data, level)))
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -56,8 +56,16 @@ def train_nb(docs: DataFrame) -> tuple[list[tuple[str, int]], list[tuple[str, st
     toks = _bucketed_tokens(docs)
     class_rows = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).collect()
     n_total = sum(r["n_docs"] for r in class_rows)
+    # float() each operand BEFORE dividing to mirror the oracle's
+    # CAST(... AS DOUBLE)/CAST(... AS DOUBLE): past 2^53 Python's exact
+    # int division and double division differ by 1 ulp
     priors = [
-        (r["lang"], math.floor(NB_SCALE * math.log(r["n_docs"] / n_total)))
+        (
+            r["lang"],
+            math.floor(
+                NB_SCALE * math.log(float(r["n_docs"]) / float(n_total))
+            ),
+        )
         for r in class_rows
     ]
     cnt_rows = (
@@ -74,7 +82,13 @@ def train_nb(docs: DataFrame) -> tuple[list[tuple[str, int]], list[tuple[str, st
             b = format(bi, "02x")
             n_bc = counts.get((lang, b), 0)
             weights.append(
-                (lang, b, math.floor(NB_SCALE * math.log((n_bc + 1) / denom)))
+                (
+                    lang,
+                    b,
+                    math.floor(
+                        NB_SCALE * math.log(float(n_bc + 1) / float(denom))
+                    ),
+                )
             )
     return priors, weights
 

@@ -1178,11 +1178,11 @@ ML_ORACLES["q_nb_classifier"] = """
         SELECT c.lang AS cand, printf('%02x', gs.i) AS b,
                CAST(floor(1000000 * ln(
                    CAST(COALESCE(n.n, 0) + 1 AS DOUBLE)
-                   / CAST(tt.t + 256 AS DOUBLE)
+                   / CAST(COALESCE(tt.t, 0) + 256 AS DOUBLE)
                )) AS BIGINT) AS w
         FROM cls c
         CROSS JOIN generate_series(0, 255) gs(i)
-        JOIN tok_tot tt ON tt.lang = c.lang
+        LEFT JOIN tok_tot tt ON tt.lang = c.lang
         LEFT JOIN cnts n ON n.lang = c.lang AND n.b = printf('%02x', gs.i)
     ),
     scores AS (
@@ -1220,6 +1220,7 @@ ML_ORACLES["q_boosted_stumps"] = """
                gs.f AS f,
                CAST(embedding[gs.f + 1] AS DOUBLE) AS x
         FROM embeddings CROSS JOIN generate_series(0, 7) gs(f)
+        WHERE len(embedding) >= 8
     ),
     stats AS (SELECT f, min(x) AS mn, max(x) AS mx FROM base GROUP BY f),
     binned AS (

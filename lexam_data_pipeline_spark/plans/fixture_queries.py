@@ -4938,10 +4938,13 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: joint and marginal counts are exact integers; each joint
     cell contributes ``floor(1e6 · n_ab · ln(n_ab·N / (n_a·n_b)))`` — the
-    log argument is a ratio of exactly-representable int64 products, the
-    floored terms sum exactly, and the final conversion is a fixed
-    handful of double ops (see ml/nb.py for the libm-portability
-    argument).
+    log argument divides the int64 products AS DOUBLES on both sides
+    (``float()`` here, ``CAST(... AS DOUBLE)`` in the oracle, identical
+    rounding even past 2^53), the floored terms sum exactly, and the
+    final conversion is a fixed handful of double ops (see ml/nb.py for
+    the libm-portability argument).  Count products must stay under
+    int64 (9.2e18) — the oracle's BIGINT multiply overflows first and
+    loudly.
 
     Scale: the corpus contributes exactly ONE (a, b)-pair count
     aggregate (map-side combinable); the |langs| × |sources| cell table
@@ -4976,11 +4979,16 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in cells:
         ma[r["a"]] = ma.get(r["a"], 0) + r["n_ab"]
         mb[r["b"]] = mb.get(r["b"], 0) + r["n_ab"]
+    # float() each product BEFORE dividing to mirror the oracle's
+    # CAST(... AS DOUBLE)/CAST(... AS DOUBLE): past 2^53 Python's exact
+    # int division and double division differ by 1 ulp
     s_mi = sum(
         math.floor(
             float(ENTROPY_SCALE)
             * r["n_ab"]
-            * math.log((r["n_ab"] * n) / (ma[r["a"]] * mb[r["b"]]))
+            * math.log(
+                float(r["n_ab"] * n) / float(ma[r["a"]] * mb[r["b"]])
+            )
         )
         for r in cells
     )
@@ -5128,15 +5136,23 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         for l, b in b_tot.items():
             cab = counts.get((s, l), 0)
             denom = cab * bb + b * a
+            # float() before dividing mirrors the oracle's double casts
+            # (1-ulp parity past 2^53); scale is the shared ENTROPY_SCALE
             if cab > 0:
                 sp += math.floor(
-                    1000000.0 * cab * math.log((2 * cab * bb) / denom)
+                    float(ENTROPY_SCALE)
+                    * cab
+                    * math.log(float(2 * cab * bb) / float(denom))
                 )
             if b > 0:
                 sq += math.floor(
-                    1000000.0 * b * math.log((2 * b * a) / denom)
+                    float(ENTROPY_SCALE)
+                    * b
+                    * math.log(float(2 * b * a) / float(denom))
                 )
-        jsd = (sp / 1000000.0 / a + sq / 1000000.0 / bb) / 2 / math.log(2.0)
+        jsd = (
+            sp / float(ENTROPY_SCALE) / a + sq / float(ENTROPY_SCALE) / bb
+        ) / 2 / math.log(2.0)
         rows.append((s, a, jsd))
     return (
         spark.createDataFrame(rows, schema)

@@ -115,9 +115,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_compression_ratio —
     # register OUTSIDE the window this round: every
     # in-window key above has never had a driver row either, so nothing
-    # can cede a slot without losing its own first check.  All seven are
-    # oracle-checked in CORRECTNESS_SELF at sf0.01+sf0.1 and queue for
-    # the round-5 window.)
+    # can cede a slot without losing its own first check.  All of these
+    # are verified in CORRECTNESS_SELF at sf0.01+sf0.1 — hash-match for
+    # the oracled ones; rows-only with pytest oracles for
+    # q_isotonic_calibration / q_compression_ratio and the declared
+    # float-sum ML keys — and queue for the round-5 window.)
     # (q_hll_intersection / q_session_stats / q_lorenz_deciles ceded
     # their slots to the batch-7 keys above — each is the second
     # in-window representative of a family that keeps one

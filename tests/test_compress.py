@@ -12,6 +12,7 @@ import zlib
 
 from lexam_data_pipeline_spark.catalog import load_table
 from lexam_data_pipeline_spark.ml.compress import (
+    ZLIB_LEVEL,
     compression_stats,
     q_compression_ratio,
 )
@@ -24,7 +25,7 @@ def test_matches_driver_recompute(spark, sf_small):
     exp: dict[str, list[int]] = {}
     for r in docs:
         data = (r["text"] or "").encode("utf-8")
-        raw, comp = len(data), len(zlib.compress(data, 6))
+        raw, comp = len(data), len(zlib.compress(data, ZLIB_LEVEL))
         agg = exp.setdefault(r["source"], [0, 0, 0, 0])
         agg[0] += 1
         agg[1] += raw
@@ -50,4 +51,4 @@ def test_per_document_counts_exact(spark, sf_small):
     sample = docs.select("doc_id", "text").limit(50).collect()
     for r in sample:
         data = (r["text"] or "").encode("utf-8")
-        assert got[r["doc_id"]] == (len(data), len(zlib.compress(data, 6)))
+        assert got[r["doc_id"]] == (len(data), len(zlib.compress(data, ZLIB_LEVEL)))

@@ -36,29 +36,45 @@ def bins(spark, sf_small):
     return n, pos
 
 
-def _numpy_pav(n, pos):
-    """Classic PAV with float block means (weights = bin counts)."""
-    blocks = [[i, i, int(n[i]), int(pos[i])] for i in range(len(n)) if n[i]]
-    out = []
-    for blk in blocks:
-        out.append(blk)
-        while len(out) > 1 and out[-2][3] * out[-1][2] > out[-1][3] * out[-2][2]:
-            b = out.pop()
-            out[-1][1] = b[1]
-            out[-1][2] += b[2]
-            out[-1][3] += b[3]
+def _independent_pav(n, pos):
+    """Independent PAV formulation: REPEATED FULL SCANS merging the
+    first adjacent violator (compared with exact ``Fraction`` rates)
+    until the sequence is monotone — a different control flow from the
+    production single-pass cascade (the isotonic solution is unique, so
+    both must land on identical pools)."""
+    from fractions import Fraction
+
+    blocks = [
+        {"bins": [i], "n": int(n[i]), "pos": int(pos[i])}
+        for i in range(len(n))
+        if n[i]
+    ]
+    while True:
+        for i in range(len(blocks) - 1):
+            r_left = Fraction(blocks[i]["pos"], blocks[i]["n"])
+            r_right = Fraction(blocks[i + 1]["pos"], blocks[i + 1]["n"])
+            if r_left > r_right:
+                blocks[i] = {
+                    "bins": blocks[i]["bins"] + blocks[i + 1]["bins"],
+                    "n": blocks[i]["n"] + blocks[i + 1]["n"],
+                    "pos": blocks[i]["pos"] + blocks[i + 1]["pos"],
+                }
+                del blocks[i + 1]
+                break
+        else:
+            break
     rates = {}
     pools = {}
-    for pid, (f, l, nn, pp) in enumerate(out):
-        for i in range(f, l + 1):
-            rates[i] = pp / nn
+    for pid, blk in enumerate(blocks):
+        for i in blk["bins"]:
+            rates[i] = blk["pos"] / blk["n"]
             pools[i] = pid
     return rates, pools
 
 
 def test_matches_numpy_pav(spark, sf_small, bins):
     n, pos = bins
-    rates, pools = _numpy_pav(n, pos)
+    rates, pools = _independent_pav(n, pos)
     got = q_isotonic_calibration(spark, sf_small).collect()
     assert len(got) == sum(1 for x in n if x)
     for r in got:

@@ -447,11 +447,15 @@ def test_item_similarity_hot_items_broadcast(spark, sf_small):
 
 def test_ngram_novelty_takeordered_and_distinct_train(spark, sf_small):
     """Top-20 least-novel docs is a TakeOrdered (no global sort of the
-    shingle table) and the train side is DISTINCT-reduced (HashAggregate)
-    before the membership join."""
+    shingle table) and the train side is DISTINCT-reduced before the
+    membership join — pinned as a function-free HashAggregate keyed on
+    the shingle hash alone (the final per-doc groupBy can't satisfy
+    this pattern, so dropping the .distinct() fails the test)."""
+    import re
+
     plan = _plan(QUERIES["q_ngram_novelty"](spark, sf_small))
     assert "TakeOrderedAndProject" in plan
-    assert "HashAggregate" in plan
+    assert re.search(r"HashAggregate\(keys=\[sh#\d+\], functions=\[\]", plan)
 
 
 def test_nb_weight_table_is_broadcast(spark, sf_small):
