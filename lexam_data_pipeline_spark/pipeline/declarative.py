@@ -80,10 +80,16 @@ def _decontaminate(df: DataFrame, spec: dict) -> DataFrame:
 
 def _dedup_neardup(df: DataFrame, spec: dict) -> DataFrame:
     """Near-duplicate removal via MinHash-LSH: candidate pairs above the
-    estimated-Jaccard threshold, then greedy keep-earliest — any doc with
-    an earlier near-duplicate (it appears as the pair's doc_id_b) is
-    dropped by one anti-join.  The banded-LSH 100 TB dedup path as a
-    declarative stage (exact variant: ``dedup_exact``)."""
+    estimated-Jaccard threshold, then ONE anti-join dropping every doc
+    that has ANY earlier near-duplicate (it appears as a pair's
+    doc_id_b) — deliberately a superset of greedy keep-earliest: in a
+    chain A~B, B~C (A≁C), greedy would re-admit C once B is gone, while
+    this rule also drops C.  The one-pass superset is the standard
+    at-scale trade (greedy needs iterative chain resolution ≈ connected
+    components; ``ml.dedup.dedup_clusters`` provides that when exact
+    keep-one-per-cluster semantics are required).  The banded-LSH
+    100 TB dedup path as a declarative stage (exact variant:
+    ``dedup_exact``)."""
     from lexam_data_pipeline_spark.ml.dedup import minhash_lsh_candidate_pairs
 
     id_col = spec.get("id_col", "doc_id")

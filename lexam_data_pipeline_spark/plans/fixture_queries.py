@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from lexam_data_pipeline_spark.catalog import load_table
 
@@ -441,6 +441,26 @@ def q_events_sessionless_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The 30-minute session gap in microseconds — THE session boundary rule
+#: shared by every sessionized key (q_sessionize, q_peak_concurrency,
+#: q_top_paths, q_abandoned_carts) via :func:`_session_id`.
+SESSION_GAP_US = 1800 * 1000000
+
+
+def _session_id() -> Column:
+    """Cumulative session id within (user_id, ts order): increments when
+    the gap to the previous event exceeds :data:`SESSION_GAP_US`.  ONE
+    definition so the keys documented as sharing \"the same sessions\"
+    cannot silently fork boundary semantics."""
+    w_user = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w_user)
+    )
+    return F.sum(
+        F.when(gap_us > SESSION_GAP_US, 1).otherwise(0)
+    ).over(w_user.rowsBetween(Window.unboundedPreceding, 0))
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via lag + cumulative flag (the batch
     equivalent of ``F.session_window``; 30-minute gap).
@@ -450,7 +470,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    is_new = F.when(gap_us > 1800 * 1000000, 1).otherwise(0)
+    is_new = F.when(gap_us > SESSION_GAP_US, 1).otherwise(0)
     return (
         ev.withColumn("is_new", is_new)
         .groupBy("user_id")
@@ -2431,8 +2451,11 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The distribution-vs-distribution drift test a corpus pipeline runs
     between ingest batches.  Shuffles: one groupBy on the (segment,
-    priority) pair; the marginals are window sums over the tiny
-    contingency table."""
+    priority) pair; the bounded |segs|×|prios| cell table is the
+    sufficient statistic and finishes on the driver over the FULL grid —
+    including zero-count cells, whose ``(0−e)²/e = e`` terms a
+    cells-only sum silently drops, understating the statistic exactly
+    when a category empties out (the drift most worth catching)."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     cells = (
@@ -2442,28 +2465,32 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("prio"),
         )
         .agg(F.count(F.lit(1)).alias("o"))
+        .collect()
     )
-    w_seg = Window.partitionBy("seg")
-    w_prio = Window.partitionBy("prio")
-    w_all = Window.partitionBy()
-    with_marginals = (
-        cells.withColumn("row_n", F.sum("o").over(w_seg))
-        .withColumn("col_n", F.sum("o").over(w_prio))
-        .withColumn("n", F.sum("o").over(w_all))
+    counts = {(r["seg"], r["prio"]): r["o"] for r in cells}
+    row_tot: dict[str, int] = {}
+    col_tot: dict[str, int] = {}
+    for (s, p), o in counts.items():
+        row_tot[s] = row_tot.get(s, 0) + o
+        col_tot[p] = col_tot.get(p, 0) + o
+    n = sum(row_tot.values())
+    # each grid cell's term is one fixed IEEE expression (float() before
+    # dividing mirrors the oracle's BIGINT→DOUBLE division), floor-scaled
+    # ×1e6 to int64 BEFORE the sum so order cannot perturb the statistic
+    s_chi = 0
+    for s in row_tot:
+        for p in col_tot:
+            o = counts.get((s, p), 0)
+            e = float(row_tot[s] * col_tot[p]) / float(n)
+            s_chi += math.floor(((o - e) * (o - e) / e) * 1000000.0)
+    row = spark.createDataFrame(
+        [(s_chi, (len(row_tot) - 1) * (len(col_tot) - 1), n)],
+        "_s bigint, dof bigint, n bigint",
     )
-    # each cell's term is one fixed IEEE expression (bit-equal across
-    # engines), floor-scaled ×1e6 to int64 BEFORE the sum so aggregation
-    # order cannot perturb the statistic (the repo's standard tactic)
-    e = (F.col("row_n") * F.col("col_n")) / F.col("n")
-    term = (F.col("o") - e) * (F.col("o") - e) / e
-    term_scaled = F.floor(term * F.lit(1000000.0)).cast("bigint")
-    return with_marginals.agg(
-        F.round(F.sum(term_scaled) / F.lit(1000000.0), 4).alias("chi2"),
-        (
-            (F.count_distinct("seg") - F.lit(1))
-            * (F.count_distinct("prio") - F.lit(1))
-        ).cast("bigint").alias("dof"),
-        F.max("n").cast("bigint").alias("n"),
+    return row.select(
+        F.round(F.col("_s") / F.lit(1000000.0), 4).alias("chi2"),
+        "dof",
+        "n",
     )
 
 
@@ -2592,7 +2619,13 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     One map + one 10-group partial aggregate: no shuffle pressure at
     any scale."""
     orders = load_table(spark, sf_dir, "orders")
-    h = F.pmod(F.col("o_orderkey") * F.lit(CALIB_MULT), F.lit(CALIB_MOD))
+    # reduce mod CALIB_MOD BEFORE multiplying: (a·m) mod p == ((a mod p)·m)
+    # mod p, and the reduced product tops out at ~2.7e15 — no int64 wrap
+    # at any orderkey scale (the unreduced product overflows past ~3.5e9)
+    h = F.pmod(
+        F.pmod(F.col("o_orderkey"), F.lit(CALIB_MOD)) * F.lit(CALIB_MULT),
+        F.lit(CALIB_MOD),
+    )
     scored = orders.select(
         h.alias("h"),
         (F.col("o_orderstatus") == "F").cast("int").alias("label"),
@@ -2715,10 +2748,13 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly stickiness: average daily-active-users over the week
-    divided by weekly-active-users — the exact-count twin of the
-    q_hll_merge_windows sketch rollup (same rollup lattice, COUNT
+    """Weekly stickiness: average daily-active-users over the week's
+    ACTIVE days divided by weekly-active-users — the exact-count twin of
+    the q_hll_merge_windows sketch rollup (same rollup lattice, COUNT
     DISTINCT instead of HLL) and the standard engagement ratio.
+    Averaging over active days (not a fixed 7) keeps partial first/last
+    weeks comparable; a calendar-day denominator is one
+    ``F.lit(7)`` swap if fixed-week semantics are wanted.
 
     Two distinct aggregates sharing one shuffle lineage on (day, user):
     dedup to active (day, user) pairs once, then day and week rollups
@@ -2779,11 +2815,7 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ml/curation.pack_sequences``.
     """
     ev = load_table(spark, sf_dir, "events")
-    w_user = Window.partitionBy("user_id").orderBy("ts")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_user))
-    sid = F.sum(F.when(gap_us > 1800 * 1000000, 1).otherwise(0)).over(
-        w_user.rowsBetween(Window.unboundedPreceding, 0)
-    )
+    sid = _session_id()
     intervals = (
         ev.select("user_id", "ts")
         .withColumn("sid", sid)
@@ -2804,10 +2836,28 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.max("lvl").alias("max_in_day"), F.sum("delta").alias("day_total"))
     )
-    w_spine = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
-    return per_day.select(
+    # full day spine: a day with NO boundary deltas can still carry live
+    # multi-day sessions, and a day whose only delta is an end peaked at
+    # the carry-in level BEFORE it — so peak(day) = carry_in +
+    # greatest(max within-day prefix, 0), over every day in range
+    bounds = per_day.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    full = spine.join(per_day, "day", "left").select(
         "day",
-        (F.coalesce(F.sum("day_total").over(w_spine), F.lit(0)) + F.col("max_in_day"))
+        F.coalesce(F.col("day_total"), F.lit(0)).alias("day_total"),
+        F.coalesce(F.col("max_in_day"), F.lit(0)).alias("max_in_day"),
+    )
+    w_spine = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    return full.select(
+        "day",
+        (
+            F.coalesce(F.sum("day_total").over(w_spine), F.lit(0))
+            + F.greatest(F.col("max_in_day"), F.lit(0))
+        )
         .cast("bigint")
         .alias("peak_concurrent"),
     )
@@ -2976,11 +3026,7 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "signup", F.lit("s"))
         .otherwise(F.lit("e"))
     )
-    w_user = Window.partitionBy("user_id").orderBy("ts")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_user))
-    sid = F.sum(F.when(gap_us > 1800 * 1000000, 1).otherwise(0)).over(
-        w_user.rowsBetween(Window.unboundedPreceding, 0)
-    )
+    sid = _session_id()
     paths = (
         ev.select("user_id", "ts", "event_id", code.alias("code"))
         .withColumn("sid", sid)
@@ -3319,11 +3365,7 @@ def q_abandoned_carts(spark: SparkSession, sf_dir: str) -> DataFrame:
     One sessionize window + one per-session aggregate + a 1-row rollup;
     value stays exact integer cents until the output."""
     ev = load_table(spark, sf_dir, "events")
-    w_user = Window.partitionBy("user_id").orderBy("ts")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_user))
-    sid = F.sum(F.when(gap_us > 1800 * 1000000, 1).otherwise(0)).over(
-        w_user.rowsBetween(Window.unboundedPreceding, 0)
-    )
+    sid = _session_id()
     sessions = (
         ev.withColumn("sid", sid)
         .groupBy("user_id", "sid")
@@ -3970,6 +4012,43 @@ def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 BASKET_MAX_ITEMS = 20
 
 
+def _capped_baskets(li: DataFrame) -> DataFrame:
+    """(l_orderkey, parts): sorted distinct parts per order, capped at
+    :data:`BASKET_MAX_ITEMS` — the basket builder shared by
+    :func:`q_basket_pairs` and :func:`q_item_similarity` (one
+    definition so the cap/sort semantics can't fork)."""
+    return li.groupBy("l_orderkey").agg(
+        F.slice(
+            F.array_sort(F.collect_set("l_partkey")), 1, BASKET_MAX_ITEMS
+        ).alias("parts")
+    )
+
+
+def _undirected_basket_pairs(baskets: DataFrame) -> DataFrame:
+    """(lo, hi, pair_n): per-basket nested-``transform`` pair fan-out +
+    ONE map-side-combined aggregate — O(basket²) per order with
+    basket ≤ :data:`BASKET_MAX_ITEMS`, linear in orders, never a
+    fact-table self-join.  Shared by the market-basket keys."""
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("parts"),
+                    i + 2,
+                    F.greatest(F.size("parts") - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("lo"), y.alias("hi")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.lo").alias("lo"), F.col("p.hi").alias("hi"))
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+    )
+
+
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over line items: directional
     part-pair rules a→b ranked by confidence, with support and lift —
@@ -3988,34 +4067,13 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs pair-table × item-counts (AQE-broadcast at fixture scale) and
     the final top-20 is a TakeOrdered."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.slice(
-            F.array_sort(F.collect_set("l_partkey")), 1, BASKET_MAX_ITEMS
-        ).alias("parts")
-    )
+    baskets = _capped_baskets(li)
     n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     items = baskets.select(
         "l_orderkey", F.explode("parts").alias("part")
     )
     item_n = items.groupBy("part").agg(F.count(F.lit(1)).alias("part_n"))
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("parts"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("parts"),
-                    i + 2,
-                    F.greatest(F.size("parts") - i - 1, F.lit(0)),
-                ),
-                lambda y: F.struct(x.alias("lo"), y.alias("hi")),
-            ),
-        )
-    )
-    undirected = (
-        baskets.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.lo").alias("lo"), F.col("p.hi").alias("hi"))
-        .agg(F.count(F.lit(1)).alias("pair_n"))
-    )
+    undirected = _undirected_basket_pairs(baskets)
     directional = undirected.select(
         F.col("lo").alias("a"), F.col("hi").alias("b"), "pair_n"
     ).unionByName(
@@ -4615,34 +4673,13 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the per-item top-k is a bounded window over ≤ 20
     partitions AFTER the semi-join cuts the pair table down."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.slice(
-            F.array_sort(F.collect_set("l_partkey")), 1, BASKET_MAX_ITEMS
-        ).alias("parts")
-    )
+    baskets = _capped_baskets(li)
     items = baskets.select("l_orderkey", F.explode("parts").alias("part"))
     item_n = items.groupBy("part").agg(F.count(F.lit(1)).alias("item_n"))
     hot = item_n.orderBy(
         F.col("item_n").desc(), F.col("part").asc()
     ).limit(ITEM_SIM_TOP_ITEMS)
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("parts"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("parts"),
-                    i + 2,
-                    F.greatest(F.size("parts") - i - 1, F.lit(0)),
-                ),
-                lambda y: F.struct(x.alias("lo"), y.alias("hi")),
-            ),
-        )
-    )
-    undirected = (
-        baskets.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.lo").alias("lo"), F.col("p.hi").alias("hi"))
-        .agg(F.count(F.lit(1)).alias("pair_n"))
-    )
+    undirected = _undirected_basket_pairs(baskets)
     directed = undirected.select(
         F.col("lo").alias("item"), F.col("hi").alias("neighbor"), "pair_n"
     ).unionByName(
@@ -4721,7 +4758,10 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent numpy PAV on the same bins must agree exactly, and the
     output must be monotone with pool means preserving block totals."""
     orders = load_table(spark, sf_dir, "orders")
-    h = F.pmod(F.col("o_orderkey") * F.lit(CALIB_MULT), F.lit(CALIB_MOD))
+    h = F.pmod(
+        F.pmod(F.col("o_orderkey"), F.lit(CALIB_MOD)) * F.lit(CALIB_MULT),
+        F.lit(CALIB_MOD),
+    )
     binned = orders.select(
         h.alias("h"),
         (F.col("o_orderstatus") == "F").cast("bigint").alias("label"),

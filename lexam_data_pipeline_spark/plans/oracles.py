@@ -1224,12 +1224,16 @@ CORE_ORACLES["q_chi_square"] = """
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1, 2
     ),
-    m AS (
-        SELECT seg, prio, o,
-               sum(o) OVER (PARTITION BY seg) AS row_n,
-               sum(o) OVER (PARTITION BY prio) AS col_n,
-               sum(o) OVER () AS n
-        FROM cells
+    rows AS (SELECT seg, sum(o) AS row_n FROM cells GROUP BY seg),
+    cols AS (SELECT prio, sum(o) AS col_n FROM cells GROUP BY prio),
+    tot AS (SELECT sum(o) AS n FROM cells),
+    grid AS (
+        SELECT r.seg, c.prio, r.row_n, c.col_n, t.n,
+               COALESCE(cl.o, 0) AS o
+        FROM rows r
+        CROSS JOIN cols c
+        LEFT JOIN cells cl ON cl.seg = r.seg AND cl.prio = c.prio
+        CROSS JOIN tot t
     )
     SELECT round(sum(CAST(floor(
                ((o - (row_n * col_n) / n) * (o - (row_n * col_n) / n)
@@ -1237,7 +1241,7 @@ CORE_ORACLES["q_chi_square"] = """
                4) AS chi2,
            CAST((count(DISTINCT seg) - 1) * (count(DISTINCT prio) - 1) AS BIGINT) AS dof,
            CAST(max(n) AS BIGINT) AS n
-    FROM m
+    FROM grid
 """
 
 
@@ -1331,7 +1335,7 @@ CORE_ORACLES["q_snapshot_diff"] = """
 # divisions (mirrors the Spark build exactly).
 CORE_ORACLES["q_calibration_bins"] = """
     WITH scored AS (
-        SELECT (o_orderkey * 2654435761) % 1000003 AS h,
+        SELECT ((o_orderkey % 1000003) * 2654435761) % 1000003 AS h,
                CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
         FROM orders
     ),
@@ -1439,14 +1443,33 @@ CORE_ORACLES["q_peak_concurrency"] = """
         UNION ALL
         SELECT end_ts AS ts, -1 AS delta FROM intervals
     ),
-    levels AS (
-        SELECT ts, sum(delta) OVER (ORDER BY ts, delta DESC
+    per_day AS (
+        SELECT day, max(lvl) AS max_in_day, sum(delta) AS day_total
+        FROM (
+            SELECT date_trunc('day', ts) AS day, delta,
+                   sum(delta) OVER (PARTITION BY date_trunc('day', ts)
+                                    ORDER BY ts, delta DESC
                                     ROWS UNBOUNDED PRECEDING) AS lvl
-        FROM deltas
+            FROM deltas
+        ) GROUP BY day
+    ),
+    bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM per_day),
+    spine AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM bounds
+    ),
+    filled AS (
+        SELECT s.day,
+               COALESCE(p.day_total, 0) AS day_total,
+               COALESCE(p.max_in_day, 0) AS max_in_day
+        FROM spine s LEFT JOIN per_day p ON p.day = s.day
     )
-    SELECT date_trunc('day', ts) AS day,
-           CAST(max(lvl) AS BIGINT) AS peak_concurrent
-    FROM levels GROUP BY 1
+    SELECT day,
+           CAST(COALESCE(sum(day_total) OVER (
+                    ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + greatest(max_in_day, 0) AS BIGINT) AS peak_concurrent
+    FROM filled
 """
 
 

@@ -29,7 +29,7 @@ def bins(spark, sf_small):
     n = np.zeros(ISO_BINS, dtype=np.int64)
     pos = np.zeros(ISO_BINS, dtype=np.int64)
     for r in rows:
-        h = (r["o_orderkey"] * CALIB_MULT) % CALIB_MOD
+        h = (r["o_orderkey"] % CALIB_MOD) * CALIB_MULT % CALIB_MOD
         b = (h * ISO_BINS) // CALIB_MOD
         n[b] += 1
         pos[b] += int(r["o_orderstatus"] == "F")

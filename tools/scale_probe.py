@@ -175,6 +175,9 @@ def build_scaled(spark) -> None:
 def main() -> None:
     probes = PROBES
     if len(sys.argv) > 1:  # optional key filter: scale_probe.py q_a q_b
+        unknown = [k for k in sys.argv[1:] if k not in PROBES]
+        if unknown:
+            sys.exit(f"unknown probe key(s): {unknown} — see PROBES")
         probes = [k for k in PROBES if k in sys.argv[1:]]
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
