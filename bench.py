@@ -196,6 +196,7 @@ def main() -> None:
         "q_js_divergence",
         "q_split_audit",
         "q_compression_ratio",
+        "q_random_projection",
         "q_multimodal_features",
     ):
         if extra in queries and extra not in names:

@@ -47,6 +47,7 @@ from lexam_data_pipeline_spark.ml.lm import q_lm_surprisal
 from lexam_data_pipeline_spark.ml.logreg import q_logreg_quality
 from lexam_data_pipeline_spark.ml.boost import q_boosted_stumps
 from lexam_data_pipeline_spark.ml.compress import q_compression_ratio
+from lexam_data_pipeline_spark.ml.rproj import q_random_projection
 from lexam_data_pipeline_spark.ml.nb import q_nb_classifier
 from lexam_data_pipeline_spark.ml.pca import q_pca_variance
 from lexam_data_pipeline_spark.ml.semdedup import q_semantic_dedup
@@ -131,6 +132,7 @@ ML_QUERIES = {
     "q_nb_classifier": q_nb_classifier,
     "q_boosted_stumps": q_boosted_stumps,
     "q_compression_ratio": q_compression_ratio,
+    "q_random_projection": q_random_projection,
 }
 
 _SHINGLES = """
@@ -1345,3 +1347,57 @@ ML_ORACLES["q_boosted_stumps"] = """
     FROM s3 CROSS JOIN acc3
     ORDER BY round
 """
+
+
+def _rproj_oracle_sql() -> str:
+    """Mirror of ml/rproj.q_random_projection: the SAME driver-side sign
+    matrix (rp_signs) baked in as literals, the SAME balanced-tree
+    parenthesization for every float sum, the SAME division chain."""
+    from lexam_data_pipeline_spark.ml.rproj import (
+        RP_DIM,
+        RP_K,
+        RP_PAIR_STEP,
+        rp_signs,
+    )
+
+    signs = rp_signs()
+    x_cols = ",\n               ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in range(RP_DIM)
+    )
+    y_cols = ",\n               ".join(
+        _balanced_sum_sql(
+            [
+                (f"x{i}" if signs[j][i] == 1 else f"(-x{i})")
+                for i in range(RP_DIM)
+            ]
+        )
+        + f" AS y{j}"
+        for j in range(RP_K)
+    )
+    orig = _balanced_sum_sql(
+        [f"((a.x{i} - b.x{i}) * (a.x{i} - b.x{i}))" for i in range(RP_DIM)]
+    )
+    proj = _balanced_sum_sql(
+        [f"((a.y{j} - b.y{j}) * (a.y{j} - b.y{j}))" for j in range(RP_K)]
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id,
+               {x_cols}
+        FROM embeddings WHERE len(embedding) >= {RP_DIM}
+    ),
+    proj AS (
+        SELECT *,
+               {y_cols}
+        FROM base
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round({orig}, 6) AS orig_d2,
+           round({proj}, 6) AS proj_d2,
+           round({proj} / nullif({RP_K}.0 * {orig}, 0), 6) AS jl_ratio
+    FROM proj a JOIN proj b ON b.vec_id = a.vec_id + {RP_PAIR_STEP}
+    ORDER BY a_id LIMIT 50
+"""
+
+
+ML_ORACLES["q_random_projection"] = _rproj_oracle_sql()

@@ -503,3 +503,12 @@ def test_js_divergence_sufficient_stats_split(spark, sf_small):
     plan = _plan(QUERIES["q_js_divergence"](spark, sf_small))
     assert plan.count("Scan parquet") == 0
     assert "Join" not in plan
+
+
+def test_random_projection_is_map_only_before_pair_join(spark, sf_small):
+    """The JL projection is literal-coefficient map work: no Exchange
+    below the pair join's own requirements beyond the join itself, no
+    Python stage, and the top-50 is a TakeOrdered."""
+    plan = _plan(QUERIES["q_random_projection"](spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan

@@ -138,6 +138,7 @@ PROBES = [
     "q_js_divergence",
     "q_split_audit",
     "q_compression_ratio",
+    "q_random_projection",
 ]
 
 OFFSETS = {
