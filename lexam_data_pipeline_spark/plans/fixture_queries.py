@@ -447,18 +447,26 @@ def q_events_sessionless_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_US = 1800 * 1000000
 
 
+def _session_is_new() -> Column:
+    """The per-event new-session flag (1 when the gap to the previous
+    event of the same user exceeds :data:`SESSION_GAP_US`) — THE one
+    definition of the boundary rule; :func:`_session_id` sums it."""
+    w_user = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w_user)
+    )
+    return F.when(gap_us > SESSION_GAP_US, 1).otherwise(0)
+
+
 def _session_id() -> Column:
     """Cumulative session id within (user_id, ts order): increments when
     the gap to the previous event exceeds :data:`SESSION_GAP_US`.  ONE
     definition so the keys documented as sharing \"the same sessions\"
     cannot silently fork boundary semantics."""
     w_user = Window.partitionBy("user_id").orderBy("ts")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
-        F.lag("ts").over(w_user)
+    return F.sum(_session_is_new()).over(
+        w_user.rowsBetween(Window.unboundedPreceding, 0)
     )
-    return F.sum(
-        F.when(gap_us > SESSION_GAP_US, 1).otherwise(0)
-    ).over(w_user.rowsBetween(Window.unboundedPreceding, 0))
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,11 +476,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale this is one shuffle on user_id with an in-partition sort —
     the same cost profile as the streaming state-store variant."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    is_new = F.when(gap_us > SESSION_GAP_US, 1).otherwise(0)
     return (
-        ev.withColumn("is_new", is_new)
+        ev.withColumn("is_new", _session_is_new())
         .groupBy("user_id")
         .agg((F.lit(1) + F.sum("is_new")).cast("bigint").alias("n_sessions"))
     )
@@ -2442,6 +2447,20 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cell_marginals(rows, key_a: str, key_b: str, val: str):
+    """(counts, a_tot, b_tot, n) from collected contingency rows — the
+    shared driver-side finish for every sufficient-statistic key
+    (:func:`q_chi_square`, :func:`q_mutual_information`,
+    :func:`q_js_divergence`), so boundary/parity fixes land once."""
+    counts = {(r[key_a], r[key_b]): r[val] for r in rows}
+    a_tot: dict = {}
+    b_tot: dict = {}
+    for (a, b), c in counts.items():
+        a_tot[a] = a_tot.get(a, 0) + c
+        b_tot[b] = b_tot.get(b, 0) + c
+    return counts, a_tot, b_tot, sum(a_tot.values())
+
+
 def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square test of independence between market segment and order
     priority: one contingency-table aggregate, then the statistic from
@@ -2467,13 +2486,12 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("o"))
         .collect()
     )
-    counts = {(r["seg"], r["prio"]): r["o"] for r in cells}
-    row_tot: dict[str, int] = {}
-    col_tot: dict[str, int] = {}
-    for (s, p), o in counts.items():
-        row_tot[s] = row_tot.get(s, 0) + o
-        col_tot[p] = col_tot.get(p, 0) + o
-    n = sum(row_tot.values())
+    schema = "_s bigint, dof bigint, n bigint"
+    counts, row_tot, col_tot, n = _cell_marginals(cells, "seg", "prio", "o")
+    if n == 0:  # degenerate empty join: schema-stable empty result
+        return spark.createDataFrame([], schema).select(
+            F.col("_s").cast("double").alias("chi2"), "dof", "n"
+        )
     # each grid cell's term is one fixed IEEE expression (float() before
     # dividing mirrors the oracle's BIGINT→DOUBLE division), floor-scaled
     # ×1e6 to int64 BEFORE the sum so order cannot perturb the statistic
@@ -2484,8 +2502,7 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             e = float(row_tot[s] * col_tot[p]) / float(n)
             s_chi += math.floor(((o - e) * (o - e) / e) * 1000000.0)
     row = spark.createDataFrame(
-        [(s_chi, (len(row_tot) - 1) * (len(col_tot) - 1), n)],
-        "_s bigint, dof bigint, n bigint",
+        [(s_chi, (len(row_tot) - 1) * (len(col_tot) - 1), n)], schema
     )
     return row.select(
         F.round(F.col("_s") / F.lit(1000000.0), 4).alias("chi2"),
@@ -5003,7 +5020,7 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, n_cells bigint, _mi double, _ha double, "
         "_hb double, _nmi double"
     )
-    n = sum(r["n_ab"] for r in cells)
+    counts, ma, mb, n = _cell_marginals(cells, "a", "b", "n_ab")
     if n == 0:  # degenerate empty corpus: schema-stable empty result
         row = spark.createDataFrame([], schema)
         return row.select(
@@ -5014,11 +5031,6 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_hb").alias("h_source_bits"),
             F.col("_nmi").alias("normalized_mi"),
         )
-    ma: dict[str, int] = {}
-    mb: dict[str, int] = {}
-    for r in cells:
-        ma[r["a"]] = ma.get(r["a"], 0) + r["n_ab"]
-        mb[r["b"]] = mb.get(r["b"], 0) + r["n_ab"]
     # float() each product BEFORE dividing to mirror the oracle's
     # CAST(... AS DOUBLE)/CAST(... AS DOUBLE): past 2^53 Python's exact
     # int division and double division differ by 1 ulp
@@ -5162,13 +5174,7 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], schema).select(
             "source", "n_docs", F.col("_jsd").alias("jsd_bits")
         )
-    counts = {(r["s"], r["l"]): r["c"] for r in cells}
-    a_tot: dict[str, int] = {}
-    b_tot: dict[str, int] = {}
-    for (s, l), c in counts.items():
-        a_tot[s] = a_tot.get(s, 0) + c
-        b_tot[l] = b_tot.get(l, 0) + c
-    bb = sum(b_tot.values())
+    counts, a_tot, b_tot, bb = _cell_marginals(cells, "s", "l", "c")
     rows = []
     for s in sorted(a_tot):
         a = a_tot[s]

@@ -53,15 +53,3 @@ def test_per_document_counts_exact(spark, sf_small):
         data = (r["text"] or "").encode("utf-8")
         assert got[r["doc_id"]] == (len(data), len(zlib.compress(data, ZLIB_LEVEL)))
 
-
-def test_random_projection_jl_concentration(spark, sf_small):
-    """Semantic sanity on top of the exact oracle: JL ratios are
-    positive and concentrate around 1 (the lemma's expectation)."""
-    from lexam_data_pipeline_spark.ml.rproj import q_random_projection
-
-    rows = q_random_projection(spark, sf_small).collect()
-    assert len(rows) == 50
-    ratios = [r["jl_ratio"] for r in rows]
-    assert all(x > 0 for x in ratios)
-    mean = sum(ratios) / len(ratios)
-    assert 0.5 < mean < 1.5

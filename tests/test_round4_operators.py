@@ -283,10 +283,17 @@ class TestChiSquare:
             row_n[r["c_mktsegment"]] += r["count"]
             col_n[r["o_orderpriority"]] += r["count"]
             n += r["count"]
+        # full-grid statistic: zero-count cells contribute (0-e)^2/e = e
+        observed = {
+            (r["c_mktsegment"], r["o_orderpriority"]): r["count"]
+            for r in cells
+        }
         chi2 = 0.0
-        for r in cells:
-            e = row_n[r["c_mktsegment"]] * col_n[r["o_orderpriority"]] / n
-            chi2 += (r["count"] - e) ** 2 / e
+        for seg in row_n:
+            for prio in col_n:
+                o = observed.get((seg, prio), 0)
+                e = row_n[seg] * col_n[prio] / n
+                chi2 += (o - e) ** 2 / e
         got = q_chi_square(spark, sf_oracle).collect()[0]
         assert abs(got["chi2"] - chi2) < 0.01  # floor-scaling slack ≤ n_cells/1e6
         assert got["dof"] == (len(row_n) - 1) * (len(col_n) - 1)
