@@ -160,6 +160,12 @@ def main() -> None:
         "q_window_funnel",
         "q_abandoned_carts",
         "q_table_profile",
+        "q_table_profile_approx",
+        "q_stratified_sample",
+        "q_trimmed_mean",
+        "q_spearman_corr",
+        "q_mannwhitney",
+        "q_ks_test",
         "q_rfm_segments",
         "q_linear_attribution",
         "q_mom_growth",

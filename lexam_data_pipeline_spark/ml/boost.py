@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from lexam_data_pipeline_spark.catalog import load_table
+from lexam_data_pipeline_spark.operators.guards import collect_bounded
 
 #: Leading embedding dimensions used as stump features.
 BOOST_FEATURES = 8
@@ -100,7 +101,13 @@ def _binned_vectors(emb: DataFrame) -> DataFrame:
         .cast("int")
         .alias("b"),
     )
-    return binned.groupBy("vec_id", "y").agg(
+    # collapse per (vec_id, y, f) BEFORE assembling bv: duplicate key
+    # rows (an all-duplicates corpus) would otherwise multiply
+    # collect_list's length past BOOST_FEATURES and overflow the
+    # collect_bounded guard downstream (identity on unique-keyed data —
+    # min of the one bin value; map-side combinable)
+    per_f = binned.groupBy("vec_id", "y", "f").agg(F.min("b").alias("b"))
+    return per_f.groupBy("vec_id", "y").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("f", "b"))),
             lambda s: s["b"],
@@ -164,11 +171,12 @@ def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _stump_pred_pos(sf_, st, sp) != (F.col("y") == 1),
                     F.lit(2),
                 ).otherwise(F.lit(1)).cast("bigint")
-            cells = (
+            cells = collect_bounded(
                 bv.select(wcol.alias("w"), "y", F.posexplode("bv").alias("f", "b"))
                 .groupBy("f", "b", "y")
-                .agg(F.sum("w").alias("sw"))
-                .collect()
+                .agg(F.sum("w").alias("sw")),
+                BOOST_FEATURES * BOOST_BINS * 2,
+                "boosted-stumps (feature, bin, y) weight table",
             )
             # per-class total weight: every vector appears once per
             # feature in the cells, so summing any single feature's

@@ -13,8 +13,9 @@ beyond the standard library:
   channel/quadrant feature extraction.
 * **PNG (8-bit, non-interlaced)** — stdlib ``zlib`` inflate + the five
   spec scanline filters (None/Sub/Up/Average/Paeth) with per-chunk CRC
-  verification; encoder can emit any filter type so tests exercise
-  every unfiltering path.
+  verification; gray/RGB/gray+alpha/RGBA plus color-type-3 palette
+  (PLTE lookup to RGB); encoder can emit any filter type and paletted
+  output so tests exercise every unfiltering path.
 * **JPEG (baseline DCT)** — full huffman entropy decode with tables
   read from the stream, interleaved MCUs with 1x/2x sampling factors,
   restart markers; matching 4:4:4 encoder (see the JPEG section header
@@ -173,8 +174,10 @@ def image_features(arr: np.ndarray) -> list[float]:
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-#: channels per PNG color type (8-bit depth only; no palette)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: bytes per pixel in the filtered stream, per PNG color type (8-bit
+#: depth only).  Type 3 (palette) carries 1 index byte per pixel; the
+#: PLTE lookup to RGB happens after unfiltering.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _png_chunks(payload: bytes):
@@ -219,6 +222,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("not a PNG")
     width = height = None
     channels = None
+    color = None
+    palette = None
     idat = bytearray()
     for ctype, data in _png_chunks(payload):
         if ctype == b"IHDR":
@@ -228,14 +233,24 @@ def decode_png(payload: bytes) -> np.ndarray:
             if depth != 8:
                 raise NotImplementedError(f"{depth}-bit PNG not supported")
             if color not in _PNG_CHANNELS:
-                raise NotImplementedError(f"PNG color type {color} (palette) not supported")
+                raise NotImplementedError(f"PNG color type {color} not supported")
             if interlace:
-                raise NotImplementedError("Adam7 interlacing not supported")
+                raise NotImplementedError(
+                    "Adam7 interlacing not supported (pass 7-way deinterlace "
+                    "is out of fixture-codec scope; re-encode progressive "
+                    "assets as non-interlaced)"
+                )
             channels = _PNG_CHANNELS[color]
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError("PNG PLTE length not a positive multiple of 3")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    if color == 3 and palette is None:
+        raise ValueError("paletted PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
     bpp = channels
     stride = width * bpp
@@ -271,23 +286,21 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"PNG filter type {ftype} invalid")
         out[y] = recon
         prev = recon
+    if color == 3:
+        idx = out.reshape(height, width)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        return palette[idx]  # (h, w, 3) RGB via PLTE lookup
     return out.reshape(height, width, channels)
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
-    """8-bit PNG encoder (inverse of :func:`decode_png`); ``filter_type``
-    selects the per-scanline filter so tests can exercise every
-    unfiltering path including Paeth."""
-    arr = np.asarray(arr, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    h, w, channels = arr.shape
-    color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
-    bpp = channels
-    flat = arr.reshape(h, w * bpp).astype(np.int32)
+def _png_filter_lines(flat: np.ndarray, bpp: int, filter_type: int) -> bytearray:
+    """Filtered scanline stream (filter byte + filtered bytes per row)
+    for an (h, w·bpp) int32 sample grid — shared by the truecolor and
+    palette encoders."""
     lines = bytearray()
-    prev = np.zeros(w * bpp, dtype=np.int32)
-    for y in range(h):
+    prev = np.zeros(flat.shape[1], dtype=np.int32)
+    for y in range(flat.shape[0]):
         recon = flat[y]
         left = np.zeros_like(recon)
         left[bpp:] = recon[:-bpp]
@@ -315,21 +328,62 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
         lines.append(filter_type)
         lines += (filt % 256).astype(np.uint8).tobytes()
         prev = recon
+    return lines
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """8-bit PNG encoder (inverse of :func:`decode_png`); ``filter_type``
+    selects the per-scanline filter so tests can exercise every
+    unfiltering path including Paeth."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, channels = arr.shape
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    bpp = channels
+    flat = arr.reshape(h, w * bpp).astype(np.int32)
+    lines = _png_filter_lines(flat, bpp, filter_type)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
     return (
         PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(lines)))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    indices: np.ndarray, palette: np.ndarray, filter_type: int = 0
+) -> bytes:
+    """Color-type-3 PNG encoder: an (h, w) uint8 index grid plus an
+    (n ≤ 256, 3) RGB palette → paletted PNG whose :func:`decode_png`
+    roundtrip is ``palette[indices]``."""
+    indices = np.asarray(indices, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if indices.ndim != 2:
+        raise ValueError("palette indices must be (h, w)")
+    if palette.ndim != 2 or palette.shape[1] != 3 or not 1 <= len(palette) <= 256:
+        raise ValueError("palette must be (1..256, 3) RGB")
+    if int(indices.max(initial=0)) >= len(palette):
+        raise ValueError("palette index out of range")
+    h, w = indices.shape
+    lines = _png_filter_lines(indices.reshape(h, w).astype(np.int32), 1, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
     )
 
 

@@ -95,7 +95,8 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
 def media_table_real(docs: DataFrame) -> DataFrame:
     """Media table whose payloads are REAL decodable formats, synthesized
     deterministically from each document's bytes: image rows carry an
-    8×8 PNG (Paeth-filtered so decode exercises the full filter path)
+    8×8 PNG (Paeth-filtered so decode exercises the full filter path),
+    a paletted color-type-3 PNG (PLTE lookup path),
     or a baseline JPEG (huffman + IDCT path), audio rows a 16-bit PCM
     WAV, video rows a PPM frame.  This makes the
     whole multimodal tier run with ``deterministic_fake=False`` — every
@@ -113,6 +114,7 @@ def media_table_real(docs: DataFrame) -> DataFrame:
 
     cloudpickle.register_pickle_by_value(media_codecs)
     _enc_png = media_codecs.encode_png
+    _enc_png_pal = media_codecs.encode_png_palette
     _enc_wav = media_codecs.encode_wav
     _enc_ppm = media_codecs.encode_ppm
     _enc_jpeg = media_codecs.encode_jpeg
@@ -124,6 +126,11 @@ def media_table_real(docs: DataFrame) -> DataFrame:
         def synth(doc_id, raw):
             # 192 deterministic bytes derived from the text
             seed = np.frombuffer((raw * (192 // max(len(raw), 1) + 1))[:192], dtype=np.uint8)
+            if doc_id % 8 == 4:  # image: 8x8 paletted (color-type-3) PNG
+                return (
+                    _enc_png_pal(seed[:64].reshape(8, 8) % 16, seed[64:112].reshape(16, 3)),
+                    "image",
+                )
             if doc_id % 4 == 0:  # image: 8x8 RGB PNG, Paeth filter
                 return _enc_png(seed.reshape(8, 8, 3), filter_type=4), "image"
             if doc_id % 4 == 1:  # audio: 96-sample 16-bit mono WAV

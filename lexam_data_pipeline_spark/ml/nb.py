@@ -39,9 +39,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, Window
 
 from lexam_data_pipeline_spark.catalog import load_table
 from lexam_data_pipeline_spark.ml.dsir import _bucketed_tokens
+from lexam_data_pipeline_spark.operators.guards import collect_bounded
 
 #: Number of hash buckets (md5 first-2-hex); the smoothing denominator.
 NB_BUCKETS = 256
+
+#: Ceiling on the label domain: the driver-side model is
+#: O(classes × NB_BUCKETS) and is only broadcast-sized while the label
+#: column is a genuine class label, not an id.  Enforced loudly via
+#: collect_bounded (round-4 verdict item 3).
+MAX_NB_CLASSES = 1_000
 
 #: Fixed-point scale for log-probabilities.
 NB_SCALE = 1_000_000
@@ -54,7 +61,11 @@ def train_nb(docs: DataFrame) -> tuple[list[tuple[str, int]], list[tuple[str, st
     The collect is bounded: |classes| class rows + |classes| × 256
     count rows."""
     toks = _bucketed_tokens(docs)
-    class_rows = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).collect()
+    class_rows = collect_bounded(
+        docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")),
+        MAX_NB_CLASSES,
+        "train_nb class-count table",
+    )
     n_total = sum(r["n_docs"] for r in class_rows)
     # float() each operand BEFORE dividing to mirror the oracle's
     # CAST(... AS DOUBLE)/CAST(... AS DOUBLE): past 2^53 Python's exact
@@ -68,8 +79,10 @@ def train_nb(docs: DataFrame) -> tuple[list[tuple[str, int]], list[tuple[str, st
         )
         for r in class_rows
     ]
-    cnt_rows = (
-        toks.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("n")).collect()
+    cnt_rows = collect_bounded(
+        toks.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("n")),
+        MAX_NB_CLASSES * NB_BUCKETS,
+        "train_nb (class, bucket) count table",
     )
     tok_totals: dict[str, int] = {}
     for r in cnt_rows:

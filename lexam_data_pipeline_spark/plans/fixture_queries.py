@@ -31,6 +31,14 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from lexam_data_pipeline_spark.catalog import load_table
+from lexam_data_pipeline_spark.operators.guards import collect_bounded
+
+#: Ceiling for driver-side sufficient-statistic cell tables (category ×
+#: category grids).  Fixture grids are ≤ 25 cells; 10 000 leaves room
+#: for realistic segment/priority/lang/source domains while failing
+#: loudly long before a mistaken domain-cardinality column (customer
+#: keys, doc ids…) can OOM the driver.
+_MAX_CELL_ROWS = 10_000
 
 
 def _dec_sum(col: str) -> F.Column:
@@ -2477,14 +2485,15 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     when a category empties out (the drift most worth catching)."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    cells = (
+    cells = collect_bounded(
         orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("seg"),
             F.col("o_orderpriority").alias("prio"),
         )
-        .agg(F.count(F.lit(1)).alias("o"))
-        .collect()
+        .agg(F.count(F.lit(1)).alias("o")),
+        _MAX_CELL_ROWS,
+        "q_chi_square segment×priority cell table",
     )
     schema = "_s bigint, dof bigint, n bigint"
     counts, row_tot, col_tot, n = _cell_marginals(cells, "seg", "prio", "o")
@@ -3463,6 +3472,55 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("bigint"),
         F.col("n_nulls").cast("bigint"),
         F.col("n_distinct").cast("bigint"),
+        "min_value",
+        "max_value",
+    )
+
+
+def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of :func:`q_table_profile`: identical
+    one-aggregate profiler but with ``approx_count_distinct`` (HLL++,
+    rsd 0.01 → ~64 KiB of registers per column, still constant-size)
+    replacing every exact COUNT(DISTINCT).
+
+    Why it exists: the exact profiler's multiple COUNT(DISTINCT)s
+    compile to Spark's Expand strategy — the one shuffle in this repo
+    that necessarily carries a row copy per profiled column (SCALE.md
+    measures it at 4.1×, the worst ratio in the table).  Swapping in
+    HLL sketches collapses that to ONE copy of each row and a
+    constant-size (columns × 2^p registers) aggregation buffer — the
+    difference between a profile you can run nightly on a 100 TB fact
+    table and one you can't.
+
+    Declared rows-only: HLL++ register layouts and bias corrections are
+    engine-specific, so DuckDB's approx_count_distinct need not equal
+    Spark's.  The pytest oracle (tests/test_round5_operators.py)
+    bounds every column's estimate within 3% of the exact twin —
+    well inside the configured rsd — and asserts nulls/min/max equal
+    the exact profiler bit-for-bit (those parts are NOT approximated)."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLUMNS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.approx_count_distinct(F.col(c), rsd=0.01).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in PROFILE_COLUMNS
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(PROFILE_COLUMNS)}, {stack_args}) AS "
+        "(column, n_nulls, approx_distinct, min_value, max_value)",
+    ).select(
+        "column",
+        F.col("n_rows").cast("bigint"),
+        F.col("n_nulls").cast("bigint"),
+        F.col("approx_distinct").cast("bigint"),
         "min_value",
         "max_value",
     )
@@ -5011,10 +5069,11 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding happens in a Spark expression so the established
     F.round/DuckDB round parity path applies."""
     docs = load_table(spark, sf_dir, "documents")
-    cells = (
+    cells = collect_bounded(
         docs.groupBy(F.col("lang").alias("a"), F.col("source").alias("b"))
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .collect()
+        .agg(F.count(F.lit(1)).alias("n_ab")),
+        _MAX_CELL_ROWS,
+        "q_mutual_information lang×source cell table",
     )
     schema = (
         "n_rows bigint, n_cells bigint, _mi double, _ha double, "
@@ -5164,10 +5223,11 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is the sufficient statistic and finishes on the driver (the
     :func:`q_mutual_information` posture)."""
     docs = load_table(spark, sf_dir, "documents")
-    cells = (
+    cells = collect_bounded(
         docs.groupBy(F.col("source").alias("s"), F.col("lang").alias("l"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
+        .agg(F.count(F.lit(1)).alias("c")),
+        _MAX_CELL_ROWS,
+        "q_js_divergence source×lang cell table",
     )
     schema = "source string, n_docs bigint, _jsd double"
     if not cells:
@@ -5256,3 +5316,326 @@ def q_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") - expected) * (F.col("n") - expected) / expected, 6
         ).alias("chi2_contrib"),
     ).orderBy("split", "lang")
+
+
+# --------------------------------------------------------------------------
+# round 5 — statistics / sampling tier
+# --------------------------------------------------------------------------
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum ~10% sample of orders (md5-threshold on
+    the key), audited per o_orderpriority — the reproducible-sampling
+    primitive every training-data pipeline needs: the same row set comes
+    back on every engine, every run, every cluster size, because
+    membership is a pure function of the key (no RNG state, no
+    partition-order dependence).
+
+    Membership: the first 4 hex digits of ``md5(orderkey)`` compared
+    lexicographically against '1999' (0x1999/0x10000 ≈ 9.99%) — hex
+    strings of equal length order identically to their numeric values,
+    and both engines lowercase md5 hex, so the predicate is
+    engine-portable verbatim.  Cites the reference's sampled-listing
+    endpoints (backend/app/routers/listings.py:1) generalized to
+    stratified corpus sampling.
+
+    Scale: map-only predicate + ONE conditional aggregate (no second
+    scan for the totals); nothing shuffles but the |strata|-row rollup.
+    The audit emits min/max sampled key per stratum as determinism
+    witnesses."""
+    orders = load_table(spark, sf_dir, "orders")
+    in_sample = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4) < "1999"
+    cents = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(in_sample.cast("bigint")).alias("n_sampled"),
+            F.min(F.when(in_sample, F.col("o_orderkey"))).alias("min_sampled_key"),
+            F.max(F.when(in_sample, F.col("o_orderkey"))).alias("max_sampled_key"),
+            (F.sum(F.when(in_sample, cents)) * 100)
+            .cast("bigint")
+            .alias("sampled_cents"),
+        )
+        .select(
+            "priority",
+            F.col("n_total").cast("bigint").alias("n_total"),
+            F.col("n_sampled").cast("bigint").alias("n_sampled"),
+            F.round(
+                F.col("n_sampled") / F.nullif(F.col("n_total"), F.lit(0)), 6
+            ).alias("sample_rate"),
+            "min_sampled_key",
+            "max_sampled_key",
+            "sampled_cents",
+        )
+        .orderBy("priority")
+    )
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean of order value per market segment —
+    the robust-location cousin of :func:`q_outlier_mad` (trim instead of
+    re-weight).  Each segment drops its floor(n/10) cheapest and
+    priciest orders (deterministic rank: cents, then orderkey) and
+    averages the rest in exact integer cents.
+
+    Scale: the rank window partitions BY SEGMENT over (cents, key)
+    pairs — no global sort; one shuffle for the window, one bounded
+    rollup after.  Exactness: the kept-sum is BIGINT cents; the single
+    closing division is mirrored CAST-to-double on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rows = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("cents").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = rows.select(
+        "segment",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("segment")).alias("n"),
+    )
+    k = F.floor(F.col("n") / 10)
+    kept = ranked.where((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k))
+    return (
+        kept.groupBy("segment")
+        .agg(
+            F.max("n").alias("n"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("cents").alias("kept_cents"),
+        )
+        .select(
+            "segment",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            F.round(
+                F.col("kept_cents")
+                / F.nullif(F.col("n_kept").cast("double") * 100.0, F.lit(0.0)),
+                6,
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("segment")
+    )
+
+
+def _doubled_avg_ranks(df: DataFrame, part_cols: list[str], value_col: str) -> DataFrame:
+    """Value-level average ranks, doubled so they stay integers.
+
+    For each distinct value v within a partition: preceding count p,
+    tie count c → ranks p+1..p+c share average rank p + (c+1)/2, i.e.
+    doubled rank ``2p + c + 1`` — exact BIGINT, no halves.  Computed on
+    the VALUE-LEVEL aggregate (one row per distinct value), so the
+    ordered window runs over the value domain, never the fact rows —
+    the scale posture shared by q_mannwhitney / q_ks_test / Spearman."""
+    per_value = df.groupBy(*part_cols, value_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+        if part_cols
+        else Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return per_value.select(
+        *part_cols,
+        value_col,
+        "c",
+        (2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1).alias("r2"),
+    )
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price per
+    return flag — the monotone-association check run on corpus signal
+    pairs before assuming linearity (its Pearson cousin is
+    q_corr_stats).  Average-rank tie handling, so the statistic is the
+    textbook tie-corrected rho.
+
+    Engine-exact core: ranks are value-level DOUBLED average ranks
+    (BIGINT, see _doubled_avg_ranks), the five Pearson moments over
+    (rx2, ry2) are decimal(38,0) sums, and the closing rho is ONE fixed
+    double expression mirrored verbatim in the oracle.
+
+    Scale: two value-level rank windows (domain-bounded inputs), one
+    broadcast-joinable rank map per axis applied in a single fact scan,
+    one moment aggregate.  No fact-sized sort anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price"),
+    )
+    rx = _doubled_avg_ranks(li, ["flag"], "qty").select(
+        "flag", "qty", F.col("r2").alias("rx2")
+    )
+    ry = _doubled_avg_ranks(li, ["flag"], "price").select(
+        "flag", "price", F.col("r2").alias("ry2")
+    )
+    joined = li.join(rx, ["flag", "qty"]).join(ry, ["flag", "price"])
+    # per-row products stay in BIGINT ((2n+1)^2 « 2^63); their sums go
+    # to decimal(38,0) so the moments are exact at any corpus size
+    d38 = "decimal(38,0)"
+    m = joined.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("rx2").cast(d38)).alias("sx"),
+        F.sum(F.col("ry2").cast(d38)).alias("sy"),
+        F.sum((F.col("rx2") * F.col("ry2")).cast(d38)).alias("sxy"),
+        F.sum((F.col("rx2") * F.col("rx2")).cast(d38)).alias("sxx"),
+        F.sum((F.col("ry2") * F.col("ry2")).cast(d38)).alias("syy"),
+    )
+    # closing formula: cast each exact moment to double FIRST, then a
+    # fixed IEEE expression (decimal×decimal at p=38 would overflow
+    # Spark's precision cap; double ops mirror the oracle verbatim)
+    nD = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    num = nD * sxy - sx * sy
+    varx = nD * sxx - sx * sx
+    vary = nD * syy - sy * sy
+    return m.select(
+        "flag",
+        F.col("n"),
+        F.round(
+            num / F.nullif(F.sqrt(varx * vary), F.lit(0.0)), 6
+        ).alias("spearman_rho"),
+    ).orderBy("flag")
+
+
+#: the two market segments the two-sample tests compare.
+_TWO_SAMPLE_SEGMENTS = ("BUILDING", "MACHINERY")
+
+
+def _two_sample_value_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cents, c1, c2) per distinct order value across the two compared
+    segments — the shared sufficient statistic of q_mannwhitney and
+    q_ks_test.  One fact scan, one value-level aggregate; every ordered
+    window downstream runs on this spine (bounded by the value domain),
+    never on fact rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    a, b = _TWO_SAMPLE_SEGMENTS
+    rows = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("c_mktsegment").isin(a, b))
+        .select(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            (F.col("c_mktsegment") == a).cast("bigint").alias("is_a"),
+        )
+    )
+    return rows.groupBy("cents").agg(
+        F.sum("is_a").alias("c1"),
+        F.sum(1 - F.col("is_a")).alias("c2"),
+    )
+
+
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (two-sided rank-sum) comparing order values of the
+    BUILDING vs MACHINERY segments, with the rank-biserial effect size
+    (AUC) — the nonparametric A/B test used when t-test normality can't
+    be assumed (the distribution-free sibling of q_ab_test).
+
+    Exact core: on the value spine, a value with preceding pooled count
+    p and ties c has doubled average rank ``2p + c + 1`` (BIGINT); the
+    group-1 doubled rank sum R1_2 and U1 = (R1_2 − 2·n1(n1+1)/2)/2 stay
+    exact integers halved once at the end.  AUC = U1/(n1·n2) is one
+    mirrored double division.
+
+    Scale: one fact scan → value-level aggregate; the only ordered
+    window is a running sum over the value spine (domain-bounded in
+    cents).  No fact-row sort, no driver state."""
+    spine = _two_sample_value_spine(spark, sf_dir)
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = spine.select(
+        "c1",
+        "c2",
+        (
+            2 * F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0))
+            + F.col("c1")
+            + F.col("c2")
+            + 1
+        ).alias("r2"),
+    )
+    m = ranked.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * F.col("r2")).alias("r1_2"),
+    )
+    u1_2 = F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)  # doubled U1
+    n1n2 = F.col("n1").cast("double") * F.col("n2").cast("double")
+    return m.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        (u1_2.cast("double") / 2.0).alias("u1"),
+        F.round(
+            u1_2.cast("double") / 2.0 / F.nullif(n1n2, F.lit(0.0)), 6
+        ).alias("auc"),
+    )
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the BUILDING and
+    MACHINERY order-value distributions — the drift detector for
+    continuous signals (its categorical sibling is q_chi_square; its
+    information-theoretic sibling q_js_divergence).
+
+    Exact core: on the shared value spine, D = max over values of
+    |F1 − F2| is maximized as the INTEGER |cum1·n2 − cum2·n1| (cross-
+    multiplication, no per-value division), divided once at the end.
+    The scaled statistic sqrt(n1·n2/(n1+n2))·D is one mirrored double
+    expression.
+
+    Scale: identical posture to q_mannwhitney — value-level aggregate +
+    one running-sum window over the spine."""
+    spine = _two_sample_value_spine(spark, sf_dir)
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = spine.select(
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    totals = spine.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    scaled = (
+        cum.join(F.broadcast(totals))
+        .select(
+            "n1",
+            "n2",
+            F.abs(
+                F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+            ).alias("d_scaled"),
+        )
+        .groupBy("n1", "n2")
+        .agg(F.max("d_scaled").alias("d_max"))
+    )
+    n1n2 = F.col("n1").cast("double") * F.col("n2").cast("double")
+    d = F.col("d_max").cast("double") / F.nullif(n1n2, F.lit(0.0))
+    return scaled.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(d, 6).alias("d_stat"),
+        F.round(
+            d
+            * F.sqrt(
+                n1n2
+                / F.nullif(
+                    F.col("n1").cast("double") + F.col("n2").cast("double"),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("ks_scaled"),
+    )

@@ -2841,3 +2841,170 @@ CORE_ORACLES["q_split_audit"] = """
     FROM m
     ORDER BY split, lang
 """
+
+
+# --------------------------------------------------------------------------
+# round 5 — statistics / sampling tier
+# --------------------------------------------------------------------------
+
+CORE_ORACLES["q_stratified_sample"] = """
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)
+                              < '1999' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           round(CAST(sum(CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)
+                                    < '1999' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / nullif(CAST(count(*) AS DOUBLE), 0), 6) AS sample_rate,
+           min(CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)
+                         < '1999' THEN o_orderkey END) AS min_sampled_key,
+           max(CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)
+                         < '1999' THEN o_orderkey END) AS max_sampled_key,
+           CAST(sum(CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)
+                              < '1999'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END) * 100
+                AS BIGINT) AS sampled_cents
+    FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+CORE_ORACLES["q_trimmed_mean"] = """
+    WITH rows_ AS (
+        SELECT c_mktsegment AS segment,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+               o_orderkey
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    ranked AS (
+        SELECT segment, cents,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY cents, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY segment) AS n
+        FROM rows_
+    ),
+    kept AS (
+        SELECT * FROM ranked
+        WHERE rn > n // 10 AND rn <= n - n // 10
+    )
+    SELECT segment,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(CAST(sum(cents) AS DOUBLE)
+                 / nullif(CAST(count(*) AS DOUBLE) * 100.0, 0.0), 6)
+               AS trimmed_mean
+    FROM kept GROUP BY segment ORDER BY segment
+"""
+
+CORE_ORACLES["q_spearman_corr"] = """
+    WITH li AS (
+        SELECT l_returnflag AS flag,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS price
+        FROM lineitem
+    ),
+    rx AS (
+        SELECT flag, qty,
+               2 * coalesce(sum(c) OVER (PARTITION BY flag ORDER BY qty
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS rx2
+        FROM (SELECT flag, qty, count(*) AS c FROM li GROUP BY flag, qty)
+    ),
+    ry AS (
+        SELECT flag, price,
+               2 * coalesce(sum(c) OVER (PARTITION BY flag ORDER BY price
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS ry2
+        FROM (SELECT flag, price, count(*) AS c FROM li GROUP BY flag, price)
+    ),
+    joined AS (
+        SELECT li.flag, rx2, ry2
+        FROM li JOIN rx ON li.flag = rx.flag AND li.qty = rx.qty
+                JOIN ry ON li.flag = ry.flag AND li.price = ry.price
+    ),
+    m AS (
+        SELECT flag, CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(rx2 AS HUGEINT)) AS sx,
+               sum(CAST(ry2 AS HUGEINT)) AS sy,
+               sum(CAST(rx2 * ry2 AS HUGEINT)) AS sxy,
+               sum(CAST(rx2 * rx2 AS HUGEINT)) AS sxx,
+               sum(CAST(ry2 * ry2 AS HUGEINT)) AS syy
+        FROM joined GROUP BY flag
+    )
+    SELECT flag, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                          0.0), 6) AS spearman_rho
+    FROM m ORDER BY flag
+"""
+
+CORE_ORACLES["q_mannwhitney"] = """
+    WITH rows_ AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_a
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    spine AS (
+        SELECT cents, sum(is_a) AS c1, sum(1 - is_a) AS c2
+        FROM rows_ GROUP BY cents
+    ),
+    ranked AS (
+        SELECT c1, c2,
+               2 * coalesce(sum(c1 + c2) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c1 + c2 + 1 AS r2
+        FROM spine
+    ),
+    m AS (
+        SELECT sum(c1) AS n1, sum(c2) AS n2, sum(c1 * r2) AS r1_2
+        FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+           round(CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                 / nullif(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE), 0.0), 6)
+               AS auc
+    FROM m
+"""
+
+CORE_ORACLES["q_ks_test"] = """
+    WITH rows_ AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_a
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    spine AS (
+        SELECT cents, sum(is_a) AS c1, sum(1 - is_a) AS c2
+        FROM rows_ GROUP BY cents
+    ),
+    cum AS (
+        SELECT sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2
+        FROM spine
+        WINDOW w AS (ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    totals AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM spine),
+    scaled AS (
+        SELECT n1, n2, max(abs(cum1 * n2 - cum2 * n1)) AS d_max
+        FROM cum CROSS JOIN totals
+        GROUP BY n1, n2
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(CAST(d_max AS DOUBLE)
+                 / nullif(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE), 0.0), 6)
+               AS d_stat,
+           round(CAST(d_max AS DOUBLE)
+                 / nullif(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE), 0.0)
+                 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        / nullif(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE), 0.0)),
+                 6) AS ks_scaled
+    FROM scaled
+"""

@@ -6,6 +6,9 @@ parquet join exactly."""
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -23,6 +26,19 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _fresh_tables(spark, *tables: str) -> None:
+    """Crash-safe setup: drop each table AND remove its warehouse
+    location before writing.  Teardown-only cleanup left a killed run's
+    directory behind, and the next run's ``saveAsTable`` died with
+    LOCATION_ALREADY_EXISTS (round-4 verdict item 4)."""
+    warehouse = Path(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    )
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(warehouse / t, ignore_errors=True)
+
+
 @pytest.fixture()
 def bucketed_pair(spark, sf_small):
     """orders + customer bucketed by custkey under unique table names;
@@ -34,6 +50,7 @@ def bucketed_pair(spark, sf_small):
         "c_custkey", "custkey"
     )
     lt, rt = "t_bucketed_orders", "t_bucketed_customer"
+    _fresh_tables(spark, lt, rt)
     write_bucketed(orders, lt, "custkey", N_BUCKETS)
     write_bucketed(cust, rt, "custkey", N_BUCKETS)
     yield lt, rt, orders, cust
@@ -94,6 +111,7 @@ def test_mismatched_bucket_counts_fall_back_to_shuffle(spark, sf_small):
         "c_custkey", "custkey"
     )
     lt, rt = "t_mismatch_orders", "t_mismatch_customer"
+    _fresh_tables(spark, lt, rt)
     write_bucketed(orders, lt, "custkey", N_BUCKETS)
     write_bucketed(cust, rt, "custkey", 3)
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -192,6 +192,53 @@ class TestCodecProperties:
 
         roundtrip()
 
+    def test_palette_png_roundtrip_random_images(self):
+        """Color-type-3: decode(encode(indices, palette)) must equal
+        palette[indices] for every filter type."""
+        from hypothesis import given, settings, strategies as st
+        from hypothesis.extra.numpy import arrays
+
+        from lexam_data_pipeline_spark.ml.media_codecs import (
+            decode_png,
+            encode_png_palette,
+        )
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            arrays(
+                np.uint8,
+                st.tuples(st.integers(1, 12), st.integers(1, 12)),
+                elements=st.integers(0, 15),
+            ),
+            arrays(np.uint8, st.just((16, 3))),
+            st.integers(0, 4),
+        )
+        def roundtrip(idx, palette, filter_type):
+            payload = encode_png_palette(idx, palette, filter_type=filter_type)
+            assert (decode_png(payload) == palette[idx]).all()
+
+        roundtrip()
+
+    def test_palette_png_error_paths(self):
+        from lexam_data_pipeline_spark.ml.media_codecs import (
+            decode_png,
+            encode_png_palette,
+        )
+
+        idx = np.zeros((4, 4), dtype=np.uint8)
+        pal = np.zeros((16, 3), dtype=np.uint8)
+        with pytest.raises(ValueError, match="out of range"):
+            encode_png_palette(idx + 16, pal)
+        with pytest.raises(ValueError, match="\\(h, w\\)"):
+            encode_png_palette(idx[:, :, None], pal)
+        # strip the PLTE chunk → decode must fail loudly
+        payload = bytearray(encode_png_palette(idx, pal))
+        plte = payload.find(b"PLTE")
+        # whole chunk = 4 length + 4 type + 48 data + 4 CRC = 60 bytes
+        del payload[plte - 4 : plte - 4 + 60]
+        with pytest.raises(ValueError, match="missing PLTE"):
+            decode_png(bytes(payload))
+
     def test_resize_identity_and_idempotence(self):
         from hypothesis import given, settings, strategies as st
         from hypothesis.extra.numpy import arrays

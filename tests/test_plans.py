@@ -512,3 +512,24 @@ def test_random_projection_is_map_only_before_pair_join(spark, sf_small):
     plan = _plan(QUERIES["q_random_projection"](spark, sf_small))
     assert "TakeOrderedAndProject" in plan
     assert "Python" not in plan
+
+
+def test_isotonic_returned_plan_is_driver_finished(spark, sf_small):
+    """PAV posture: the corpus contributes one bounded per-bin aggregate
+    at query-build time; the RETURNED plan carries only the O(ISO_BINS)
+    fitted table — no parquet rescan, no join, no Python stage."""
+    plan = _plan(QUERIES["q_isotonic_calibration"](spark, sf_small))
+    assert plan.count("Scan parquet") == 0
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_boosted_stumps_returned_plan_is_driver_finished(spark, sf_small):
+    """Boosting posture: each round is ONE (feature, bin, y) weight
+    aggregate over the persisted binned vectors; the returned plan is
+    the O(rounds) ensemble table — no parquet rescan, no join, no
+    Python stage."""
+    plan = _plan(QUERIES["q_boosted_stumps"](spark, sf_small))
+    assert plan.count("Scan parquet") == 0
+    assert "Join" not in plan
+    assert "Python" not in plan
