@@ -5639,3 +5639,695 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_scaled"),
     )
+
+
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic of order value across market segments —
+    the k-group generalization of q_ab_test's two-sample comparison,
+    answering "does segment explain any of the price variance?"
+
+    Fully distributed, no driver state: per-segment sufficient moments
+    (n BIGINT, Σcents BIGINT, Σcents² summed as decimal(38,0) of BIGINT
+    per-row products), then each group's between/within terms are fixed
+    double expressions floor-scaled to BIGINT (÷100 — terms are in
+    cents², so the scale goes DOWN to dodge int64 overflow) before the
+    final k-row sum — the house order-independence rule, so partition
+    order can never perturb F.  The statistic is declared AS the
+    floor-scaled version (relative error ≤ 1e-16, documented); sums of
+    squares are reported in dollars².
+
+    Scale: one fact-scan moment aggregate (map-side combinable), one
+    broadcast of the 1-row grand totals, one k-row rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rows = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    groups = rows.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("cents").alias("sg"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("qg"),
+    )
+    totals = groups.agg(
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    g = groups.join(F.broadcast(totals))
+    ngD = F.col("ng").cast("double")
+    mean_g = F.col("sg").cast("double") / ngD
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    ssb_term = ngD * (mean_g - mean) * (mean_g - mean)
+    ssw_term = F.col("qg").cast("double") - (
+        F.col("sg").cast("double") * F.col("sg").cast("double") / ngD
+    )
+    # terms are in cents² (up to ~2e18 per group at sf0.1) — floor-scale
+    # DOWN by 100 (hundredths of dollars²) so the order-independent
+    # BIGINT sum can never overflow; relative error ≤ 1e-16
+    scaled = g.select(
+        "n",
+        "k",
+        F.floor(ssb_term / 100.0).cast("bigint").alias("ssb_s"),
+        F.floor(ssw_term / 100.0).cast("bigint").alias("ssw_s"),
+    )
+    m = scaled.groupBy("n", "k").agg(
+        F.sum("ssb_s").alias("ssb"), F.sum("ssw_s").alias("ssw")
+    )
+    df1 = (F.col("k") - 1).cast("double")
+    df2 = (F.col("n") - F.col("k")).cast("double")
+    f_stat = (F.col("ssb").cast("double") / F.nullif(df1, F.lit(0.0))) / F.nullif(
+        F.col("ssw").cast("double") / F.nullif(df2, F.lit(0.0)), F.lit(0.0)
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        F.round(F.col("ssb") / F.lit(100.0), 4).alias("ss_between_dollars2"),
+        F.round(F.col("ssw") / F.lit(100.0), 4).alias("ss_within_dollars2"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the lang × source association in the
+    document corpus — q_chi_square's normalized cousin: the [0, 1]
+    strength number a drift dashboard can threshold without caring about
+    table size (χ² alone grows with n).
+
+    Same sufficient-statistic posture as q_chi_square: ONE bounded
+    (lang, source) cell aggregate (collect_bounded-guarded), marginals
+    and the FULL-GRID floor-scaled χ² finish in exact driver arithmetic
+    (zero cells included), then V = sqrt(χ² / (n·min(r−1, c−1))) as a
+    fixed double expression in the returned Spark projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = collect_bounded(
+        docs.groupBy(F.col("lang").alias("a"), F.col("source").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c")),
+        _MAX_CELL_ROWS,
+        "q_cramers_v lang×source cell table",
+    )
+    schema = "_s bigint, r bigint, cc bigint, n bigint"
+    counts, a_tot, b_tot, n = _cell_marginals(cells, "a", "b", "c")
+    if n == 0 or len(a_tot) < 2 or len(b_tot) < 2:
+        return spark.createDataFrame([], schema).select(
+            F.col("_s").cast("double").alias("chi2"),
+            F.col("r").alias("dof"),
+            "n",
+            F.col("_s").cast("double").alias("cramers_v"),
+        )
+    s_chi = 0
+    for a in a_tot:
+        for b in b_tot:
+            o = counts.get((a, b), 0)
+            e = float(a_tot[a] * b_tot[b]) / float(n)
+            s_chi += math.floor(((o - e) * (o - e) / e) * 1000000.0)
+    r, c = len(a_tot), len(b_tot)
+    row = spark.createDataFrame([(s_chi, r, c, n)], schema)
+    chi2 = F.col("_s") / F.lit(1000000.0)
+    denom = (F.col("n") * F.least(F.col("r") - 1, F.col("cc") - 1)).cast("double")
+    return row.select(
+        F.round(chi2, 4).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("cc") - 1)).cast("bigint").alias("dof"),
+        "n",
+        F.round(F.sqrt(chi2 / denom), 6).alias("cramers_v"),
+    )
+
+
+#: maximum lag (days) for the lagged cross-correlation scan.
+XCORR_MAX_LAG = 7
+
+
+def q_crosscorr_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between daily revenue and daily order
+    volume (lags 0..7 days): does money follow volume with a delay?  The
+    lead-lag diagnostic behind "which signal moves first" monitoring
+    (same family as q_autocorr_revenue, which correlates a series with
+    itself).
+
+    Scale posture: everything after the one fact-scan day rollup runs on
+    the CALENDAR-bounded spine; the lag alignment is a spine×8 self-join
+    (days × lags rows).  Exact core: Pearson moments per lag are BIGINT /
+    decimal(38,0) sums of integer products; each correlation is one
+    fixed double expression over the cast moments."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("rev"),
+        F.count(F.lit(1)).alias("vol"),
+    ).withColumn(
+        "d", F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
+    )
+    lags = spark.range(0, XCORR_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(F.broadcast(lags))
+        .join(
+            b,
+            F.col("b.d") == F.col("a.d") - F.col("lag"),
+        )
+        .select(
+            "lag",
+            F.col("a.rev").alias("x"),  # revenue today
+            F.col("b.vol").alias("y"),  # volume `lag` days earlier
+        )
+    )
+    # daily-revenue cents can reach ~1e11 on dense days, so x·x would
+    # overflow BIGINT — cast operands to decimal(18,0) FIRST (product
+    # precision 37 stays exact under Spark's 38 cap)
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d18("x")).alias("sx"),
+        F.sum(d18("y")).alias("sy"),
+        F.sum(d18("x") * d18("y")).alias("sxy"),
+        F.sum(d18("x") * d18("x")).alias("sxx"),
+        F.sum(d18("y") * d18("y")).alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    num = nD * sxy - sx * sy
+    den = F.sqrt((nD * sxx - sx * sx) * (nD * syy - sy * sy))
+    return m.select(
+        "lag",
+        "n",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("xcorr"),
+    ).orderBy("lag")
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between daily revenue and daily order volume — the
+    concordance-based association measure, more robust to outliers than
+    Spearman and exactly computable from pair counts.
+
+    Scale shape: the quadratic pair join runs on the CALENDAR-grain
+    day spine (the q_theil_sen precedent) — pairs are days², invariant
+    to fact-row count.  Exact core: concordant / discordant / tie
+    counts are pure BIGINT comparisons; n0/t-terms come from the same
+    spine; τ-b's sqrt denominator is the single closing double
+    expression."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("rev"),
+        F.count(F.lit(1)).alias("vol"),
+    ).withColumn(
+        "d", F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        (F.col("a.rev") - F.col("b.rev")).alias("dx"),
+        (F.col("a.vol") - F.col("b.vol")).alias("dy"),
+    )
+    sgn = lambda c: F.signum(F.col(c).cast("double")).cast("int")  # noqa: E731
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum((sgn("dx") * sgn("dy") == 1).cast("bigint")).alias("concordant"),
+        F.sum((sgn("dx") * sgn("dy") == -1).cast("bigint")).alias("discordant"),
+        F.sum(((F.col("dx") == 0) & (F.col("dy") != 0)).cast("bigint")).alias("tx"),
+        F.sum(((F.col("dy") == 0) & (F.col("dx") != 0)).cast("bigint")).alias("ty"),
+        F.sum(((F.col("dx") == 0) & (F.col("dy") == 0)).cast("bigint")).alias("txy"),
+    )
+    den = F.sqrt(
+        (F.col("n0") - F.col("tx") - F.col("txy")).cast("double")
+        * (F.col("n0") - F.col("ty") - F.col("txy")).cast("double")
+    )
+    return m.select(
+        F.col("n0").cast("bigint").alias("n_pairs"),
+        F.col("concordant").cast("bigint").alias("concordant"),
+        F.col("discordant").cast("bigint").alias("discordant"),
+        F.round(
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.nullif(den, F.lit(0.0)),
+            6,
+        ).alias("kendall_tau_b"),
+    )
+
+
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gains table on customer lifetime spend: rank
+    customers into spend deciles and measure how the high-F-order
+    population concentrates in the top deciles — THE model-evaluation
+    table for any targeting/score model (here scored by spend itself,
+    positives = customers with a finalized 'F' order).
+
+    Scale: deciles are ntile(10) over the per-customer PRE-aggregate
+    with a deterministic (cents desc, custkey) order — a range-partition
+    sort of |customers| rows, never fact rows.  All shares are integer
+    cross-ratios; the cumulative capture runs over the 10-row decile
+    table."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.max((F.col("o_orderstatus") == "F").cast("bigint")).alias("pos"),
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
+    deciles = per_cust.select(
+        "cents", "pos", F.ntile(10).over(w).alias("decile")
+    )
+    per_dec = deciles.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("cents").alias("dec_cents"),
+    )
+    tot = per_dec.agg(
+        F.sum("n").alias("nt"), F.sum("n_pos").alias("pt")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_dec.join(F.broadcast(tot))
+        .select(
+            "decile",
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            "dec_cents",
+            F.round(
+                F.col("n_pos") / F.nullif(F.col("n"), F.lit(0)), 6
+            ).alias("pos_rate"),
+            F.round(
+                (F.col("n_pos") * F.col("nt")).cast("double")
+                / F.nullif((F.col("n") * F.col("pt")).cast("double"), F.lit(0.0)),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.sum("n_pos").over(wc) / F.nullif(F.col("pt"), F.lit(0)), 6
+            ).alias("cum_capture"),
+        )
+        .orderBy("decile")
+    )
+
+
+def q_shannon_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-diversity profile of the corpus: richness
+    (distinct langs), Shannon entropy in bits, and the Simpson
+    concentration index — the "is this source a monoculture?" triage
+    every multi-source corpus mix starts with (per-group sibling of
+    q_column_entropy's whole-table profile).
+
+    Posture: ONE (source, lang) cell aggregate (collect_bounded), then
+    per-source entropy finishes on the driver — Σ floor(1e6·c·ln c)
+    BIGINT terms (order-independent; driver math.log == DuckDB ln, the
+    ml/nb.py libm argument) closed by a fixed double expression with
+    ln(n_s) computed driver-side.  Simpson is exact integer
+    cross-multiplication."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = collect_bounded(
+        docs.groupBy(F.col("source").alias("s"), F.col("lang").alias("l"))
+        .agg(F.count(F.lit(1)).alias("c")),
+        _MAX_CELL_ROWS,
+        "q_shannon_diversity source×lang cell table",
+    )
+    schema = (
+        "source string, n_docs bigint, richness bigint, _sl bigint, "
+        "_simp_num bigint, _ln_n double"
+    )
+    per_source: dict = {}
+    for r in cells:
+        st = per_source.setdefault(r["s"], {"n": 0, "rich": 0, "sl": 0, "simp": 0})
+        c = r["c"]
+        st["n"] += c
+        st["rich"] += 1
+        st["sl"] += math.floor(1000000.0 * c * math.log(c))
+        st["simp"] += c * (c - 1)
+    if not per_source:
+        return spark.createDataFrame([], schema).select(
+            "source",
+            "n_docs",
+            "richness",
+            F.col("_sl").cast("double").alias("entropy_bits"),
+            F.col("_simp_num").cast("double").alias("simpson"),
+        )
+    rows = [
+        (s, st["n"], st["rich"], st["sl"], st["simp"], math.log(st["n"]))
+        for s, st in sorted(per_source.items())
+    ]
+    df = spark.createDataFrame(rows, schema)
+    n = F.col("n_docs").cast("double")
+    # H = ln(n) − (Σ c·ln c)/n, in bits.  ln(n_s) is computed DRIVER-side
+    # (math.log == DuckDB ln, the ml/nb.py libm argument) — the JVM's
+    # Math.log is NOT guaranteed bit-equal to libm, so F.log stays out
+    # of the parity path.
+    h_bits = (
+        F.col("_ln_n") - (F.col("_sl") / F.lit(1000000.0)) / n
+    ) / F.lit(float(math.log(2.0)))
+    simpson = F.col("_simp_num").cast("double") / F.nullif(
+        n * (n - F.lit(1.0)), F.lit(0.0)
+    )
+    return df.select(
+        "source",
+        "n_docs",
+        "richness",
+        F.round(h_bits, 6).alias("entropy_bits"),
+        F.round(simpson, 6).alias("simpson"),
+    ).orderBy("source")
+
+
+#: Poisson(1) CDF thresholds scaled to 16^6 as 6-hex-digit strings —
+#: shared verbatim between the Spark plan and the DuckDB oracle so the
+#: md5-uniform → bootstrap-weight mapping is engine-identical.
+#: floor(cdf(k) · 16^6) for k = 0..5; weights above 5 clamp to 6.
+POISSON_CDF_HEX = ("5e2d58", "bc5ab1", "eb715e", "fb2397", "ff1025", "ffd90f")
+
+#: number of bootstrap replicates.
+BOOTSTRAP_REPLICATES = 32
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Poisson bootstrap CI for the mean order value — THE
+    at-scale bootstrap (resampling-with-replacement is impossible to
+    coordinate across executors, but per-row independent Poisson(1)
+    weights converge to the same resample distribution; Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", the standard
+    industrial reference).
+
+    Determinism: replicate r's weight for a row is a CASE ladder over
+    the first 6 md5 hex digits of ``key|r`` against the shared
+    :data:`POISSON_CDF_HEX` thresholds — a pure function of (key, r), so
+    every engine, run, and cluster size resamples identically.  Each
+    replicate mean is an exact BIGINT ratio; the CI bounds are the exact
+    2.5/97.5 percentiles over the tiny replicate-mean vector.
+
+    Scale: one fact scan fanned out ×B by a broadcast replicate spine,
+    partial-aggregated map-side into B groups; the percentile runs over
+    B values.  B×rows is map work, not shuffle width."""
+    orders = load_table(spark, sf_dir, "orders")
+    reps = spark.range(0, BOOTSTRAP_REPLICATES).select(
+        F.col("id").cast("int").alias("rep")
+    )
+    h6 = F.substring(
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit("|"),
+                F.col("rep").cast("string"),
+            )
+        ),
+        1,
+        6,
+    )
+    w = F.lit(6)
+    for k in range(len(POISSON_CDF_HEX) - 1, -1, -1):
+        w = F.when(h6 < POISSON_CDF_HEX[k], F.lit(k)).otherwise(w)
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    per_rep = (
+        orders.join(F.broadcast(reps))
+        .select(F.col("rep"), w.cast("bigint").alias("w"), cents.alias("cents"))
+        .groupBy("rep")
+        .agg(
+            F.sum("w").alias("nw"),
+            F.sum(F.col("w") * F.col("cents")).alias("sw"),
+        )
+        .select(
+            "rep",
+            (
+                F.col("sw").cast("double")
+                / F.nullif(F.col("nw").cast("double") * 100.0, F.lit(0.0))
+            ).alias("rep_mean"),
+        )
+    )
+    return per_rep.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        F.round(F.expr("percentile(rep_mean, 0.5D)"), 6).alias("boot_median"),
+        F.round(F.expr("percentile(rep_mean, 0.025D)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(rep_mean, 0.975D)"), 6).alias("ci_hi"),
+    )
+
+
+def q_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR fences per market segment: exact Q1/Q3 of order cents,
+    the 1.5·IQR fences, and how many orders fall outside each — the
+    box-plot outlier audit (MAD's quartile-based sibling; see
+    q_outlier_mad for the robust-z variant).
+
+    Exactness: quartiles interpolate linearly over exact integers
+    (the q_percentile_multi precedent — bit-equal across engines);
+    fences and comparisons are fixed double expressions.
+
+    Scale: one percentile aggregate per segment (documented exact-sort
+    cost; approx_percentile is the registered 100 TB switch family),
+    then the 5-row fence table broadcasts back onto one conditional
+    rescan — never a per-row window."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rows = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    q = rows.groupBy("segment").agg(
+        F.expr("percentile(cents, array(0.25D, 0.75D))").alias("p"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "segment",
+        "n",
+        F.element_at("p", 1).alias("q1"),
+        F.element_at("p", 2).alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    fenced = rows.join(F.broadcast(q), "segment")
+    return (
+        fenced.groupBy("segment")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max("q1") / 100.0, 4).alias("q1"),
+            F.round(F.max("q3") / 100.0, 4).alias("q3"),
+            F.sum((F.col("cents").cast("double") < lo).cast("bigint")).alias(
+                "n_low_outliers"
+            ),
+            F.sum((F.col("cents").cast("double") > hi).cast("bigint")).alias(
+                "n_high_outliers"
+            ),
+        )
+        .select(
+            "segment",
+            F.col("n").cast("bigint").alias("n"),
+            "q1",
+            "q3",
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+        .orderBy("segment")
+    )
+
+
+def q_polyfit_quadratic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares quadratic trend y = a + b·t + c·t² of monthly
+    revenue — q_theil_sen's parametric cousin with curvature: the
+    drift monitor that distinguishes "growing" from "accelerating".
+
+    Fully distributed normal equations: the month spine contributes ONE
+    moment aggregate (Σtᵏ, Σtᵏy for k ≤ 4 — BIGINT/decimal(38,0)
+    exact), and the 3×3 system solves by Cramer's rule as fixed double
+    expressions over the cast moments (no iteration, no collect, no
+    libm).  The oracle spells the identical determinant expansions.
+
+    Scale: the fact table folds to the calendar-bounded month spine
+    first; everything else is O(1)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("y")
+    ).select(
+        (
+            F.months_between(
+                F.col("month"), F.lit("1995-01-01").cast("timestamp")
+            )
+        ).cast("bigint").alias("t"),
+        "y",
+    )
+    d38 = "decimal(38,0)"
+    m = monthly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("t").cast(d38)).alias("st1"),
+        F.sum((F.col("t") * F.col("t")).cast(d38)).alias("st2"),
+        F.sum((F.col("t") * F.col("t") * F.col("t")).cast(d38)).alias("st3"),
+        F.sum(
+            (F.col("t") * F.col("t") * F.col("t") * F.col("t")).cast(d38)
+        ).alias("st4"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("t") * F.col("y")).cast(d38)).alias("sty"),
+        F.sum((F.col("t") * F.col("t") * F.col("y")).cast(d38)).alias("st2y"),
+    )
+    # Cramer's rule on [[n,s1,s2],[s1,s2,s3],[s2,s3,s4]]·[a,b,c] = [sy,sty,st2y]
+    nD = F.col("n").cast("double")
+    s1, s2, s3, s4 = (
+        F.col("st1").cast("double"),
+        F.col("st2").cast("double"),
+        F.col("st3").cast("double"),
+        F.col("st4").cast("double"),
+    )
+    sy, sty, st2y = (
+        F.col("sy").cast("double"),
+        F.col("sty").cast("double"),
+        F.col("st2y").cast("double"),
+    )
+    det = (
+        nD * (s2 * s4 - s3 * s3)
+        - s1 * (s1 * s4 - s3 * s2)
+        + s2 * (s1 * s3 - s2 * s2)
+    )
+    det_a = (
+        sy * (s2 * s4 - s3 * s3)
+        - s1 * (sty * s4 - s3 * st2y)
+        + s2 * (sty * s3 - s2 * st2y)
+    )
+    det_b = (
+        nD * (sty * s4 - s3 * st2y)
+        - sy * (s1 * s4 - s3 * s2)
+        + s2 * (s1 * st2y - sty * s2)
+    )
+    det_c = (
+        nD * (s2 * st2y - sty * s3)
+        - s1 * (s1 * st2y - sty * s2)
+        + sy * (s1 * s3 - s2 * s2)
+    )
+    dn = F.nullif(det, F.lit(0.0))
+    return m.select(
+        F.col("n").alias("n_months"),
+        F.round(det_a / dn / 100.0, 6).alias("a_dollars"),
+        F.round(det_b / dn / 100.0, 6).alias("b_dollars_per_month"),
+        F.round(det_c / dn / 100.0, 6).alias("c_dollars_per_month2"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention matrix from the event stream: users
+    cohorted by first-seen month; cell (cohort, k) = share of the cohort
+    active k months later — the canonical product-analytics triangle
+    (complements q_customer_ltv_cohort's revenue view and
+    q_new_vs_returning's daily split).
+
+    Exact: cohort sizes and active counts are integers; retention is
+    one division.  Scale: per-user first-seen is a map-side-combinable
+    min; the matrix join runs on (user, month) DISTINCT activity —
+    bounded by users × months, joined on the cohort spine broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort_month")
+    )
+    cohort_sizes = first_seen.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("month", "ts").alias("act_month")
+    ).distinct()
+    cells = (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_month",
+            F.months_between(F.col("act_month"), F.col("cohort_month"))
+            .cast("bigint")
+            .alias("month_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    return (
+        cells.join(F.broadcast(cohort_sizes), "cohort_month")
+        .select(
+            "cohort_month",
+            "month_offset",
+            F.col("active_users").cast("bigint").alias("active_users"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.round(
+                F.col("active_users") / F.nullif(F.col("cohort_size"), F.lit(0)),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )
+
+
+#: Dirichlet prior pseudo-count for the log-odds keyword extractor.
+TOPIC_PRIOR = 0.5
+
+#: keywords reported per source.
+TOPIC_TOP_K = 3
+
+
+def q_topic_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic vocabulary per source: informative-Dirichlet
+    log-odds ratio with variance normalization (Monroe, Colaresi &
+    Quinn 2008, "Fightin' Words") of each word in one source vs the
+    rest of the corpus; top-3 words per source by z-score.
+
+    Declared ROWS-ONLY: the per-word log-odds needs executor-side
+    ``ln`` over data-dependent counts, and JVM ``Math.log`` is not
+    bit-guaranteed against DuckDB's libm ``ln`` (the ml/nb.py
+    portability argument in reverse) — the pytest oracle
+    (tests/test_round5_operators.py) recomputes the full statistic in
+    numpy and asserts the same keywords with tolerance-checked scores.
+
+    Scale: one tokenize scan → (source, word) counts; global word
+    totals via a second aggregation of the SAME counts (no rescan);
+    z-scores are map work; top-3 per source is a bounded window over
+    |sources| partitions."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(
+            F.array_remove(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "")
+        ).alias("word"),
+    )
+    sw = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c_sw"))
+    w_tot = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
+    s_tot = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    n_all = sw.agg(F.sum("c_sw").alias("n_all"))
+    a0 = float(TOPIC_PRIOR)
+    joined = (
+        sw.join(F.broadcast(w_tot), "word")
+        .join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(n_all))
+    )
+    y_sw = F.col("c_sw").cast("double")
+    y_rw = (F.col("c_w") - F.col("c_sw")).cast("double")
+    n_s = F.col("n_s").cast("double")
+    n_r = (F.col("n_all") - F.col("n_s")).cast("double")
+    delta = (
+        F.log((y_sw + a0) / (n_s + 2 * a0 - y_sw - a0))
+        - F.log((y_rw + a0) / (n_r + 2 * a0 - y_rw - a0))
+    )
+    var = 1.0 / (y_sw + a0) + 1.0 / (y_rw + a0)
+    scored = joined.select(
+        "source",
+        "word",
+        F.col("c_sw").alias("n_in_source"),
+        (delta / F.sqrt(var)).alias("z"),
+    )
+    wrank = Window.partitionBy("source").orderBy(
+        F.col("z").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wrank))
+        .where(F.col("rk") <= TOPIC_TOP_K)
+        .select(
+            "source",
+            F.col("rk").cast("int").alias("rank"),
+            "word",
+            F.col("n_in_source").cast("bigint").alias("n_in_source"),
+            F.round("z", 6).alias("log_odds_z"),
+        )
+        .orderBy("source", "rank")
+    )

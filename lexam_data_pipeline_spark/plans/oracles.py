@@ -3008,3 +3008,364 @@ CORE_ORACLES["q_ks_test"] = """
                  6) AS ks_scaled
     FROM scaled
 """
+
+CORE_ORACLES["q_anova_f"] = """
+    WITH rows_ AS (
+        SELECT c_mktsegment AS segment,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    groups AS (
+        SELECT segment, count(*) AS ng, sum(cents) AS sg,
+               sum(CAST(cents * cents AS HUGEINT)) AS qg
+        FROM rows_ GROUP BY segment
+    ),
+    totals AS (SELECT sum(ng) AS n, sum(sg) AS s, count(*) AS k FROM groups),
+    scaled AS (
+        SELECT n, k,
+               CAST(floor(CAST(ng AS DOUBLE)
+                    * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
+                       - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
+                       - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    / 100.0) AS BIGINT) AS ssb_s,
+               CAST(floor((CAST(qg AS DOUBLE)
+                    - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                      / CAST(ng AS DOUBLE))
+                    / 100.0) AS BIGINT) AS ssw_s
+        FROM groups CROSS JOIN totals
+    ),
+    m AS (
+        SELECT n, k, sum(ssb_s) AS ssb, sum(ssw_s) AS ssw
+        FROM scaled GROUP BY n, k
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           round(CAST(ssb AS DOUBLE) / 100.0, 4) AS ss_between_dollars2,
+           round(CAST(ssw AS DOUBLE) / 100.0, 4) AS ss_within_dollars2,
+           round((CAST(ssb AS DOUBLE) / nullif(CAST(k - 1 AS DOUBLE), 0.0))
+                 / nullif(CAST(ssw AS DOUBLE)
+                          / nullif(CAST(n - k AS DOUBLE), 0.0), 0.0), 6)
+               AS f_stat
+    FROM m
+"""
+
+CORE_ORACLES["q_cramers_v"] = """
+    WITH cells AS (
+        SELECT lang AS a, source AS b, count(*) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, sum(c) AS a_n FROM cells GROUP BY a),
+    cb AS (SELECT b, sum(c) AS b_n FROM cells GROUP BY b),
+    tot AS (SELECT sum(c) AS n FROM cells),
+    grid AS (
+        SELECT r.a, g.b, r.a_n, g.b_n, t.n, COALESCE(cl.c, 0) AS o
+        FROM ra r CROSS JOIN cb g
+        LEFT JOIN cells cl ON cl.a = r.a AND cl.b = g.b
+        CROSS JOIN tot t
+    ),
+    m AS (
+        SELECT sum(CAST(floor(
+                   ((o - (a_n * b_n) / n) * (o - (a_n * b_n) / n)
+                    / ((a_n * b_n) / n)) * 1000000.0) AS BIGINT)) AS s_chi,
+               count(DISTINCT a) AS r, count(DISTINCT b) AS cc, max(n) AS n
+        FROM grid
+    )
+    SELECT round(CAST(s_chi AS DOUBLE) / 1000000.0, 4) AS chi2,
+           CAST((r - 1) * (cc - 1) AS BIGINT) AS dof,
+           CAST(n AS BIGINT) AS n,
+           round(sqrt((CAST(s_chi AS DOUBLE) / 1000000.0)
+                      / CAST(n * least(r - 1, cc - 1) AS DOUBLE)), 6)
+               AS cramers_v
+    FROM m
+"""
+
+CORE_ORACLES["q_crosscorr_lagged"] = """
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS rev,
+               count(*) AS vol
+        FROM orders GROUP BY 1
+    ),
+    spine AS (
+        SELECT rev, vol,
+               date_diff('day', DATE '1995-01-01', CAST(day AS DATE)) AS d
+        FROM daily
+    ),
+    pairs AS (
+        SELECT l.lag, a.rev AS x, b.vol AS y
+        FROM spine a
+        CROSS JOIN (SELECT CAST(range AS INT) AS lag FROM range(0, 8)) l
+        JOIN spine b ON b.d = a.d - l.lag
+    ),
+    m AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(x AS HUGEINT)) AS sx,
+               sum(CAST(y AS HUGEINT)) AS sy,
+               sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+               sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+               sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        FROM pairs GROUP BY lag
+    )
+    SELECT lag, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                          0.0), 6) AS xcorr
+    FROM m ORDER BY lag
+"""
+
+CORE_ORACLES["q_kendall_tau"] = """
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS rev,
+               count(*) AS vol
+        FROM orders GROUP BY 1
+    ),
+    spine AS (
+        SELECT rev, vol,
+               date_diff('day', DATE '1995-01-01', CAST(day AS DATE)) AS d
+        FROM daily
+    ),
+    pairs AS (
+        SELECT a.rev - b.rev AS dx, a.vol - b.vol AS dy
+        FROM spine a JOIN spine b ON a.d < b.d
+    ),
+    m AS (
+        SELECT count(*) AS n0,
+               sum(CASE WHEN sign(dx) * sign(dy) = 1 THEN 1 ELSE 0 END)
+                   AS concordant,
+               sum(CASE WHEN sign(dx) * sign(dy) = -1 THEN 1 ELSE 0 END)
+                   AS discordant,
+               sum(CASE WHEN dx = 0 AND dy != 0 THEN 1 ELSE 0 END) AS tx,
+               sum(CASE WHEN dy = 0 AND dx != 0 THEN 1 ELSE 0 END) AS ty,
+               sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS txy
+        FROM pairs
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_pairs,
+           CAST(concordant AS BIGINT) AS concordant,
+           CAST(discordant AS BIGINT) AS discordant,
+           round(CAST(concordant - discordant AS DOUBLE)
+                 / nullif(sqrt(CAST(n0 - tx - txy AS DOUBLE)
+                               * CAST(n0 - ty - txy AS DOUBLE)), 0.0), 6)
+               AS kendall_tau_b
+    FROM m
+"""
+
+CORE_ORACLES["q_decile_lift"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents,
+               max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos
+        FROM orders GROUP BY o_custkey
+    ),
+    deciles AS (
+        SELECT cents, pos,
+               ntile(10) OVER (ORDER BY cents DESC, o_custkey ASC) AS decile
+        FROM per_cust
+    ),
+    per_dec AS (
+        SELECT decile, count(*) AS n, sum(pos) AS n_pos,
+               sum(cents) AS dec_cents
+        FROM deciles GROUP BY decile
+    ),
+    tot AS (SELECT sum(n) AS nt, sum(n_pos) AS pt FROM per_dec)
+    SELECT decile,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(dec_cents AS BIGINT) AS dec_cents,
+           round(CAST(n_pos AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0), 6)
+               AS pos_rate,
+           round(CAST(n_pos * nt AS DOUBLE)
+                 / nullif(CAST(n * pt AS DOUBLE), 0.0), 6) AS lift,
+           round(CAST(sum(n_pos) OVER (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE)
+                 / nullif(CAST(pt AS DOUBLE), 0), 6) AS cum_capture
+    FROM per_dec CROSS JOIN tot
+    ORDER BY decile
+"""
+
+CORE_ORACLES["q_shannon_diversity"] = """
+    WITH cells AS (
+        SELECT source AS s, lang AS l, count(*) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    per_source AS (
+        SELECT s AS source, sum(c) AS n_docs, count(*) AS richness,
+               sum(CAST(floor(1000000.0 * c * ln(CAST(c AS DOUBLE)))
+                        AS BIGINT)) AS sl,
+               sum(c * (c - 1)) AS simp_num
+        FROM cells GROUP BY s
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(richness AS BIGINT) AS richness,
+           round((ln(CAST(n_docs AS DOUBLE))
+                  - (CAST(sl AS DOUBLE) / 1000000.0)
+                    / CAST(n_docs AS DOUBLE))
+                 / ln(2.0), 6) AS entropy_bits,
+           round(CAST(simp_num AS DOUBLE)
+                 / nullif(CAST(n_docs AS DOUBLE)
+                          * (CAST(n_docs AS DOUBLE) - 1.0), 0.0), 6)
+               AS simpson
+    FROM per_source ORDER BY source
+"""
+
+
+# Poisson(1) CDF thresholds — MUST equal fixture_queries.POISSON_CDF_HEX
+# (tests/test_round5_operators.py asserts the two stay in sync).
+_POISSON_HEX = ("5e2d58", "bc5ab1", "eb715e", "fb2397", "ff1025", "ffd90f")
+
+_POISSON_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || '|' "
+        f"|| CAST(r.rep AS VARCHAR)), 1, 6) < '{h}' THEN {k}"
+        for k, h in enumerate(_POISSON_HEX)
+    )
+    + " ELSE 6 END"
+)
+
+CORE_ORACLES["q_bootstrap_ci"] = f"""
+    WITH reps AS (SELECT CAST(range AS INT) AS rep FROM range(0, 32)),
+    weighted AS (
+        SELECT r.rep,
+               CAST({_POISSON_CASE} AS BIGINT) AS w,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders CROSS JOIN reps r
+    ),
+    per_rep AS (
+        SELECT rep,
+               CAST(sum(w * cents) AS DOUBLE)
+               / nullif(CAST(sum(w) AS DOUBLE) * 100.0, 0.0) AS rep_mean
+        FROM weighted GROUP BY rep
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+           round(quantile_cont(rep_mean, 0.5), 6) AS boot_median,
+           round(quantile_cont(rep_mean, 0.025), 6) AS ci_lo,
+           round(quantile_cont(rep_mean, 0.975), 6) AS ci_hi
+    FROM per_rep
+"""
+
+CORE_ORACLES["q_tukey_fences"] = """
+    WITH rows_ AS (
+        SELECT c_mktsegment AS segment,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    q AS (
+        SELECT segment, count(*) AS n,
+               quantile_cont(cents, 0.25) AS q1,
+               quantile_cont(cents, 0.75) AS q3
+        FROM rows_ GROUP BY segment
+    )
+    SELECT r.segment,
+           CAST(max(q.n) AS BIGINT) AS n,
+           round(max(q.q1) / 100.0, 4) AS q1,
+           round(max(q.q3) / 100.0, 4) AS q3,
+           CAST(sum(CASE WHEN CAST(r.cents AS DOUBLE)
+                              < q.q1 - 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+           CAST(sum(CASE WHEN CAST(r.cents AS DOUBLE)
+                              > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+    FROM rows_ r JOIN q ON r.segment = q.segment
+    GROUP BY r.segment ORDER BY r.segment
+"""
+
+CORE_ORACLES["q_polyfit_quadratic"] = """
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS y
+        FROM orders GROUP BY 1
+    ),
+    spine AS (
+        SELECT CAST(datediff('month', DATE '1995-01-01', CAST(month AS DATE))
+                    AS BIGINT) AS t, y
+        FROM monthly
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(t AS HUGEINT)) AS st1,
+               sum(CAST(t * t AS HUGEINT)) AS st2,
+               sum(CAST(t * t * t AS HUGEINT)) AS st3,
+               sum(CAST(t * t * t * t AS HUGEINT)) AS st4,
+               sum(CAST(y AS HUGEINT)) AS sy,
+               sum(CAST(t * y AS HUGEINT)) AS sty,
+               sum(CAST(t * t * y AS HUGEINT)) AS st2y
+        FROM spine
+    ),
+    d AS (
+        SELECT n,
+               CAST(n AS DOUBLE) AS nD,
+               CAST(st1 AS DOUBLE) AS s1, CAST(st2 AS DOUBLE) AS s2,
+               CAST(st3 AS DOUBLE) AS s3, CAST(st4 AS DOUBLE) AS s4,
+               CAST(sy AS DOUBLE) AS vy, CAST(sty AS DOUBLE) AS vty,
+               CAST(st2y AS DOUBLE) AS vt2y
+        FROM m
+    )
+    SELECT n AS n_months,
+           round((vy * (s2 * s4 - s3 * s3)
+                  - s1 * (vty * s4 - s3 * vt2y)
+                  + s2 * (vty * s3 - s2 * vt2y))
+                 / nullif(nD * (s2 * s4 - s3 * s3)
+                          - s1 * (s1 * s4 - s3 * s2)
+                          + s2 * (s1 * s3 - s2 * s2), 0.0) / 100.0, 6)
+               AS a_dollars,
+           round((nD * (vty * s4 - s3 * vt2y)
+                  - vy * (s1 * s4 - s3 * s2)
+                  + s2 * (s1 * vt2y - vty * s2))
+                 / nullif(nD * (s2 * s4 - s3 * s3)
+                          - s1 * (s1 * s4 - s3 * s2)
+                          + s2 * (s1 * s3 - s2 * s2), 0.0) / 100.0, 6)
+               AS b_dollars_per_month,
+           round((nD * (s2 * vt2y - vty * s3)
+                  - s1 * (s1 * vt2y - vty * s2)
+                  + vy * (s1 * s3 - s2 * s2))
+                 / nullif(nD * (s2 * s4 - s3 * s3)
+                          - s1 * (s1 * s4 - s3 * s2)
+                          + s2 * (s1 * s3 - s2 * s2), 0.0) / 100.0, 6)
+               AS c_dollars_per_month2
+    FROM d
+"""
+
+CORE_ORACLES["q_cohort_retention"] = """
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('month', min(ts)) AS cohort_month
+        FROM events GROUP BY user_id
+    ),
+    cohort_sizes AS (
+        SELECT cohort_month, count(*) AS cohort_size
+        FROM first_seen GROUP BY cohort_month
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('month', ts) AS act_month
+        FROM events
+    ),
+    cells AS (
+        SELECT f.cohort_month,
+               CAST(datediff('month', CAST(f.cohort_month AS DATE),
+                             CAST(a.act_month AS DATE)) AS BIGINT)
+                   AS month_offset,
+               count(*) AS active_users
+        FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    )
+    SELECT c.cohort_month, c.month_offset,
+           CAST(c.active_users AS BIGINT) AS active_users,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           round(CAST(c.active_users AS DOUBLE)
+                 / nullif(CAST(s.cohort_size AS DOUBLE), 0), 6) AS retention
+    FROM cells c JOIN cohort_sizes s ON c.cohort_month = s.cohort_month
+    ORDER BY c.cohort_month, c.month_offset
+"""

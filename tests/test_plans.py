@@ -533,3 +533,117 @@ def test_boosted_stumps_returned_plan_is_driver_finished(spark, sf_small):
     assert plan.count("Scan parquet") == 0
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_stratified_sample_is_single_scan_single_aggregate(spark, sf_small):
+    """Map-only md5 predicate + ONE conditional aggregate: no join, no
+    second scan for totals, no Python."""
+    plan = _plan(QUERIES["q_stratified_sample"](spark, sf_small))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_trimmed_mean_broadcasts_dim_and_windows_by_segment(spark, sf_small):
+    plan = _plan(QUERIES["q_trimmed_mean"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_spearman_rank_maps_are_value_level(spark, sf_small):
+    """The rank maps join back to facts as equi-joins; no cartesian
+    blowup, no Python stage anywhere in the moment pipeline."""
+    plan = _plan(QUERIES["q_spearman_corr"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_two_sample_tests_run_on_value_spine(spark, sf_small):
+    """q_mannwhitney / q_ks_test: one fact join feeds a value-level
+    aggregate; ordered windows run on the spine.  No cartesian products
+    (the 1-row totals join broadcasts), no Python."""
+    for key in ("q_mannwhitney", "q_ks_test"):
+        plan = _plan(QUERIES[key](spark, sf_small))
+        assert "CartesianProduct" not in plan, key
+        assert "Python" not in plan, key
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, key
+
+
+def test_anova_is_moment_aggregate_with_broadcasts(spark, sf_small):
+    plan = _plan(QUERIES["q_anova_f"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_cramers_v_returned_plan_is_driver_finished(spark, sf_small):
+    """Sufficient-statistic posture (q_chi_square family): the corpus
+    contributed one collect_bounded cell aggregate at build time."""
+    plan = _plan(QUERIES["q_cramers_v"](spark, sf_small))
+    assert plan.count("Scan parquet") == 0
+    assert "Join" not in plan
+
+
+def test_shannon_diversity_returned_plan_is_driver_finished(spark, sf_small):
+    plan = _plan(QUERIES["q_shannon_diversity"](spark, sf_small))
+    assert plan.count("Scan parquet") == 0
+    assert "Join" not in plan
+
+
+def test_crosscorr_and_kendall_run_on_calendar_spine(spark, sf_small):
+    """Both keys' pair/lag joins take the day-grain pre-aggregate as
+    both inputs — the fact table feeds exactly the spine aggregates,
+    and no Python appears."""
+    for key in ("q_crosscorr_lagged", "q_kendall_tau"):
+        plan = _plan(QUERIES[key](spark, sf_small))
+        assert "Python" not in plan, key
+        # every parquet scan must sit under an aggregate (the spine
+        # build); the join itself must not touch a raw fact scan
+        assert "CartesianProduct" not in plan, key
+
+
+def test_decile_lift_windows_run_on_preaggregate(spark, sf_small):
+    plan = _plan(QUERIES["q_decile_lift"](spark, sf_small))
+    assert plan.count("Scan parquet") <= 2  # orders only (both branches)
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_bootstrap_fanout_is_broadcast_and_single_scan(spark, sf_small):
+    """Poisson bootstrap: ONE fact scan fanned out by the broadcast
+    replicate spine; weights are map work; no Python."""
+    plan = _plan(QUERIES["q_bootstrap_ci"](spark, sf_small))
+    assert plan.count("Scan parquet") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_tukey_fence_table_broadcasts_back(spark, sf_small):
+    plan = _plan(QUERIES["q_tukey_fences"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_polyfit_is_pure_moment_aggregate(spark, sf_small):
+    """Normal equations: one scan → month spine → one moment aggregate;
+    Cramer's rule is projection work — no join anywhere."""
+    plan = _plan(QUERIES["q_polyfit_quadratic"](spark, sf_small))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_cohort_retention_broadcasts_cohort_sizes(spark, sf_small):
+    plan = _plan(QUERIES["q_cohort_retention"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_topic_keywords_single_tokenize_scan(spark, sf_small):
+    """All three count tables derive from ONE (source, word) aggregate;
+    totals join back via broadcast; top-k is a bounded window."""
+    plan = _plan(QUERIES["q_topic_keywords"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan

@@ -108,6 +108,17 @@ PROBES = [
     "q_spearman_corr",
     "q_mannwhitney",
     "q_ks_test",
+    "q_anova_f",
+    "q_cramers_v",
+    "q_crosscorr_lagged",
+    "q_kendall_tau",
+    "q_decile_lift",
+    "q_shannon_diversity",
+    "q_bootstrap_ci",
+    "q_tukey_fences",
+    "q_polyfit_quadratic",
+    "q_cohort_retention",
+    "q_topic_keywords",
     "q_rfm_segments",
     "q_linear_attribution",
     "q_mom_growth",
