@@ -177,6 +177,9 @@ def main() -> None:
         "q_polyfit_quadratic",
         "q_cohort_retention",
         "q_topic_keywords",
+        "q_hhi_concentration",
+        "q_price_elasticity",
+        "q_ab_sequential",
         "q_rfm_segments",
         "q_linear_attribution",
         "q_mom_growth",

@@ -6331,3 +6331,183 @@ def q_topic_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rank")
     )
+
+
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman revenue-concentration index per market
+    segment: HHI = Σ (customer share of segment revenue)², plus the
+    top-customer share — the antitrust-style "is this segment a few
+    whales?" metric (complements q_gini_revenue/q_lorenz_deciles, which
+    measure inequality, not concentration).
+
+    Exact: HHI = Σ cents_i² / (Σ cents_i)² with per-customer cents²
+    computed decimal(18,0)×decimal(18,0) (customer lifetime cents can
+    pass 2^31·100 — BIGINT squares would overflow, the q_crosscorr_lagged
+    lesson) and summed decimal-exact; ONE closing double division.
+
+    Scale: per-customer pre-aggregate → one segment rollup; no windows,
+    no driver state."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    d18 = F.col("cents").cast("decimal(18,0)")
+    seg = per_cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").alias("tot_cents"),
+        F.sum(d18 * d18).alias("sq_cents"),
+        F.max("cents").alias("top_cents"),
+    )
+    tot = F.col("tot_cents").cast("double")
+    return seg.select(
+        "segment",
+        "n_customers",
+        "tot_cents",
+        F.round(
+            F.col("sq_cents").cast("double") / F.nullif(tot * tot, F.lit(0.0)), 6
+        ).alias("hhi"),
+        F.round(
+            F.col("top_cents").cast("double") / F.nullif(tot, F.lit(0.0)), 6
+        ).alias("top1_share"),
+    ).orderBy("segment")
+
+
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand from the lineitem history:
+    OLS slope of ln(monthly quantity) on ln(monthly average unit price)
+    — the canonical demand-curve estimate, run on the calendar-bounded
+    month spine.
+
+    Parity design: the spine (≤ months rows, collect_bounded) collects
+    to the driver, where each month's ln(avg_price) / ln(qty) terms use
+    Python ``math.log`` (== DuckDB ``ln``, the ml/nb.py libm argument)
+    on floats derived from exact integers mirroring the oracle's CAST
+    chain; every moment is Σ floor(1e9·term) BIGINT — order-independent
+    — and the closing slope/intercept are fixed double expressions in
+    the returned Spark projection.
+
+    Scale: ONE fact aggregate to the month grain; everything after is
+    O(months) driver arithmetic — same posture as q_chi_square."""
+    li = load_table(spark, sf_dir, "lineitem")
+    spine = collect_bounded(
+        li.groupBy(F.date_trunc("month", "l_shipdate").alias("month")).agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("rev_cents"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("qty_100"),
+        ),
+        _MAX_CELL_ROWS,
+        "q_price_elasticity month spine",
+    )
+    schema = "n bigint, sx bigint, sy bigint, sxy bigint, sxx bigint"
+    n = sx = sy = sxy = sxx = 0
+    for r in spine:
+        if not r["qty_100"] or not r["rev_cents"]:
+            continue
+        # ln(avg unit price dollars) & ln(total qty), exactly as the
+        # oracle casts them: rev/qty both ×100 so the ratio is unit-free
+        x = math.log(float(r["rev_cents"]) / float(r["qty_100"]))
+        y = math.log(float(r["qty_100"]) / 100.0)
+        n += 1
+        sx += math.floor(1e9 * x)
+        sy += math.floor(1e9 * y)
+        sxy += math.floor(1e9 * (x * y))
+        sxx += math.floor(1e9 * (x * x))
+    if n == 0:
+        return spark.createDataFrame([], schema).select(
+            F.col("n").alias("n_months"),
+            F.col("sx").cast("double").alias("elasticity"),
+            F.col("sy").cast("double").alias("intercept"),
+        )
+    df = spark.createDataFrame([(n, sx, sy, sxy, sxx)], schema)
+    nD = F.col("n").cast("double")
+    sxD = F.col("sx").cast("double") / 1e9
+    syD = F.col("sy").cast("double") / 1e9
+    sxyD = F.col("sxy").cast("double") / 1e9
+    sxxD = F.col("sxx").cast("double") / 1e9
+    slope = (nD * sxyD - sxD * syD) / F.nullif(
+        nD * sxxD - sxD * sxD, F.lit(0.0)
+    )
+    return df.select(
+        F.col("n").alias("n_months"),
+        F.round(slope, 6).alias("elasticity"),
+        F.round((syD - slope * sxD) / nD, 6).alias("intercept"),
+    )
+
+
+#: SPRT design: H0 p=0.5 vs H1 p=0.55 on the daily purchase share of
+#: (purchase + view) events; alpha = beta = 0.05 → ln((1-b)/a) bounds.
+SPRT_P0 = 0.5
+SPRT_P1 = 0.55
+
+
+def q_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT (sequential probability-ratio test) on the event
+    stream: walk the days in order accumulating the log-likelihood
+    ratio for "purchase share of purchase+view events is p1 vs p0", and
+    report the first boundary crossing — the always-valid sequential
+    A/B machinery that lets a pipeline stop early instead of fixing n
+    in advance (q_ab_test's fixed-horizon sibling).
+
+    Parity: the only logs are CONSTANTS (ln(p1/p0) etc.) — computed
+    once driver-side with math.log and inlined as literals in BOTH
+    engines' plans (the oracle embeds the same Python-formatted
+    literals, test-asserted in sync); each day's LLR is
+    conv·C1 + (n−conv)·C2 floor-scaled ×1e9 to BIGINT, the cumulative
+    sum is an exact-integer window over the day spine, and the Wald
+    bounds compare as scaled BIGINTs.
+
+    Scale: one fact aggregate to the day grain; the ordered cumulative
+    window runs over the calendar-bounded spine."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin("purchase", "view"))
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("conv"),
+        )
+    )
+    c1 = math.log(SPRT_P1 / SPRT_P0)
+    c2 = math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))
+    ln_a = math.log(19.0)  # ln((1-0.05)/0.05)
+    llr_s = F.floor(
+        (
+            F.col("conv").cast("double") * F.lit(c1)
+            + (F.col("n") - F.col("conv")).cast("double") * F.lit(c2)
+        )
+        * 1e9
+    ).cast("bigint")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    walked = daily.select(
+        "day", F.sum(llr_s).over(w).alias("cum_s")
+    )
+    bound = int(math.floor(ln_a * 1e9))
+    cross_day = F.when(
+        (F.col("cum_s") >= bound) | (F.col("cum_s") <= -bound), F.col("day")
+    )
+    m = walked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.min(cross_day).alias("decision_day"),
+        F.min_by(F.col("cum_s"), cross_day).alias("cross_s"),
+        F.max_by(F.col("cum_s"), F.col("day")).alias("final_s"),
+    )
+    return m.select(
+        "n_days",
+        "decision_day",
+        F.when(F.col("cross_s").isNull(), F.lit("continue"))
+        .when(F.col("cross_s") >= bound, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        F.round(F.col("cross_s") / F.lit(1e9), 6).alias("llr_at_decision"),
+        F.round(F.col("final_s") / F.lit(1e9), 6).alias("llr_final"),
+    )

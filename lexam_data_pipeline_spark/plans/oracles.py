@@ -3369,3 +3369,116 @@ CORE_ORACLES["q_cohort_retention"] = """
     FROM cells c JOIN cohort_sizes s ON c.cohort_month = s.cohort_month
     ORDER BY c.cohort_month, c.month_offset
 """
+
+
+CORE_ORACLES["q_hhi_concentration"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    seg AS (
+        SELECT c_mktsegment AS segment,
+               count(*) AS n_customers,
+               sum(cents) AS tot_cents,
+               sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+                   AS sq_cents,
+               max(cents) AS top_cents
+        FROM per_cust JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    )
+    SELECT segment,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(tot_cents AS BIGINT) AS tot_cents,
+           round(CAST(sq_cents AS DOUBLE)
+                 / nullif(CAST(tot_cents AS DOUBLE)
+                          * CAST(tot_cents AS DOUBLE), 0.0), 6) AS hhi,
+           round(CAST(top_cents AS DOUBLE)
+                 / nullif(CAST(tot_cents AS DOUBLE), 0.0), 6) AS top1_share
+    FROM seg ORDER BY segment
+"""
+
+CORE_ORACLES["q_price_elasticity"] = """
+    WITH spine AS (
+        SELECT date_trunc('month', l_shipdate) AS month,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS rev_cents,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS qty_100
+        FROM lineitem GROUP BY 1
+    ),
+    terms AS (
+        SELECT ln(CAST(rev_cents AS DOUBLE) / CAST(qty_100 AS DOUBLE)) AS x,
+               ln(CAST(qty_100 AS DOUBLE) / 100.0) AS y
+        FROM spine
+        WHERE qty_100 IS NOT NULL AND qty_100 != 0
+          AND rev_cents IS NOT NULL AND rev_cents != 0
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(floor(1000000000.0 * x) AS BIGINT)) AS sx,
+               sum(CAST(floor(1000000000.0 * y) AS BIGINT)) AS sy,
+               sum(CAST(floor(1000000000.0 * (x * y)) AS BIGINT)) AS sxy,
+               sum(CAST(floor(1000000000.0 * (x * x)) AS BIGINT)) AS sxx
+        FROM terms
+    )
+    SELECT n AS n_months,
+           round((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+                  - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+                 / nullif(CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+                          - (CAST(sx AS DOUBLE) / 1e9)
+                            * (CAST(sx AS DOUBLE) / 1e9), 0.0), 6)
+               AS elasticity,
+           round(((CAST(sy AS DOUBLE) / 1e9)
+                  - ((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+                      - (CAST(sx AS DOUBLE) / 1e9)
+                        * (CAST(sy AS DOUBLE) / 1e9))
+                     / nullif(CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+                              - (CAST(sx AS DOUBLE) / 1e9)
+                                * (CAST(sx AS DOUBLE) / 1e9), 0.0))
+                    * (CAST(sx AS DOUBLE) / 1e9))
+                 / CAST(n AS DOUBLE), 6) AS intercept
+    FROM m
+"""
+
+
+# SPRT constants below are driver-computed (math.log) and inlined as the
+# SAME literals the Spark plan uses — test-asserted in sync.
+CORE_ORACLES["q_ab_sequential"] = """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               count(*) AS n,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events
+        WHERE event_type IN ('purchase', 'view')
+        GROUP BY 1
+    ),
+    walked AS (
+        SELECT day,
+               sum(CAST(floor((CAST(conv AS DOUBLE) * 0.09531017980432493
+                    + CAST(n - conv AS DOUBLE) * -0.1053605156578264) * 1e9)
+                    AS BIGINT))
+               OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_s
+        FROM daily
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               min(CASE WHEN cum_s >= 2944438979 OR cum_s <= -2944438979
+                        THEN day END) AS decision_day,
+               min_by(cum_s, CASE WHEN cum_s >= 2944438979 OR cum_s <= -2944438979
+                                  THEN day END) AS cross_s,
+               max_by(cum_s, day) AS final_s
+        FROM walked
+    )
+    SELECT n_days, decision_day,
+           CASE WHEN cross_s IS NULL THEN 'continue'
+                WHEN cross_s >= 2944438979 THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           round(CAST(cross_s AS DOUBLE) / 1e9, 6) AS llr_at_decision,
+           round(CAST(final_s AS DOUBLE) / 1e9, 6) AS llr_final
+    FROM m
+"""

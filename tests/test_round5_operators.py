@@ -132,3 +132,17 @@ def test_topic_keywords_matches_numpy_replica(spark, sf_small):
             assert r["word"] == w, (s, r["word"], w)
             assert r["n_in_source"] == c
             assert abs(r["log_odds_z"] - (-neg_z)) < 1e-6, (s, w)
+
+
+def test_sprt_constants_in_sync():
+    """The oracle's inlined SPRT literals must be exactly the Spark
+    plan's driver-computed constants."""
+    import math
+
+    from lexam_data_pipeline_spark.plans.fixture_queries import SPRT_P0, SPRT_P1
+    from lexam_data_pipeline_spark.plans.oracles import CORE_ORACLES
+
+    sql = CORE_ORACLES["q_ab_sequential"]
+    assert repr(math.log(SPRT_P1 / SPRT_P0)) in sql
+    assert repr(math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))) in sql
+    assert str(int(math.floor(math.log(19.0) * 1e9))) in sql
