@@ -2469,6 +2469,14 @@ def _cell_marginals(rows, key_a: str, key_b: str, val: str):
     return counts, a_tot, b_tot, sum(a_tot.values())
 
 
+def _null_first(v):
+    """Sort key for driver-side category walks that tolerates a NULL
+    category (None is unorderable against str — a NULL `source` row
+    crashed the naive sorted(); review finding, round 5).  Row order
+    only affects presentation: the driver compare is order-insensitive."""
+    return (v is not None, v if v is not None else "")
+
+
 def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square test of independence between market segment and order
     priority: one contingency-table aggregate, then the statistic from
@@ -5236,7 +5244,7 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     counts, a_tot, b_tot, bb = _cell_marginals(cells, "s", "l", "c")
     rows = []
-    for s in sorted(a_tot):
+    for s in sorted(a_tot, key=_null_first):
         a = a_tot[s]
         sp = sq = 0
         for l, b in b_tot.items():
@@ -5480,16 +5488,18 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flag", "price", F.col("r2").alias("ry2")
     )
     joined = li.join(rx, ["flag", "qty"]).join(ry, ["flag", "price"])
-    # per-row products stay in BIGINT ((2n+1)^2 « 2^63); their sums go
-    # to decimal(38,0) so the moments are exact at any corpus size
-    d38 = "decimal(38,0)"
+    # operands cast to decimal(18,0) BEFORE multiplying: doubled ranks
+    # reach ~4e11 at 100 TB row counts, so a BIGINT product would wrap
+    # silently (the q_crosscorr_lagged lesson); precision-37 products
+    # and their sums stay exact
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
     m = joined.groupBy("flag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("rx2").cast(d38)).alias("sx"),
-        F.sum(F.col("ry2").cast(d38)).alias("sy"),
-        F.sum((F.col("rx2") * F.col("ry2")).cast(d38)).alias("sxy"),
-        F.sum((F.col("rx2") * F.col("rx2")).cast(d38)).alias("sxx"),
-        F.sum((F.col("ry2") * F.col("ry2")).cast(d38)).alias("syy"),
+        F.sum(d18("rx2")).alias("sx"),
+        F.sum(d18("ry2")).alias("sy"),
+        F.sum(d18("rx2") * d18("ry2")).alias("sxy"),
+        F.sum(d18("rx2") * d18("rx2")).alias("sxx"),
+        F.sum(d18("ry2") * d18("ry2")).alias("syy"),
     )
     # closing formula: cast each exact moment to double FIRST, then a
     # fixed IEEE expression (decimal×decimal at p=38 would overflow
@@ -5569,12 +5579,19 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).alias("r2"),
     )
+    # decimal before multiply: c1·r2 and n1² pass 2^63 at 100 TB pooled
+    # row counts (review finding, round 5) — the oracle already sums to
+    # HUGEINT; fixture values are unchanged
     m = ranked.agg(
         F.sum("c1").alias("n1"),
         F.sum("c2").alias("n2"),
-        F.sum(F.col("c1") * F.col("r2")).alias("r1_2"),
+        F.sum(
+            F.col("c1").cast("decimal(18,0)") * F.col("r2").cast("decimal(18,0)")
+        ).alias("r1_2"),
     )
-    u1_2 = F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)  # doubled U1
+    u1_2 = F.col("r1_2") - F.col("n1").cast("decimal(18,0)") * (
+        F.col("n1") + 1
+    ).cast("decimal(18,0)")  # doubled U1, exact decimal
     n1n2 = F.col("n1").cast("double") * F.col("n2").cast("double")
     return m.select(
         F.col("n1").cast("bigint").alias("n1"),
@@ -5609,14 +5626,17 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = spine.agg(
         F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
     )
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
     scaled = (
         cum.join(F.broadcast(totals))
         .select(
             "n1",
             "n2",
-            F.abs(
-                F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
-            ).alias("d_scaled"),
+            # decimal before multiply — cum·n passes 2^63 at 100 TB
+            # pooled counts (review finding, round 5)
+            F.abs(d18("cum1") * d18("n2") - d18("cum2") * d18("n1")).alias(
+                "d_scaled"
+            ),
         )
         .groupBy("n1", "n2")
         .agg(F.max("d_scaled").alias("d_max"))
@@ -5732,13 +5752,16 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     schema = "_s bigint, r bigint, cc bigint, n bigint"
     counts, a_tot, b_tot, n = _cell_marginals(cells, "a", "b", "c")
-    if n == 0 or len(a_tot) < 2 or len(b_tot) < 2:
+    if n == 0:  # degenerate empty corpus (q_chi_square precedent)
         return spark.createDataFrame([], schema).select(
             F.col("_s").cast("double").alias("chi2"),
             F.col("r").alias("dof"),
             "n",
             F.col("_s").cast("double").alias("cramers_v"),
         )
+    # single-row/column grids proceed: every o equals its expectation so
+    # chi2 = 0, dof = 0, and V goes NULL through the nullif denominator —
+    # exactly what the oracle emits (review finding, round 5)
     s_chi = 0
     for a in a_tot:
         for b in b_tot:
@@ -5748,12 +5771,33 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     r, c = len(a_tot), len(b_tot)
     row = spark.createDataFrame([(s_chi, r, c, n)], schema)
     chi2 = F.col("_s") / F.lit(1000000.0)
-    denom = (F.col("n") * F.least(F.col("r") - 1, F.col("cc") - 1)).cast("double")
+    denom = F.nullif(
+        (F.col("n") * F.least(F.col("r") - 1, F.col("cc") - 1)).cast("double"),
+        F.lit(0.0),
+    )
     return row.select(
         F.round(chi2, 4).alias("chi2"),
         ((F.col("r") - 1) * (F.col("cc") - 1)).cast("bigint").alias("dof"),
         "n",
         F.round(F.sqrt(chi2 / denom), 6).alias("cramers_v"),
+    )
+
+
+def _daily_rev_vol_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, rev cents, vol, d): the day-grain revenue/volume spine
+    shared by q_crosscorr_lagged and q_kendall_tau — one place for the
+    exact-cents aggregate and the epoch offset, so overflow/epoch fixes
+    can never diverge between the pair (review finding, round 5)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("rev"),
+        F.count(F.lit(1)).alias("vol"),
+    ).withColumn(
+        "d", F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
     )
 
 
@@ -5773,17 +5817,7 @@ def q_crosscorr_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     (days × lags rows).  Exact core: Pearson moments per lag are BIGINT /
     decimal(38,0) sums of integer products; each correlation is one
     fixed double expression over the cast moments."""
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.date_trunc("day", "o_orderdate").alias("day")
-    ).agg(
-        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
-        .cast("bigint")
-        .alias("rev"),
-        F.count(F.lit(1)).alias("vol"),
-    ).withColumn(
-        "d", F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
-    )
+    daily = _daily_rev_vol_spine(spark, sf_dir)
     lags = spark.range(0, XCORR_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
     a, b = daily.alias("a"), daily.alias("b")
     pairs = (
@@ -5837,17 +5871,7 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are pure BIGINT comparisons; n0/t-terms come from the same
     spine; τ-b's sqrt denominator is the single closing double
     expression."""
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.date_trunc("day", "o_orderdate").alias("day")
-    ).agg(
-        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
-        .cast("bigint")
-        .alias("rev"),
-        F.count(F.lit(1)).alias("vol"),
-    ).withColumn(
-        "d", F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
-    )
+    daily = _daily_rev_vol_spine(spark, sf_dir)
     a, b = daily.alias("a"), daily.alias("b")
     pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
         (F.col("a.rev") - F.col("b.rev")).alias("dx"),
@@ -5975,7 +5999,7 @@ def q_shannon_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     rows = [
         (s, st["n"], st["rich"], st["sl"], st["simp"], math.log(st["n"]))
-        for s, st in sorted(per_source.items())
+        for s, st in sorted(per_source.items(), key=lambda kv: _null_first(kv[0]))
     ]
     df = spark.createDataFrame(rows, schema)
     n = F.col("n_docs").cast("double")
@@ -6411,7 +6435,10 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "n bigint, sx bigint, sy bigint, sxy bigint, sxx bigint"
     n = sx = sy = sxy = sxx = 0
     for r in spine:
-        if not r["qty_100"] or not r["rev_cents"]:
+        # strictly-positive guard: a returns-heavy month can go negative
+        # and ln(negative) raises where the oracle's ln() yields NULL —
+        # both sides now drop non-positive months (review finding, r5)
+        if (r["qty_100"] or 0) <= 0 or (r["rev_cents"] or 0) <= 0:
             continue
         # ln(avg unit price dollars) & ln(total qty), exactly as the
         # oracle casts them: rev/qty both ×100 so the ratio is unit-free

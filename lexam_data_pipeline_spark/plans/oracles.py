@@ -3075,7 +3075,8 @@ CORE_ORACLES["q_cramers_v"] = """
            CAST((r - 1) * (cc - 1) AS BIGINT) AS dof,
            CAST(n AS BIGINT) AS n,
            round(sqrt((CAST(s_chi AS DOUBLE) / 1000000.0)
-                      / CAST(n * least(r - 1, cc - 1) AS DOUBLE)), 6)
+                      / nullif(CAST(n * least(r - 1, cc - 1) AS DOUBLE),
+                               0.0)), 6)
                AS cramers_v
     FROM m
 """
@@ -3412,8 +3413,7 @@ CORE_ORACLES["q_price_elasticity"] = """
         SELECT ln(CAST(rev_cents AS DOUBLE) / CAST(qty_100 AS DOUBLE)) AS x,
                ln(CAST(qty_100 AS DOUBLE) / 100.0) AS y
         FROM spine
-        WHERE qty_100 IS NOT NULL AND qty_100 != 0
-          AND rev_cents IS NOT NULL AND rev_cents != 0
+        WHERE qty_100 > 0 AND rev_cents > 0
     ),
     m AS (
         SELECT CAST(count(*) AS BIGINT) AS n,

@@ -210,3 +210,113 @@ class TestSingleRowFuzz:
             except Exception as exc:  # noqa: BLE001 — collecting evidence
                 failures.append(f"{key}: {type(exc).__name__}")
         assert not failures, failures
+
+
+class TestRound5ReviewFindings:
+    """Regression pins for the round-5 /code-review findings: NULL
+    category keys, monoculture grids, and negative spine months."""
+
+    @pytest.fixture(scope="class")
+    def null_source_sf_dir(self, tmp_path_factory) -> str:
+        """sf0.001 clone whose documents table carries a NULL source and
+        a NULL lang row."""
+        import duckdb
+
+        from lexam_data_pipeline_spark.catalog import FIXTURE_TABLES
+
+        d = tmp_path_factory.mktemp("sf_nullsrc")
+        con = duckdb.connect()
+        for t in FIXTURE_TABLES:
+            if t == "documents":
+                con.execute(
+                    "COPY (SELECT doc_id, text, "
+                    " CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,"
+                    " CASE WHEN doc_id % 5 = 0 THEN NULL ELSE source END AS source,"
+                    " n_chars"
+                    " FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))"
+                    f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+                )
+            else:
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet("
+                    f"'/root/testdata/sf0.001/{t}.parquet'))"
+                    f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+                )
+        return str(d)
+
+    def test_diversity_and_jsd_survive_null_categories(
+        self, spark, null_source_sf_dir
+    ):
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            q_js_divergence,
+            q_shannon_diversity,
+        )
+
+        rows = q_shannon_diversity(spark, null_source_sf_dir).collect()
+        assert any(r["source"] is None for r in rows)  # NULL group present
+        q_js_divergence(spark, null_source_sf_dir).collect()
+
+    def test_cramers_v_monoculture_emits_row_with_null_v(self, spark, tmp_path):
+        """Single-lang corpus: one output row, chi2 0, dof 0, V NULL —
+        matching the oracle instead of the old zero-row early return."""
+        import duckdb
+
+        from lexam_data_pipeline_spark.catalog import FIXTURE_TABLES
+        from lexam_data_pipeline_spark.plans.fixture_queries import q_cramers_v
+
+        d = tmp_path / "mono"
+        d.mkdir()
+        con = duckdb.connect()
+        for t in FIXTURE_TABLES:
+            if t == "documents":
+                con.execute(
+                    "COPY (SELECT doc_id, text, 'de' AS lang, source, n_chars"
+                    " FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))"
+                    f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+                )
+            else:
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet("
+                    f"'/root/testdata/sf0.001/{t}.parquet'))"
+                    f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+                )
+        rows = q_cramers_v(spark, str(d)).collect()
+        assert len(rows) == 1
+        assert rows[0]["chi2"] == 0.0
+        assert rows[0]["dof"] == 0
+        assert rows[0]["cramers_v"] is None
+
+    def test_price_elasticity_survives_negative_month(self, spark, tmp_path):
+        """A month whose total quantity is negative (returns-heavy) must
+        be dropped, not crash math.log."""
+        import duckdb
+
+        from lexam_data_pipeline_spark.catalog import FIXTURE_TABLES
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            q_price_elasticity,
+        )
+
+        d = tmp_path / "neg"
+        d.mkdir()
+        con = duckdb.connect()
+        for t in FIXTURE_TABLES:
+            if t == "lineitem":
+                con.execute(
+                    "COPY (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+                    " CASE WHEN date_trunc('month', l_shipdate)"
+                    "   = (SELECT min(date_trunc('month', l_shipdate))"
+                    "      FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet'))"
+                    " THEN -l_quantity ELSE l_quantity END AS l_quantity,"
+                    " l_extendedprice, l_discount, l_tax, l_returnflag,"
+                    " l_linestatus, l_shipdate"
+                    " FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet'))"
+                    f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+                )
+            else:
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet("
+                    f"'/root/testdata/sf0.001/{t}.parquet'))"
+                    f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+                )
+        row = q_price_elasticity(spark, str(d)).collect()[0]
+        assert row["n_months"] >= 1

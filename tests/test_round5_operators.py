@@ -11,8 +11,8 @@ from lexam_data_pipeline_spark.plans.fixture_queries import (
 
 
 def test_table_profile_approx_tracks_exact_twin(spark, sf_small):
-    """Per column: the HLL estimate is within 3% of the exact distinct
-    count (rsd is 0.05; fixture cardinalities sit well inside it), and
+    """Per column: the HLL estimate (rsd 0.01) is within 3% of the exact distinct
+    count, and
     the non-approximated fields (n_rows, nulls, min, max) equal the
     exact profiler bit-for-bit."""
     exact = {r["column"]: r.asDict() for r in q_table_profile(spark, sf_small).collect()}
