@@ -6504,6 +6504,14 @@ def q_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("conv"),
         )
     )
+    return sprt_decide(daily)
+
+
+def sprt_decide(daily: DataFrame) -> DataFrame:
+    """The SPRT walk over a (day, n, conv) table — shared by
+    :func:`q_ab_sequential` and the streaming maintainer
+    (streaming/sprt.py), which folds micro-batches into exactly this
+    sufficient statistic and re-derives the decision per trigger."""
     c1 = math.log(SPRT_P1 / SPRT_P0)
     c2 = math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))
     ln_a = math.log(19.0)  # ln((1-0.05)/0.05)
