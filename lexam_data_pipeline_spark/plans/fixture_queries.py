@@ -2469,6 +2469,15 @@ def _cell_marginals(rows, key_a: str, key_b: str, val: str):
     return counts, a_tot, b_tot, sum(a_tot.values())
 
 
+def _d18(c: str) -> Column:
+    """decimal(18,0) operand cast for overflow-critical integer products:
+    cast BEFORE multiplying so the product gets precision 37 (exact under
+    Spark's 38 cap) instead of wrapping in BIGINT.  One definition so a
+    future precision change cannot diverge between the rank-statistics
+    keys (round-5 review)."""
+    return F.col(c).cast("decimal(18,0)")
+
+
 def _null_first(v):
     """Sort key for driver-side category walks that tolerates a NULL
     category (None is unorderable against str — a NULL `source` row
@@ -2495,6 +2504,12 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     cells = collect_bounded(
         orders.join(customer, orders.o_custkey == customer.c_custkey)
+        # NULL categories are missing data, not a category — excluded on
+        # BOTH engines (the oracle grid join would silently drop them)
+        .where(
+            F.col("c_mktsegment").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
         .groupBy(
             F.col("c_mktsegment").alias("seg"),
             F.col("o_orderpriority").alias("prio"),
@@ -5078,7 +5093,8 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     F.round/DuckDB round parity path applies."""
     docs = load_table(spark, sf_dir, "documents")
     cells = collect_bounded(
-        docs.groupBy(F.col("lang").alias("a"), F.col("source").alias("b"))
+        docs.where(F.col("lang").isNotNull() & F.col("source").isNotNull())
+        .groupBy(F.col("lang").alias("a"), F.col("source").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_ab")),
         _MAX_CELL_ROWS,
         "q_mutual_information lang×source cell table",
@@ -5232,7 +5248,8 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`q_mutual_information` posture)."""
     docs = load_table(spark, sf_dir, "documents")
     cells = collect_bounded(
-        docs.groupBy(F.col("source").alias("s"), F.col("lang").alias("l"))
+        docs.where(F.col("source").isNotNull() & F.col("lang").isNotNull())
+        .groupBy(F.col("source").alias("s"), F.col("lang").alias("l"))
         .agg(F.count(F.lit(1)).alias("c")),
         _MAX_CELL_ROWS,
         "q_js_divergence source×lang cell table",
@@ -5492,14 +5509,13 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reach ~4e11 at 100 TB row counts, so a BIGINT product would wrap
     # silently (the q_crosscorr_lagged lesson); precision-37 products
     # and their sums stay exact
-    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
     m = joined.groupBy("flag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(d18("rx2")).alias("sx"),
-        F.sum(d18("ry2")).alias("sy"),
-        F.sum(d18("rx2") * d18("ry2")).alias("sxy"),
-        F.sum(d18("rx2") * d18("rx2")).alias("sxx"),
-        F.sum(d18("ry2") * d18("ry2")).alias("syy"),
+        F.sum(_d18("rx2")).alias("sx"),
+        F.sum(_d18("ry2")).alias("sy"),
+        F.sum(_d18("rx2") * _d18("ry2")).alias("sxy"),
+        F.sum(_d18("rx2") * _d18("rx2")).alias("sxx"),
+        F.sum(_d18("ry2") * _d18("ry2")).alias("syy"),
     )
     # closing formula: cast each exact moment to double FIRST, then a
     # fixed IEEE expression (decimal×decimal at p=38 would overflow
@@ -5626,7 +5642,6 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = spine.agg(
         F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
     )
-    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
     scaled = (
         cum.join(F.broadcast(totals))
         .select(
@@ -5634,7 +5649,7 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n2",
             # decimal before multiply — cum·n passes 2^63 at 100 TB
             # pooled counts (review finding, round 5)
-            F.abs(d18("cum1") * d18("n2") - d18("cum2") * d18("n1")).alias(
+            F.abs(_d18("cum1") * _d18("n2") - _d18("cum2") * _d18("n1")).alias(
                 "d_scaled"
             ),
         )
@@ -5745,7 +5760,8 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed double expression in the returned Spark projection."""
     docs = load_table(spark, sf_dir, "documents")
     cells = collect_bounded(
-        docs.groupBy(F.col("lang").alias("a"), F.col("source").alias("b"))
+        docs.where(F.col("lang").isNotNull() & F.col("source").isNotNull())
+        .groupBy(F.col("lang").alias("a"), F.col("source").alias("b"))
         .agg(F.count(F.lit(1)).alias("c")),
         _MAX_CELL_ROWS,
         "q_cramers_v lang×source cell table",
@@ -5835,14 +5851,13 @@ def q_crosscorr_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     # daily-revenue cents can reach ~1e11 on dense days, so x·x would
     # overflow BIGINT — cast operands to decimal(18,0) FIRST (product
     # precision 37 stays exact under Spark's 38 cap)
-    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
     m = pairs.groupBy("lag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(d18("x")).alias("sx"),
-        F.sum(d18("y")).alias("sy"),
-        F.sum(d18("x") * d18("y")).alias("sxy"),
-        F.sum(d18("x") * d18("x")).alias("sxx"),
-        F.sum(d18("y") * d18("y")).alias("syy"),
+        F.sum(_d18("x")).alias("sx"),
+        F.sum(_d18("y")).alias("sy"),
+        F.sum(_d18("x") * _d18("y")).alias("sxy"),
+        F.sum(_d18("x") * _d18("x")).alias("sxx"),
+        F.sum(_d18("y") * _d18("y")).alias("syy"),
     )
     nD = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
@@ -6382,11 +6397,10 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
     )
-    d18 = F.col("cents").cast("decimal(18,0)")
     seg = per_cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("cents").alias("tot_cents"),
-        F.sum(d18 * d18).alias("sq_cents"),
+        F.sum(_d18("cents") * _d18("cents")).alias("sq_cents"),
         F.max("cents").alias("top_cents"),
     )
     tot = F.col("tot_cents").cast("double")
@@ -6450,10 +6464,12 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         sxy += math.floor(1e9 * (x * y))
         sxx += math.floor(1e9 * (x * x))
     if n == 0:
-        return spark.createDataFrame([], schema).select(
-            F.col("n").alias("n_months"),
-            F.col("sx").cast("double").alias("elasticity"),
-            F.col("sy").cast("double").alias("intercept"),
+        # the oracle's aggregate over an empty terms CTE still emits ONE
+        # row (0, NULL, NULL) — mirror it, don't return zero rows (the
+        # q_cramers_v degenerate-grid lesson; newly reachable since the
+        # strictly-positive month guard)
+        return spark.createDataFrame(
+            [(0, None, None)], "n_months bigint, elasticity double, intercept double"
         )
     df = spark.createDataFrame([(n, sx, sy, sxy, sxx)], schema)
     nD = F.col("n").cast("double")

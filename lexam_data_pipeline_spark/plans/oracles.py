@@ -1222,6 +1222,7 @@ CORE_ORACLES["q_chi_square"] = """
     WITH cells AS (
         SELECT c_mktsegment AS seg, o_orderpriority AS prio, count(*) AS o
         FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IS NOT NULL AND o_orderpriority IS NOT NULL
         GROUP BY 1, 2
     ),
     rows AS (SELECT seg, sum(o) AS row_n FROM cells GROUP BY seg),
@@ -2686,7 +2687,9 @@ CORE_ORACLES["q_column_entropy"] = (
 CORE_ORACLES["q_mutual_information"] = """
     WITH cells AS (
         SELECT lang AS a, source AS b, count(*) AS n_ab
-        FROM documents GROUP BY lang, source
+        FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL
+        GROUP BY lang, source
     ),
     tot AS (SELECT sum(n_ab) AS n FROM cells),
     ma AS (SELECT a, sum(n_ab) AS n_a FROM cells GROUP BY a),
@@ -2781,7 +2784,9 @@ CORE_ORACLES["q_ndcg_eval"] = """
 CORE_ORACLES["q_js_divergence"] = """
     WITH cells AS (
         SELECT source AS s, lang AS l, count(*) AS c
-        FROM documents GROUP BY source, lang
+        FROM documents
+        WHERE source IS NOT NULL AND lang IS NOT NULL
+        GROUP BY source, lang
     ),
     a_tot AS (SELECT s, sum(c) AS a FROM cells GROUP BY s),
     b_tot AS (SELECT l, sum(c) AS b FROM cells GROUP BY l),
@@ -3053,7 +3058,9 @@ CORE_ORACLES["q_anova_f"] = """
 CORE_ORACLES["q_cramers_v"] = """
     WITH cells AS (
         SELECT lang AS a, source AS b, count(*) AS c
-        FROM documents GROUP BY 1, 2
+        FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL
+        GROUP BY 1, 2
     ),
     ra AS (SELECT a, sum(c) AS a_n FROM cells GROUP BY a),
     cb AS (SELECT b, sum(c) AS b_n FROM cells GROUP BY b),

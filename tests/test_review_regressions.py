@@ -216,70 +216,86 @@ class TestRound5ReviewFindings:
     """Regression pins for the round-5 /code-review findings: NULL
     category keys, monoculture grids, and negative spine months."""
 
-    @pytest.fixture(scope="class")
-    def null_source_sf_dir(self, tmp_path_factory) -> str:
-        """sf0.001 clone whose documents table carries a NULL source and
-        a NULL lang row."""
+    @staticmethod
+    def _clone_sf(dest, overrides: dict) -> str:
+        """Clone sf0.001 into ``dest`` applying per-table SELECT
+        overrides — one helper for every degenerate-world fixture."""
         import duckdb
 
         from lexam_data_pipeline_spark.catalog import FIXTURE_TABLES
 
-        d = tmp_path_factory.mktemp("sf_nullsrc")
         con = duckdb.connect()
         for t in FIXTURE_TABLES:
-            if t == "documents":
-                con.execute(
-                    "COPY (SELECT doc_id, text, "
-                    " CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,"
-                    " CASE WHEN doc_id % 5 = 0 THEN NULL ELSE source END AS source,"
-                    " n_chars"
-                    " FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))"
-                    f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
-                )
-            else:
-                con.execute(
-                    f"COPY (SELECT * FROM read_parquet("
-                    f"'/root/testdata/sf0.001/{t}.parquet'))"
-                    f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
-                )
-        return str(d)
+            src = f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+            sel = overrides.get(t, "SELECT *").replace("{src}", src)
+            con.execute(
+                f"COPY ({sel} FROM {src}) TO '{dest}/{t}.parquet'"
+                " (FORMAT PARQUET)"
+            )
+        return str(dest)
 
-    def test_diversity_and_jsd_survive_null_categories(
+    @pytest.fixture(scope="class")
+    def null_source_sf_dir(self, tmp_path_factory) -> str:
+        """documents with a NULL source and a NULL lang row."""
+        return self._clone_sf(
+            tmp_path_factory.mktemp("sf_nullsrc"),
+            {
+                "documents": "SELECT doc_id, text,"
+                " CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,"
+                " CASE WHEN doc_id % 5 = 0 THEN NULL ELSE source END AS source,"
+                " n_chars"
+            },
+        )
+
+    def test_grid_keys_hash_match_oracle_under_null_categories(
         self, spark, null_source_sf_dir
     ):
+        """The contingency-grid family must stay ORACLE-EQUAL on a
+        NULL-category corpus, not merely survive it: both engines now
+        exclude NULL categories explicitly (the oracle's grid joins
+        silently dropped them while the engine counted them — second
+        round-5 review pass)."""
+        from lexam_data_pipeline_spark import testing
+        from lexam_data_pipeline_spark.plans.registry import (
+            build_oracles,
+            build_queries,
+        )
+
+        queries, oracles = build_queries(), build_oracles()
+        con = testing.duckdb_connection(null_source_sf_dir)
+        for key in (
+            "q_chi_square",
+            "q_cramers_v",
+            "q_mutual_information",
+            "q_js_divergence",
+            "q_shannon_diversity",
+        ):
+            result = testing.compare_query(
+                spark, con, key, queries[key], oracles[key], null_source_sf_dir
+            )
+            assert result.ok, (key, result)
+
+    def test_diversity_keeps_null_group(self, spark, null_source_sf_dir):
+        """q_shannon_diversity treats NULL source as a group on BOTH
+        engines (GROUP BY keeps NULL) — asserted above by oracle
+        equality; here pin that the NULL group actually exists."""
         from lexam_data_pipeline_spark.plans.fixture_queries import (
-            q_js_divergence,
             q_shannon_diversity,
         )
 
         rows = q_shannon_diversity(spark, null_source_sf_dir).collect()
-        assert any(r["source"] is None for r in rows)  # NULL group present
-        q_js_divergence(spark, null_source_sf_dir).collect()
+        assert any(r["source"] is None for r in rows)
 
     def test_cramers_v_monoculture_emits_row_with_null_v(self, spark, tmp_path):
         """Single-lang corpus: one output row, chi2 0, dof 0, V NULL —
         matching the oracle instead of the old zero-row early return."""
-        import duckdb
-
-        from lexam_data_pipeline_spark.catalog import FIXTURE_TABLES
         from lexam_data_pipeline_spark.plans.fixture_queries import q_cramers_v
 
         d = tmp_path / "mono"
         d.mkdir()
-        con = duckdb.connect()
-        for t in FIXTURE_TABLES:
-            if t == "documents":
-                con.execute(
-                    "COPY (SELECT doc_id, text, 'de' AS lang, source, n_chars"
-                    " FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))"
-                    f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
-                )
-            else:
-                con.execute(
-                    f"COPY (SELECT * FROM read_parquet("
-                    f"'/root/testdata/sf0.001/{t}.parquet'))"
-                    f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
-                )
+        self._clone_sf(
+            d, {"documents": "SELECT doc_id, text, 'de' AS lang, source, n_chars"}
+        )
         rows = q_cramers_v(spark, str(d)).collect()
         assert len(rows) == 1
         assert rows[0]["chi2"] == 0.0
@@ -289,34 +305,49 @@ class TestRound5ReviewFindings:
     def test_price_elasticity_survives_negative_month(self, spark, tmp_path):
         """A month whose total quantity is negative (returns-heavy) must
         be dropped, not crash math.log."""
-        import duckdb
-
-        from lexam_data_pipeline_spark.catalog import FIXTURE_TABLES
         from lexam_data_pipeline_spark.plans.fixture_queries import (
             q_price_elasticity,
         )
 
         d = tmp_path / "neg"
         d.mkdir()
-        con = duckdb.connect()
-        for t in FIXTURE_TABLES:
-            if t == "lineitem":
-                con.execute(
-                    "COPY (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,"
-                    " CASE WHEN date_trunc('month', l_shipdate)"
-                    "   = (SELECT min(date_trunc('month', l_shipdate))"
-                    "      FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet'))"
-                    " THEN -l_quantity ELSE l_quantity END AS l_quantity,"
-                    " l_extendedprice, l_discount, l_tax, l_returnflag,"
-                    " l_linestatus, l_shipdate"
-                    " FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet'))"
-                    f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
-                )
-            else:
-                con.execute(
-                    f"COPY (SELECT * FROM read_parquet("
-                    f"'/root/testdata/sf0.001/{t}.parquet'))"
-                    f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
-                )
+        self._clone_sf(
+            d,
+            {
+                "lineitem": "SELECT l_orderkey, l_partkey, l_suppkey,"
+                " l_linenumber,"
+                " CASE WHEN date_trunc('month', l_shipdate)"
+                "   = (SELECT min(date_trunc('month', l_shipdate)) FROM {src})"
+                " THEN -l_quantity ELSE l_quantity END AS l_quantity,"
+                " l_extendedprice, l_discount, l_tax, l_returnflag,"
+                " l_linestatus, l_shipdate"
+            },
+        )
         row = q_price_elasticity(spark, str(d)).collect()[0]
         assert row["n_months"] >= 1
+
+    def test_price_elasticity_all_months_filtered_is_one_null_row(
+        self, spark, tmp_path
+    ):
+        """Every month non-positive → ONE (0, NULL, NULL) row, exactly
+        like the oracle's aggregate over an empty terms CTE (second
+        round-5 review pass)."""
+        from lexam_data_pipeline_spark.plans.fixture_queries import (
+            q_price_elasticity,
+        )
+
+        d = tmp_path / "allneg"
+        d.mkdir()
+        self._clone_sf(
+            d,
+            {
+                "lineitem": "SELECT l_orderkey, l_partkey, l_suppkey,"
+                " l_linenumber, -l_quantity AS l_quantity, l_extendedprice,"
+                " l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate"
+            },
+        )
+        rows = q_price_elasticity(spark, str(d)).collect()
+        assert len(rows) == 1
+        assert rows[0]["n_months"] == 0
+        assert rows[0]["elasticity"] is None
+        assert rows[0]["intercept"] is None
