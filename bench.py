@@ -218,6 +218,12 @@ def main() -> None:
         "q_compression_ratio",
         "q_random_projection",
         "q_multimodal_features",
+        "q_course_summary",
+        "q_burstiness",
+        "q_runs_test",
+        "q_mann_kendall",
+        "q_abc_classification",
+        "q_quartile_skewness",
     ):
         if extra in queries and extra not in names:
             names.append(extra)

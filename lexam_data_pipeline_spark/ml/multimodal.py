@@ -96,6 +96,7 @@ def media_table_real(docs: DataFrame) -> DataFrame:
     """Media table whose payloads are REAL decodable formats, synthesized
     deterministically from each document's bytes: image rows carry an
     8×8 PNG (Paeth-filtered so decode exercises the full filter path),
+    an Adam7-INTERLACED PNG (7-pass deinterlace path, doc_id % 8 == 0),
     a paletted color-type-3 PNG (PLTE lookup path),
     or a baseline JPEG (huffman + IDCT path), audio rows a 16-bit PCM
     WAV, video rows a PPM frame.  This makes the
@@ -129,6 +130,11 @@ def media_table_real(docs: DataFrame) -> DataFrame:
             if doc_id % 8 == 4:  # image: 8x8 paletted (color-type-3) PNG
                 return (
                     _enc_png_pal(seed[:64].reshape(8, 8) % 16, seed[64:112].reshape(16, 3)),
+                    "image",
+                )
+            if doc_id % 8 == 0:  # image: 8x8 RGB PNG, Adam7 interlaced
+                return (
+                    _enc_png(seed.reshape(8, 8, 3), filter_type=4, interlace=True),
                     "image",
                 )
             if doc_id % 4 == 0:  # image: 8x8 RGB PNG, Paeth filter

@@ -1225,7 +1225,7 @@ ML_ORACLES["q_boosted_stumps"] = """
         WHERE len(embedding) >= 8
     ),
     stats AS (SELECT f, min(x) AS mn, max(x) AS mx FROM base GROUP BY f),
-    binned AS (
+    binned0 AS (
         SELECT b.vec_id, b.y, b.f,
                CASE WHEN s.mx = s.mn THEN 0
                     ELSE least(CAST(floor((b.x - s.mn)
@@ -1233,6 +1233,13 @@ ML_ORACLES["q_boosted_stumps"] = """
                                AS INT), 7)
                END AS bin
         FROM base b JOIN stats s USING (f)
+    ),
+    -- vec_id is the vector identity: duplicate-keyed rows collapse to
+    -- ONE vector per (vec_id, y, f) with the min bin, mirroring the
+    -- engine's per_f collapse (ml/boost.py) so the duplicate semantics
+    -- can never diverge between the two doors (round-6 advice)
+    binned AS (
+        SELECT vec_id, y, f, min(bin) AS bin FROM binned0 GROUP BY 1, 2, 3
     ),
     cand AS (
         SELECT fs.f, ts.t, ps.p

@@ -2474,7 +2474,19 @@ def _d18(c: str) -> Column:
     cast BEFORE multiplying so the product gets precision 37 (exact under
     Spark's 38 cap) instead of wrapping in BIGINT.  One definition so a
     future precision change cannot diverge between the rank-statistics
-    keys (round-5 review)."""
+    keys (round-5 review).
+
+    CEILING: |operand| must stay BELOW 1e18 (one digit under BIGINT
+    max).  In non-ANSI mode a cast overflow becomes NULL and the value
+    silently DROPS from the moment sums — invisible at fixture scale.
+    Current operands clear it at 100 TB row counts: doubled ranks ≤
+    2n+1 and cumulative counts ≤ n stay ≤ ~1e13 (≥5 orders of headroom);
+    day-aggregated revenue cents (~1e11 at sf0.1) scale linearly to
+    ~1e17 at sf1e5 — inside the ceiling but the tightest family, so any
+    NEW cents-like operand must re-check its magnitude budget here.
+    ``tests/test_review_regressions.py::TestD18Ceiling`` asserts the
+    sf0.1 operand maxima so a future reuse on a larger-magnitude column
+    fails a test instead of nulling out (round-6 advice)."""
     return F.col(c).cast("decimal(18,0)")
 
 
@@ -2520,7 +2532,9 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     schema = "_s bigint, dof bigint, n bigint"
     counts, row_tot, col_tot, n = _cell_marginals(cells, "seg", "prio", "o")
-    if n == 0:  # degenerate empty join: schema-stable empty result
+    # degenerate empty join: schema-stable empty result; the oracle's
+    # HAVING count(*) > 0 mirrors the zero-row output (round-6 advice)
+    if n == 0:
         return spark.createDataFrame([], schema).select(
             F.col("_s").cast("double").alias("chi2"), "dof", "n"
         )
@@ -5768,7 +5782,11 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     schema = "_s bigint, r bigint, cc bigint, n bigint"
     counts, a_tot, b_tot, n = _cell_marginals(cells, "a", "b", "c")
-    if n == 0:  # degenerate empty corpus (q_chi_square precedent)
+    # degenerate EMPTY corpus: zero rows on BOTH engines — the oracle's
+    # final SELECT carries WHERE n IS NOT NULL so its ungrouped aggregate
+    # over the empty grid can't emit a stray (NULL, 1, NULL, NULL) row
+    # (round-6 advice; monoculture grids still emit their one real row)
+    if n == 0:
         return spark.createDataFrame([], schema).select(
             F.col("_s").cast("double").alias("chi2"),
             F.col("r").alias("dof"),
@@ -6561,4 +6579,321 @@ def sprt_decide(daily: DataFrame) -> DataFrame:
         .alias("decision"),
         F.round(F.col("cross_s") / F.lit(1e9), 6).alias("llr_at_decision"),
         F.round(F.col("final_s") / F.lit(1e9), 6).alias("llr_final"),
+    )
+
+
+# ── round 6: distribution / trend / serving-composite keys ──
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per event type: mean gap, coefficient of
+    variation, and the Goh–Barabási burstiness B = (σ−μ)/(σ+μ) ∈ (−1, 1)
+    over per-user event gaps — B→1 bursty, B→−1 metronomic, B≈0 Poisson.
+    The stream-health diagnostic that separates bot cadence from humans.
+
+    Gaps come from a per-(user, type) lag window (bounded partitions).
+    Exact core: gap microseconds are BIGINT; squared gaps go through
+    :func:`_d18` (µs gaps reach ~2.6e12, so BIGINT squares would wrap)
+    into a decimal(38,0) sum.  μ, σ, and B are fixed double expressions
+    over the cast moments — identical IEEE on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("g"),
+    ).where(F.col("g").isNotNull())
+    m = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("g").alias("s"),
+        F.sum(_d18("g") * _d18("g")).alias("sq"),
+    )
+    n_d = F.col("n_gaps").cast("double")
+    mean = F.col("s").cast("double") / n_d
+    var = F.greatest(
+        F.col("sq").cast("double") / n_d - mean * mean, F.lit(0.0)
+    )
+    sigma = F.sqrt(var)
+    return m.select(
+        "event_type",
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        F.round(mean / F.lit(1000000.0), 4).alias("mean_gap_s"),
+        F.round(sigma / F.nullif(mean, F.lit(0.0)), 6).alias("cv"),
+        F.round(
+            (sigma - mean) / F.nullif(sigma + mean, F.lit(0.0)), 6
+        ).alias("burstiness"),
+    )
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of daily revenue around
+    its median: are above/below-median days independent, or do they
+    clump (momentum) / alternate (mean reversion)?  The model-free
+    "is this series random?" gate run before fitting anything fancier.
+
+    Median-equal days are excluded (standard).  The run count comes from
+    one lag window over the CALENDAR-BOUNDED day spine (~2.4k rows at
+    any corpus scale); n₁, n₂, R stay exact integers and the z-score's
+    μ/σ² terms are exact BIGINT products (≤ ~1.5e14 at calendar bounds)
+    cast to double only in the closing expression."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    med = daily.agg(F.percentile("cents", F.lit(0.5)).alias("med"))
+    signed = (
+        daily.join(F.broadcast(med))
+        .where(F.col("cents").cast("double") != F.col("med"))
+        .select(
+            "day", F.when(F.col("cents") > F.col("med"), 1).otherwise(0).alias("s")
+        )
+    )
+    w = Window.orderBy("day")  # calendar-bounded spine, never fact rows
+    runs = signed.select("s", F.lag("s").over(w).alias("prev"))
+    m = runs.agg(
+        F.sum("s").alias("n1"),
+        F.sum(F.lit(1) - F.col("s")).alias("n2"),
+        F.sum(
+            F.when(F.col("prev").isNull() | (F.col("s") != F.col("prev")), 1)
+            .otherwise(0)
+        ).alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    n = n1 + n2
+    mu = (F.lit(2) * n1 * n2).cast("double") / n.cast("double") + F.lit(1.0)
+    var_num = (F.lit(2) * n1 * n2) * (F.lit(2) * n1 * n2 - n1 - n2)
+    var_den = (n * n) * (n - F.lit(1))
+    sigma = F.sqrt(var_num.cast("double") / F.nullif(var_den.cast("double"), F.lit(0.0)))
+    return m.select(
+        n1.cast("bigint").alias("n_above"),
+        n2.cast("bigint").alias("n_below"),
+        r.cast("bigint").alias("n_runs"),
+        F.round(mu, 4).alias("expected_runs"),
+        F.round(
+            (r.cast("double") - mu) / F.nullif(sigma, F.lit(0.0)), 6
+        ).alias("z"),
+    )
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test on monthly revenue: S = Σ sign(xⱼ−xᵢ)
+    over all i<j month pairs, tie-corrected variance, and the z-verdict
+    (increasing / decreasing / no_trend at |z| > 1.96) — the standard
+    non-parametric "is this KPI actually trending?" monitor.  Same S
+    statistic as :func:`q_kendall_tau` but against TIME with the
+    tie-corrected significance test, not a cross-series correlation.
+
+    The pair join runs on the CALENDAR-BOUNDED month spine (~80 rows →
+    ~3k pairs at any corpus scale, broadcast); S, n, and the tie terms
+    are exact integers, doubles only in the closing z expression."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    s_agg = (
+        a.join(F.broadcast(b), F.col("a.m") < F.col("b.m"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.cents") > F.col("a.cents"), 1)
+                .when(F.col("b.cents") < F.col("a.cents"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    t = F.col("t")
+    ties = (
+        monthly.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(t > 1)
+        .agg(F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0)).alias("tie_term"))
+    )
+    n_agg = monthly.agg(F.count(F.lit(1)).alias("n"))
+    m = s_agg.join(F.broadcast(n_agg)).join(F.broadcast(ties))
+    n, s = F.col("n"), F.col("s_stat")
+    var_s = (
+        (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("double")
+        / F.lit(18.0)
+    )
+    sd = F.nullif(F.sqrt(var_s), F.lit(0.0))
+    z = (
+        F.when(s > 0, (s.cast("double") - F.lit(1.0)) / sd)
+        .when(s < 0, (s.cast("double") + F.lit(1.0)) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return m.select(
+        n.cast("bigint").alias("n_months"),
+        s.cast("bigint").alias("s_stat"),
+        F.round(var_s, 4).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.when(z > 1.96, F.lit("increasing"))
+        .when(z < -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue,
+    class A = parts inside the first 80% of cumulative revenue, B to
+    95%, C the tail — per class the part count, revenue, and share.
+    The 80/20 workhorse behind stocking and curation priority calls.
+
+    The cumulative window runs on the PRE-AGGREGATED part rollup
+    (dimension-bounded, orders of magnitude under fact rows; the same
+    posture as :func:`q_percent_rank_spend`) with a (cents desc,
+    partkey) tiebreak.  Class thresholds compare exact integers —
+    ``5·cum ≤ 4·total`` for 80%, ``20·cum ≤ 19·total`` for 95% — via
+    :func:`_d18` products, so boundary parts can never flip class
+    between engines.  100 TB switch: a range-partitioned two-phase
+    prefix sum replaces the single ordered window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    total = per_part.agg(F.sum("cents").alias("total_cents"))
+    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_part.select(
+        "cents", F.sum("cents").over(w).alias("cum_cents")
+    ).join(F.broadcast(total))
+    cls = (
+        F.when(_d18("cum_cents") * 5 <= _d18("total_cents") * 4, "A")
+        .when(_d18("cum_cents") * 20 <= _d18("total_cents") * 19, "B")
+        .otherwise("C")
+    )
+    by_cls = cum.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("cents"),
+        F.max("total_cents").alias("total_cents"),
+    )
+    return by_cls.select(
+        "abc_class",
+        F.col("n_parts").cast("bigint").alias("n_parts"),
+        F.round(F.col("cents") / F.lit(100.0), 2).alias("revenue"),
+        F.round(
+            F.col("cents").cast("double") / F.col("total_cents").cast("double"), 6
+        ).alias("share"),
+    )
+
+
+def q_quartile_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowley (quartile) skewness of per-customer spend by market
+    segment: (Q₁ + Q₃ − 2·Q₂)/(Q₃ − Q₁) — the robust skew measure that
+    ignores whale outliers entirely (complementing the moment-based
+    q_skew_diagnostics, which they dominate).
+
+    Quartiles interpolate over the PRE-AGGREGATED per-customer cents
+    (dimension-bounded exact percentile — the proven
+    percentile↔quantile_cont parity posture); Bowley is one fixed
+    double expression with a nullif-guarded IQR denominator.  100 TB
+    switch: approx_percentile."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    seg = rev.join(cust, rev.o_custkey == cust.c_custkey).groupBy(
+        "c_mktsegment"
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.percentile(
+            "cents", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("qs"),
+    )
+    q1 = F.element_at("qs", 1)
+    q2 = F.element_at("qs", 2)
+    q3 = F.element_at("qs", 3)
+    return seg.select(
+        "c_mktsegment",
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.round(q1 / F.lit(100.0), 2).alias("q1"),
+        F.round(q2 / F.lit(100.0), 2).alias("median"),
+        F.round(q3 / F.lit(100.0), 2).alias("q3"),
+        F.round(
+            (q1 + q3 - F.lit(2.0) * q2) / F.nullif(q3 - q1, F.lit(0.0)), 6
+        ).alias("bowley_skew"),
+    )
+
+
+def q_course_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving layer's course-summary assembly (A10+A11+U2+O6
+    composed — ref backend/app/main.py:225-308) realized END-TO-END on
+    fixtures: ``documents`` is deterministically projected into the
+    LEXam shape (questions keyed by doc_id with course/area/jurisdiction
+    /language derived by exact integer rules; variants as a 1-or-2-row
+    expansion cycling the five configs), then fed through
+    :func:`serving.dashboard.course_summary` — the SAME code path the
+    serving tests drive — so the one previously pytest-only tier gets a
+    DuckDB oracle row (round-5 verdict item 8).
+
+    Derivation rules (mirrored verbatim in the oracle SQL): area =
+    AREAS[len(course) mod 4] (functionally dependent on course, so the
+    aggregate's ``first(area)`` is deterministic); jurisdiction =
+    JURISDICTIONS[doc_id mod 3]; international = (doc_id mod 7 = 0);
+    variant 1 config = CONFIGS[doc_id mod 5], split by doc_id parity;
+    docs with doc_id mod 3 = 0 add an open_question/test variant, so
+    the union cardinality genuinely exercises set overlap."""
+    from lexam_data_pipeline_spark.serving.dashboard import (
+        AREAS,
+        JURISDICTIONS,
+        MCQ_CONFIGS,
+        course_summary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    areas = F.array(*[F.lit(a) for a in AREAS])
+    juris = F.array(*[F.lit(j) for j in JURISDICTIONS])
+    configs = F.array(*[F.lit(c) for c in (*MCQ_CONFIGS, "open_question")])
+    questions = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("course"),
+        F.element_at(areas, (F.length("source") % 4 + 1).cast("int")).alias("area"),
+        F.element_at(juris, (F.col("doc_id") % 3 + 1).cast("int")).alias(
+            "jurisdiction"
+        ),
+        (F.col("doc_id") % 7 == 0).alias("international"),
+        F.col("lang").alias("language"),
+    )
+    # one documents scan for ALL variants: the 1-or-2-row expansion is
+    # an exploded per-doc array, not a union of two scans
+    v1 = F.struct(
+        F.element_at(configs, (F.col("doc_id") % 5 + 1).cast("int")).alias(
+            "config"
+        ),
+        F.when(F.col("doc_id") % 2 == 0, "dev").otherwise("test").alias("split"),
+    )
+    v2 = F.struct(
+        F.lit("open_question").alias("config"), F.lit("test").alias("split")
+    )
+    variants = docs.select(
+        F.col("doc_id").alias("question_id"),
+        F.explode(
+            F.when(F.col("doc_id") % 3 == 0, F.array(v1, v2)).otherwise(
+                F.array(v1)
+            )
+        ).alias("v"),
+    ).select("question_id", "v.config", "v.split")
+    return course_summary(questions, variants).select(
+        "course",
+        "area",
+        "jurisdiction",
+        "international",
+        F.col("mcq_4").cast("bigint").alias("mcq_4"),
+        F.col("mcq_all").cast("bigint").alias("mcq_all"),
+        F.col("open_qa").cast("bigint").alias("open_qa"),
+        F.col("open_dev").cast("bigint").alias("open_dev"),
+        F.col("open_test").cast("bigint").alias("open_test"),
+        F.col("total").cast("bigint").alias("total"),
+        "language",
     )

@@ -1243,6 +1243,7 @@ CORE_ORACLES["q_chi_square"] = """
            CAST((count(DISTINCT seg) - 1) * (count(DISTINCT prio) - 1) AS BIGINT) AS dof,
            CAST(max(n) AS BIGINT) AS n
     FROM grid
+    HAVING count(*) > 0
 """
 
 
@@ -3086,6 +3087,7 @@ CORE_ORACLES["q_cramers_v"] = """
                                0.0)), 6)
                AS cramers_v
     FROM m
+    WHERE n IS NOT NULL
 """
 
 CORE_ORACLES["q_crosscorr_lagged"] = """
@@ -3488,4 +3490,235 @@ CORE_ORACLES["q_ab_sequential"] = """
            round(CAST(cross_s AS DOUBLE) / 1e9, 6) AS llr_at_decision,
            round(CAST(final_s AS DOUBLE) / 1e9, 6) AS llr_final
     FROM m
+"""
+
+
+# ── round 6 ────────────────────────────────────────────────────────────
+
+
+
+CORE_ORACLES["q_burstiness"] = """
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id)) AS g
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, count(*) AS n_gaps,
+               sum(g) AS s,
+               sum(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS sq
+        FROM gaps WHERE g IS NOT NULL
+        GROUP BY event_type
+    ),
+    m2 AS (
+        SELECT *, CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean FROM m
+    ),
+    m3 AS (
+        SELECT *, sqrt(greatest(
+                   CAST(sq AS DOUBLE) / CAST(n_gaps AS DOUBLE) - mean * mean,
+                   0.0)) AS sigma
+        FROM m2
+    )
+    SELECT event_type, CAST(n_gaps AS BIGINT) AS n_gaps,
+           round(mean / 1000000.0, 4) AS mean_gap_s,
+           round(sigma / nullif(mean, 0.0), 6) AS cv,
+           round((sigma - mean) / nullif(sigma + mean, 0.0), 6) AS burstiness
+    FROM m3
+"""
+
+CORE_ORACLES["q_runs_test"] = """
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(cents, 0.5) AS med FROM daily),
+    signed AS (
+        SELECT day, CASE WHEN cents > med THEN 1 ELSE 0 END AS s
+        FROM daily CROSS JOIN med
+        WHERE CAST(cents AS DOUBLE) != med
+    ),
+    runs AS (
+        SELECT s, lag(s) OVER (ORDER BY day) AS prev FROM signed
+    ),
+    m AS (
+        SELECT sum(s) AS n1, sum(1 - s) AS n2,
+               sum(CASE WHEN prev IS NULL OR s <> prev THEN 1 ELSE 0 END) AS r
+        FROM runs
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           CAST(r AS BIGINT) AS n_runs,
+           round(CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) + 1.0,
+                 4) AS expected_runs,
+           round((CAST(r AS DOUBLE)
+                  - (CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+                     + 1.0))
+                 / nullif(sqrt(CAST((2 * n1 * n2) * (2 * n1 * n2 - n1 - n2)
+                                    AS DOUBLE)
+                               / nullif(CAST((n1 + n2) * (n1 + n2)
+                                             * (n1 + n2 - 1) AS DOUBLE),
+                                        0.0)),
+                          0.0), 6) AS z
+    FROM m
+"""
+
+CORE_ORACLES["q_mann_kendall"] = """
+    WITH monthly AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    s_agg AS (
+        SELECT sum(CASE WHEN b.cents > a.cents THEN 1
+                        WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS s_stat
+        FROM monthly a JOIN monthly b ON a.m < b.m
+    ),
+    ties AS (
+        SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+        FROM (SELECT count(*) AS t FROM monthly GROUP BY cents)
+        WHERE t > 1
+    ),
+    n_agg AS (SELECT count(*) AS n FROM monthly),
+    m AS (SELECT * FROM s_agg CROSS JOIN n_agg CROSS JOIN ties),
+    v AS (
+        SELECT *, CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0
+                      AS var_s
+        FROM m
+    ),
+    z AS (
+        SELECT *,
+               CASE WHEN s_stat > 0
+                        THEN (CAST(s_stat AS DOUBLE) - 1.0)
+                             / nullif(sqrt(var_s), 0.0)
+                    WHEN s_stat < 0
+                        THEN (CAST(s_stat AS DOUBLE) + 1.0)
+                             / nullif(sqrt(var_s), 0.0)
+                    ELSE 0.0 END AS zv
+        FROM v
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           round(var_s, 4) AS var_s,
+           round(zv, 6) AS z,
+           CASE WHEN zv > 1.96 THEN 'increasing'
+                WHEN zv < -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM z
+"""
+
+CORE_ORACLES["q_abc_classification"] = """
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(cents) AS total_cents FROM per_part),
+    cum AS (
+        SELECT cents,
+               sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_cents,
+               total_cents
+        FROM per_part CROSS JOIN tot
+    ),
+    classed AS (
+        SELECT CASE WHEN CAST(cum_cents AS HUGEINT) * 5
+                         <= CAST(total_cents AS HUGEINT) * 4 THEN 'A'
+                    WHEN CAST(cum_cents AS HUGEINT) * 20
+                         <= CAST(total_cents AS HUGEINT) * 19 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               cents, total_cents
+        FROM cum
+    )
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(cents) / 100.0, 2) AS revenue,
+           round(CAST(sum(cents) AS DOUBLE) / CAST(max(total_cents) AS DOUBLE),
+                 6) AS share
+    FROM classed GROUP BY abc_class
+"""
+
+
+
+CORE_ORACLES["q_quartile_skewness"] = """
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    seg AS (
+        SELECT c_mktsegment, count(*) AS n_customers,
+               quantile_cont(cents, [0.25, 0.5, 0.75]) AS qs
+        FROM rev JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           round(qs[1] / 100.0, 2) AS q1,
+           round(qs[2] / 100.0, 2) AS median,
+           round(qs[3] / 100.0, 2) AS q3,
+           round((qs[1] + qs[3] - 2.0 * qs[2]) / nullif(qs[3] - qs[1], 0.0),
+                 6) AS bowley_skew
+    FROM seg
+"""
+
+
+CORE_ORACLES["q_course_summary"] = """
+    WITH q AS (
+        SELECT doc_id AS id, source AS course,
+               (['Private', 'Public', 'Criminal', 'Interdisciplinary'])
+                   [(length(source) % 4) + 1] AS area,
+               (['Swiss', 'International', 'Generic'])[(doc_id % 3) + 1]
+                   AS jurisdiction,
+               doc_id % 7 = 0 AS international,
+               lang AS language
+        FROM documents
+    ),
+    v AS (
+        SELECT doc_id AS question_id,
+               (['mcq_4_choices', 'mcq_8_choices', 'mcq_16_choices',
+                 'mcq_32_choices', 'open_question'])[(doc_id % 5) + 1]
+                   AS config,
+               CASE WHEN doc_id % 2 = 0 THEN 'dev' ELSE 'test' END AS split
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'open_question', 'test'
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    base AS (
+        SELECT v.question_id, v.config, v.split,
+               q.course, q.area, q.jurisdiction, q.international, q.language
+        FROM v JOIN q ON v.question_id = q.id
+    )
+    SELECT course,
+           max(area) AS area,
+           string_agg(DISTINCT jurisdiction, ', ' ORDER BY jurisdiction)
+               AS jurisdiction,
+           coalesce(bool_or(international), false) AS international,
+           CAST(count(DISTINCT CASE WHEN config = 'mcq_4_choices'
+                                    THEN question_id END) AS BIGINT) AS mcq_4,
+           CAST(count(DISTINCT CASE WHEN config IN
+                    ('mcq_4_choices', 'mcq_8_choices', 'mcq_16_choices',
+                     'mcq_32_choices') THEN question_id END) AS BIGINT)
+               AS mcq_all,
+           CAST(count(DISTINCT CASE WHEN config = 'open_question'
+                                    THEN question_id END) AS BIGINT) AS open_qa,
+           CAST(count(DISTINCT CASE WHEN config = 'open_question'
+                                    AND split = 'dev'
+                                    THEN question_id END) AS BIGINT)
+               AS open_dev,
+           CAST(count(DISTINCT CASE WHEN config = 'open_question'
+                                    AND split = 'test'
+                                    THEN question_id END) AS BIGINT)
+               AS open_test,
+           CAST(count(DISTINCT question_id) AS BIGINT) AS total,
+           CASE WHEN count(DISTINCT language) > 1 THEN 'both'
+                ELSE max(language) END AS language
+    FROM base GROUP BY course
 """

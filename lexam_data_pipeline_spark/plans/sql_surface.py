@@ -9,9 +9,11 @@ SQL door for a representative slice of the operator inventory, and
 rows of its DataFrame twin — both enter the same Catalyst pipeline, so
 this is an API-parity check, not a second engine.
 
-Spark SQL dialect differs from the DuckDB oracle dialect (these are NOT
-the strings in :mod:`plans.oracles`): e.g. ``percentile()`` vs
-``quantile_cont()``, ``date_format`` vs ``strftime``.
+Coverage (round 6): 121 of the 151 core-oracled keys — 80% — via three
+tiers: the hand-written texts below (dialect-specific rewrites), the
+ANSI-core keys whose oracle text runs in Spark SQL VERBATIM, and the
+ported keys whose oracle text passes through the small mechanical
+dialect map (``_SPARK_DIALECT_SUBS`` at the bottom of this module).
 """
 
 from __future__ import annotations
@@ -264,3 +266,114 @@ SQL_QUERIES["q_session_stats"] = """
            CAST(max(n_events) AS BIGINT) AS max_events
     FROM bucketed GROUP BY dur_bucket_min
 """
+
+
+# ── rounds 4-6 surface: the ANSI-core door ──────────────────────────────
+#
+# The DuckDB oracle texts (plans/oracles.py) are deliberately ANSI-first:
+# exact integer/decimal arithmetic, standard window frames, fixed double
+# closing expressions.  For most of the contract that text IS valid Spark
+# SQL — so the Spark SQL door reuses it directly (zero drift between the
+# documented SQL semantics and the oracle that verifies them).  Where the
+# two dialects genuinely differ, ``_SPARK_DIALECT_SUBS`` is a SMALL,
+# regex-local, mechanically-reviewable rename map (epoch_us→unix_micros,
+# quantile_cont→percentile, VARCHAR→STRING, …) applied to the oracle
+# text.  Either way the gate is the same as for the hand-written texts
+# above: tests/test_sql_surface.py asserts EVERY entry row-identical to
+# its DataFrame twin at fixture scale.
+
+import re as _re
+
+from lexam_data_pipeline_spark.plans.oracles import CORE_ORACLES as _ORACLES
+
+#: dialect map: DuckDB-ism → Spark SQL equivalent.  Every rename is a
+#: pure function-name/type-name swap or an argument-order swap with
+#: identical semantics ON THE COVERED KEYS — membership in PORTED_KEYS
+#: is decided by the row-identity test, never by the map alone.
+_SPARK_DIALECT_SUBS: list[tuple[str, object]] = [
+    (r"\bepoch_us\(", "unix_micros("),
+    (r"\bquantile_cont\(", "percentile("),
+    (r"\blist_transform\(", "transform("),
+    (r"\blist_aggregate\(", "aggregate("),
+    (r"\bunnest\(", "explode("),
+    (r"\bjson_extract_string\(", "get_json_object("),
+    (r"\bjson_extract\(", "get_json_object("),
+    (r"\bHUGEINT\b", "DECIMAL(38,0)"),
+    (r" // ", " div "),
+    # numeric list literal → array(...)
+    (r"\[((?:\s*-?[0-9.]+\s*,)+\s*-?[0-9.]+\s*)\]", r"array(\1)"),
+    # constant list index: name[3] → element_at(name, 3)
+    (r"\b(\w+)\[(\d+)\]", r"element_at(\1, \2)"),
+    (r"strftime\(([^,]+),\s*'%Y-%m-%d'\)", r"date_format(\1, 'yyyy-MM-dd')"),
+    (r"strftime\(([^,]+),\s*'%Y-%m'\)", r"date_format(\1, 'yyyy-MM')"),
+    (r"strftime\(([^,]+),\s*'%H'\)", r"date_format(\1, 'HH')"),
+    # day-grain diff: argument ORDER swaps between the dialects
+    (
+        r"date_diff\('day',\s*([^,()]+(?:\([^()]*\))?[^,()]*),"
+        r"\s*([^,()]+(?:\([^()]*\))?[^,()]*)\)",
+        r"datediff(\2, \1)",
+    ),
+    (r"\blen\(", "size("),
+    (r"\bAS VARCHAR\b", "AS STRING"),
+    # quoted unit → Spark's unquoted unit keyword
+    (r"\bdate_diff\('(\w+)',", lambda m: f"date_diff({m.group(1).upper()},"),
+    (r"\bdatediff\('(\w+)',", lambda m: f"date_diff({m.group(1).upper()},"),
+    (
+        r"string_agg\(([^,]+),\s*('[^']*')\s+ORDER BY\s+([^)]+)\)",
+        r"listagg(\1, \2) WITHIN GROUP (ORDER BY \3)",
+    ),
+    (r"\blist\(", "collect_list("),
+]
+
+
+def port_oracle(sql: str) -> str:
+    """Oracle text → Spark SQL text via the dialect map."""
+    for pat, rep in _SPARK_DIALECT_SUBS:
+        sql = _re.sub(pat, rep, sql)
+    return sql
+
+
+#: oracle texts that are VALID SPARK SQL VERBATIM (row-identity proven).
+ANSI_CORE_KEYS: tuple[str, ...] = (
+    "q_ab_sequential", "q_ab_test", "q_asof_join_orders", "q_basket_pairs",
+    "q_bitmap_distinct", "q_chi_square", "q_column_entropy",
+    "q_conditional_agg", "q_corr_stats", "q_count_distinct", "q_cramers_v",
+    "q_customer_ltv_cohort", "q_dau_wau_stickiness", "q_decile_lift",
+    "q_distinct_facet", "q_edit_distance", "q_entity_resolution",
+    "q_expectations_report", "q_facets_one_pass", "q_first_last_event",
+    "q_fk_discovery", "q_fullouter_merge", "q_funnel_steps",
+    "q_groupby_multi", "q_groupby_salted", "q_histogram_bins",
+    "q_hourly_anomalies", "q_incremental_agg", "q_item_similarity",
+    "q_join_5way_region", "q_join_enrich", "q_join_skew_salted",
+    "q_js_divergence", "q_kcore_prune", "q_ks_test",
+    "q_letter_extract_roundtrip", "q_lorenz_deciles", "q_majority_vote",
+    "q_mann_kendall", "q_mannwhitney", "q_min_per_group", "q_mom_growth",
+    "q_mutual_information", "q_new_vs_returning", "q_ntile_customers",
+    "q_ols_regression", "q_percent_rank_spend", "q_pivot_status",
+    "q_pr_curve", "q_price_elasticity", "q_range_join_events",
+    "q_rollup_total", "q_running_distinct", "q_score_normalize",
+    "q_search_contains", "q_shannon_diversity", "q_snapshot_diff",
+    "q_sort_paginate", "q_triangle_count", "q_unanimity", "q_union_sets",
+    "q_user_streaks", "q_weighted_median", "q_zorder_layout",
+)
+
+#: oracle texts that become Spark SQL through the dialect map
+#: (row-identity proven on the PORTED text).
+PORTED_KEYS: tuple[str, ...] = (
+    "q_abandoned_carts", "q_abc_classification", "q_agg_stats", "q_anova_f",
+    "q_burstiness", "q_cusum_changepoint", "q_event_transitions",
+    "q_events_json_extract", "q_events_sessionless_rate", "q_events_variant",
+    "q_hhi_concentration", "q_kendall_tau", "q_linear_attribution",
+    "q_moving_avg_revenue", "q_percentile_multi", "q_quartile_skewness",
+    "q_rfm_segments", "q_runs_test", "q_scd2_intervals", "q_session_window",
+    "q_sessionize", "q_skew_diagnostics", "q_spearman_corr", "q_theil_sen",
+    "q_trimmed_mean", "q_tukey_fences", "q_window_funnel",
+    "q_winsorized_stats",
+    "q_benford_digits", "q_cohort_retention", "q_order_gap_stats",
+    "q_polyfit_quadratic", "q_split_audit", "q_stratified_sample",
+    "q_string_agg", "q_substr_year", "q_table_profile", "q_template_concat",
+    "q_top_paths",
+)
+
+SQL_QUERIES.update({k: _ORACLES[k] for k in ANSI_CORE_KEYS})
+SQL_QUERIES.update({k: port_oracle(_ORACLES[k]) for k in PORTED_KEYS})

@@ -295,7 +295,9 @@ class TestPng:
         with pytest.raises(ValueError, match="CRC"):
             decode_png(bytes(payload))
 
-    def test_interlace_and_16bit_rejected(self):
+    def test_16bit_and_bad_interlace_rejected(self):
+        """16-bit stays honestly unsupported; interlace method 1 is now
+        DECODED (TestAdam7), so only out-of-spec methods reject."""
         import struct
         import zlib as _zlib
 
@@ -313,8 +315,8 @@ class TestPng:
 
         with pytest.raises(NotImplementedError, match="16-bit"):
             decode_png(mk(16, 0))
-        with pytest.raises(NotImplementedError, match="interlacing"):
-            decode_png(mk(8, 1))
+        with pytest.raises(ValueError, match="interlace method"):
+            decode_png(mk(8, 2))
 
     def test_sniff_and_feature_dispatch(self):
         from lexam_data_pipeline_spark.ml.media_codecs import encode_png
@@ -643,3 +645,114 @@ class TestJpeg:
         feats = decode_features(enc)
         assert feats is not None and feats[0] == 10 and feats[1] == 10
         assert abs(feats[2] - 100) < 2  # mean R on a solid image
+
+
+class TestAdam7:
+    """Adam7 interlaced PNG: 7 independently-filtered sub-images
+    scattered by the spec pass grid (round-6 verdict item 4)."""
+
+    def test_interlaced_roundtrip_random_images(self):
+        from hypothesis import given, settings, strategies as st
+        from hypothesis.extra.numpy import arrays
+
+        from lexam_data_pipeline_spark.ml.media_codecs import (
+            decode_png,
+            encode_png,
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            arrays(
+                np.uint8,
+                st.tuples(
+                    st.integers(1, 20),
+                    st.integers(1, 20),
+                    st.sampled_from([1, 2, 3, 4]),
+                ),
+            ),
+            st.integers(0, 4),
+        )
+        def roundtrip(arr, filter_type):
+            enc = encode_png(arr, filter_type=filter_type, interlace=True)
+            dec = decode_png(enc)
+            assert dec.shape == arr.shape
+            assert (dec == arr).all()
+
+        roundtrip()
+
+    def test_interlaced_palette_roundtrip(self):
+        from hypothesis import given, settings, strategies as st
+        from hypothesis.extra.numpy import arrays
+
+        from lexam_data_pipeline_spark.ml.media_codecs import (
+            decode_png,
+            encode_png_palette,
+        )
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            arrays(
+                np.uint8,
+                st.tuples(st.integers(1, 15), st.integers(1, 15)),
+                elements=st.integers(0, 15),
+            ),
+            arrays(np.uint8, st.just((16, 3))),
+            st.integers(0, 4),
+        )
+        def roundtrip(idx, palette, filter_type):
+            payload = encode_png_palette(
+                idx, palette, filter_type=filter_type, interlace=True
+            )
+            assert (decode_png(payload) == palette[idx]).all()
+
+        roundtrip()
+
+    def test_interlaced_equals_sequential_decode(self):
+        """Both encodings of the same array decode identically — the
+        deinterlace is pure byte reordering, no value change."""
+        from lexam_data_pipeline_spark.ml.media_codecs import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.RandomState(11)
+        arr = rng.randint(0, 256, size=(13, 9, 3), dtype=np.uint8)
+        seq = decode_png(encode_png(arr, filter_type=4))
+        lac = decode_png(encode_png(arr, filter_type=4, interlace=True))
+        assert (seq == lac).all()
+
+    def test_small_images_skip_empty_passes(self):
+        """A 1×1 image uses ONLY pass 1 (the other six are empty and
+        contribute zero bytes — not even filter bytes); 2×2 uses passes
+        1/6/7.  Exactness across those edge grids pins the empty-pass
+        arithmetic."""
+        from lexam_data_pipeline_spark.ml.media_codecs import (
+            _adam7_passes,
+            decode_png,
+            encode_png,
+        )
+
+        assert len(list(_adam7_passes(1, 1))) == 1
+        assert len(list(_adam7_passes(2, 2))) == 3
+        assert len(list(_adam7_passes(8, 8))) == 7
+        for h, w in [(1, 1), (2, 2), (1, 7), (7, 1), (4, 4), (5, 3)]:
+            arr = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+            assert (decode_png(encode_png(arr, interlace=True)) == arr).all()
+
+    def test_truncated_interlaced_stream_fails_loudly(self):
+        from lexam_data_pipeline_spark.ml.media_codecs import (
+            decode_png,
+            encode_png,
+        )
+
+        arr = np.zeros((9, 9, 3), dtype=np.uint8)
+        enc = bytearray(encode_png(arr, interlace=True))
+        # corrupt IHDR's interlace byte→sequential on an Adam7 stream:
+        # byte sizes no longer line up and the decoder must not return
+        # garbage silently.  (IHDR data = bytes 16..29; interlace is the
+        # last data byte; CRC then mismatches first — also loud.)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            bad = bytes(enc[:28]) + b"\x00" + bytes(enc[29:])
+            decode_png(bad)

@@ -669,3 +669,58 @@ def test_sprt_is_one_scan_one_spine_window(spark, sf_small):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+# ── round 6 ──────────────────────────────────────────────────────────
+
+
+def test_course_summary_is_one_scan_one_aggregate(spark, sf_small):
+    """The serving composite derives questions+variants from ONE
+    documents scan each (2 scans total), joins them broadcast, and
+    finishes in a single set-collect aggregate — no Python stage."""
+    plan = _plan(QUERIES["q_course_summary"](spark, sf_small))
+    assert plan.count("Scan parquet") <= 2
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_burstiness_windows_partition_by_user_and_type(spark, sf_small):
+    plan = _plan(QUERIES["q_burstiness"](spark, sf_small))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_runs_test_windows_run_on_calendar_spine(spark, sf_small):
+    """One fact scan builds the day spine; the median joins back as a
+    broadcast 1-row dim; the lag window and final rollup run on the
+    calendar-bounded spine."""
+    plan = _plan(QUERIES["q_runs_test"](spark, sf_small))
+    assert plan.count("Scan parquet") <= 2  # daily spine + median branch
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_mann_kendall_pairs_join_broadcast_month_spine(spark, sf_small):
+    """The i<j pair join takes the ~80-row month spine on BOTH sides
+    (broadcast); the fact table feeds only the spine aggregates."""
+    plan = _plan(QUERIES["q_mann_kendall"](spark, sf_small))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_abc_class_window_runs_on_part_rollup(spark, sf_small):
+    """The cumulative window input is the pre-aggregated part rollup —
+    the single fact scan sits under the groupBy, and the 1-row total
+    joins back broadcast."""
+    plan = _plan(QUERIES["q_abc_classification"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_quartile_skew_percentiles_run_on_customer_rollup(spark, sf_small):
+    plan = _plan(QUERIES["q_quartile_skewness"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan

@@ -351,3 +351,125 @@ class TestRound5ReviewFindings:
         assert rows[0]["n_months"] == 0
         assert rows[0]["elasticity"] is None
         assert rows[0]["intercept"] is None
+
+
+class TestRound6Advice:
+    """Pins for the round-6 ADVICE items: empty-grid oracle parity for
+    the chi-square family, duplicate-vec_id semantics shared by both
+    boosted-stumps doors, and the _d18 magnitude ceiling."""
+
+    @staticmethod
+    def _copy_world(dest, full_selects: dict) -> str:
+        """Clone sf0.001 into ``dest``; ``full_selects`` values are
+        COMPLETE SELECT statements with a ``{src}`` placeholder (unlike
+        _clone_sf's fragments, these may carry WHERE/UNION clauses)."""
+        import duckdb
+
+        from lexam_data_pipeline_spark.catalog import FIXTURE_TABLES
+
+        con = duckdb.connect()
+        for t in FIXTURE_TABLES:
+            src = f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+            sel = full_selects.get(t, "SELECT * FROM {src}").replace("{src}", src)
+            con.execute(f"COPY ({sel}) TO '{dest}/{t}.parquet' (FORMAT PARQUET)")
+        return str(dest)
+
+    def _compare(self, spark, sf_dir, key):
+        from lexam_data_pipeline_spark import testing
+        from lexam_data_pipeline_spark.plans.registry import (
+            build_oracles,
+            build_queries,
+        )
+
+        queries, oracles = build_queries(), build_oracles()
+        con = testing.duckdb_connection(sf_dir)
+        return testing.compare_query(
+            spark, con, key, queries[key], oracles[key], sf_dir
+        )
+
+    def test_chi_square_family_empty_corpus_is_oracle_equal(
+        self, spark, tmp_path
+    ):
+        """EMPTY input → ZERO rows on BOTH engines: the oracles carry
+        HAVING/WHERE guards so their ungrouped aggregates over the empty
+        grid can't emit a stray (NULL, 1, NULL, ...) row while the engine
+        early-returns empty (round-6 advice)."""
+        d = tmp_path / "empty"
+        d.mkdir()
+        self._copy_world(
+            d,
+            {
+                "documents": "SELECT * FROM {src} WHERE false",
+                "orders": "SELECT * FROM {src} WHERE false",
+            },
+        )
+        for key in ("q_chi_square", "q_cramers_v", "q_mutual_information"):
+            result = self._compare(spark, str(d), key)
+            assert result.ok, (key, result)
+            assert result.spark_rows == 0, key
+
+    def test_boosted_stumps_duplicate_vec_ids_oracle_equal(
+        self, spark, tmp_path
+    ):
+        """An all-duplicates embeddings corpus (every row twice) trains
+        on each vector counted ONCE on both engines — the oracle now
+        applies the same (vec_id, y, f) → min(bin) collapse as the
+        engine, and the result equals the unique-corpus answer."""
+        from lexam_data_pipeline_spark.ml.boost import q_boosted_stumps
+
+        d = tmp_path / "dup"
+        d.mkdir()
+        self._copy_world(
+            d,
+            {
+                "embeddings": "SELECT * FROM {src}"
+                " UNION ALL SELECT * FROM {src}"
+            },
+        )
+        result = self._compare(spark, str(d), "q_boosted_stumps")
+        assert result.ok, result
+        base = [
+            tuple(r)
+            for r in q_boosted_stumps(spark, "/root/testdata/sf0.001")
+            .orderBy("round")
+            .collect()
+        ]
+        dup = [
+            tuple(r)
+            for r in q_boosted_stumps(spark, str(d)).orderBy("round").collect()
+        ]
+        assert base == dup
+
+
+class TestD18Ceiling:
+    """_d18's cast ceiling is 1e18 (cast overflow → silent NULL in
+    non-ANSI mode).  Assert the sf0.1 maxima of each operand family so a
+    future reuse on a larger-magnitude column trips a test, not a silent
+    drop (round-6 advice)."""
+
+    SF = "/root/testdata/sf0.1"
+
+    def test_rank_and_count_operands_far_below_ceiling(self, spark):
+        from lexam_data_pipeline_spark.catalog import load_table
+
+        n = load_table(spark, self.SF, "lineitem").count()
+        # doubled average ranks are ≤ 2n+1; cumulative counts ≤ n
+        assert 2 * n + 1 < 1e15
+
+    def test_daily_cents_operand_below_ceiling(self, spark):
+        from lexam_data_pipeline_spark.catalog import load_table
+
+        daily_max = (
+            load_table(spark, self.SF, "orders")
+            .groupBy(F.date_trunc("day", "o_orderdate"))
+            .agg(
+                (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+                .cast("bigint")
+                .alias("cents")
+            )
+            .agg(F.max("cents"))
+            .collect()[0][0]
+        )
+        # linear in SF: 1e12 here would already be 1e18 at sf1e5 — keep
+        # ~6 orders of fixture-scale headroom for the 100 TB budget
+        assert daily_max < 1e12

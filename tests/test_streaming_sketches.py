@@ -86,3 +86,84 @@ def test_estimates_from_maintained_state_upper_bound_truth(spark, sf_small):
 
 def test_state_columns_stable():
     assert STATE_COLUMNS == ("depth", "bucket", "c")
+
+
+# ── HLL distinct-rollup maintenance ─────────────────────────────────────
+
+
+class _BinaryHolder:
+    """Materializing state holder for the (day, sk binary) HLL table."""
+
+    def __init__(self, spark):
+        self.spark, self.rows = spark, None
+        self.schema = "day timestamp, sk binary"
+
+    def read(self) -> DataFrame | None:
+        if self.rows is None:
+            return None
+        return self.spark.createDataFrame(self.rows, self.schema)
+
+    def write(self, df: DataFrame) -> None:
+        self.rows = df.collect()
+
+
+def _weekly(df) -> dict:
+    return {r[0]: r["approx_distinct_users"] for r in df.collect()}
+
+
+def test_drained_hll_state_weekly_equals_batch_build(spark, sf_small, tmp_path):
+    """Register-wise union is exact: after draining any micro-batch
+    split, weekly estimates off the state EQUAL the batch
+    q_hll_merge_windows output."""
+    from lexam_data_pipeline_spark.plans.fixture_queries import (
+        q_hll_merge_windows,
+    )
+    from lexam_data_pipeline_spark.streaming.sketches import (
+        hll_window_estimates,
+        start_streaming_hll,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    chunk_dir = str(tmp_path / "ev_chunks_hll")
+    for i in range(3):
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(chunk_dir)
+    holder = _BinaryHolder(spark)
+    stream = read_events_stream(spark, chunk_dir, max_files_per_trigger=1)
+    q = start_streaming_hll(stream, F.col("user_id"), holder.read, holder.write)
+    q.awaitTermination(120)
+    got = _weekly(hll_window_estimates(holder.read()))
+    want = _weekly(q_hll_merge_windows(spark, sf_small))
+    assert got == want
+
+
+def test_hll_merge_is_split_invariant_and_error_bounded(spark, sf_small):
+    """Folding in 4 splits equals one-shot state; weekly estimates land
+    within the HLL error bound (3% at lgK=14) of exact distincts."""
+    from lexam_data_pipeline_spark.streaming.sketches import (
+        hll_merge,
+        hll_window_estimates,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    one = hll_merge(None, ev, F.col("user_id"))
+    holder = _BinaryHolder(spark)
+    state = None
+    for i in range(4):
+        chunk = ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+        holder.write(hll_merge(state, chunk, F.col("user_id")))
+        state = holder.read()
+    assert _weekly(hll_window_estimates(state)) == _weekly(
+        hll_window_estimates(one)
+    )
+    exact = {
+        r["week"]: r["n"]
+        for r in ev.groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    est = _weekly(hll_window_estimates(state))
+    assert set(est) == set(exact)
+    for wk, n in exact.items():
+        assert abs(est[wk] - n) <= max(0.03 * n, 1), (wk, est[wk], n)

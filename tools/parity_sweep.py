@@ -11,6 +11,10 @@ verification is auditable in-repo.
 Usage:
     python tools/parity_sweep.py                 # sf0.01 (driver's SF)
     python tools/parity_sweep.py /root/testdata/sf0.1
+    python tools/parity_sweep.py SF_DIR OUT.json q_key1 q_key2   # subset
+        (argv[3:] filters to the named keys — unknown names fail fast;
+        a filtered run requires an explicit OUT so it can't clobber the
+        committed full-sweep CORRECTNESS_SELF.json)
 """
 
 from __future__ import annotations
@@ -45,6 +49,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     queries, oracles = build_queries(), build_oracles()
     assert len(queries) == EXPECTED_QUERY_COUNT, (len(queries), EXPECTED_QUERY_COUNT)
+    if len(sys.argv) > 3:  # optional subset: fail fast on unknown names
+        unknown = [k for k in sys.argv[3:] if k not in queries]
+        assert not unknown, f"unknown keys: {unknown}"
+        queries = {k: queries[k] for k in sys.argv[3:]}
     con = testing.duckdb_connection(sf_dir)
     failures = []
     rows: dict[str, dict] = {}
@@ -105,8 +113,9 @@ def main() -> int:
     # must not clobber the committed sf0.01 CORRECTNESS_SELF.json)
     out = Path(REPO) / (sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_SELF.json")
     out.write_text(json.dumps({"sf_dir": sf_dir, "results": rows}, indent=1))
+    n_oracled = sum(1 for k in queries if k in oracles)
     print(
-        f"\n{len(oracles)} oracle + {len(queries) - len(oracles)} rows-only keys "
+        f"\n{n_oracled} oracle + {len(queries) - n_oracled} rows-only keys "
         f"at {sf_dir} in {round(time.time() - t0, 1)}s; failures: {failures or 'none'}"
         f"\nwrote {out}"
     )

@@ -159,6 +159,13 @@ PROBES = [
     "q_split_audit",
     "q_compression_ratio",
     "q_random_projection",
+    # round 6 additions
+    "q_course_summary",
+    "q_burstiness",
+    "q_runs_test",
+    "q_mann_kendall",
+    "q_abc_classification",
+    "q_quartile_skewness",
 ]
 
 OFFSETS = {
