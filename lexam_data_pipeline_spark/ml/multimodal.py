@@ -96,7 +96,9 @@ def media_table_real(docs: DataFrame) -> DataFrame:
     """Media table whose payloads are REAL decodable formats, synthesized
     deterministically from each document's bytes: image rows carry an
     8×8 PNG (Paeth-filtered so decode exercises the full filter path),
-    an Adam7-INTERLACED PNG (7-pass deinterlace path, doc_id % 8 == 0),
+    an Adam7-INTERLACED PNG (7-pass deinterlace path, doc_id % 16 == 0;
+    the other % 4 == 0 residues stay sequential Paeth so BOTH decode
+    paths remain corpus-reachable),
     a paletted color-type-3 PNG (PLTE lookup path),
     or a baseline JPEG (huffman + IDCT path), audio rows a 16-bit PCM
     WAV, video rows a PPM frame.  This makes the
@@ -132,12 +134,16 @@ def media_table_real(docs: DataFrame) -> DataFrame:
                     _enc_png_pal(seed[:64].reshape(8, 8) % 16, seed[64:112].reshape(16, 3)),
                     "image",
                 )
-            if doc_id % 8 == 0:  # image: 8x8 RGB PNG, Adam7 interlaced
+            if doc_id % 16 == 0:  # image: 8x8 RGB PNG, Adam7 interlaced
                 return (
                     _enc_png(seed.reshape(8, 8, 3), filter_type=4, interlace=True),
                     "image",
                 )
-            if doc_id % 4 == 0:  # image: 8x8 RGB PNG, Paeth filter
+            # remaining doc_id % 4 == 0 (i.e. % 16 == 8, plus % 8 == 0
+            # residues not taken above): sequential Paeth RGB — kept
+            # reachable so the corpus still exercises the multi-byte-bpp
+            # sequential unfilter path (round-6 review finding)
+            if doc_id % 4 == 0:
                 return _enc_png(seed.reshape(8, 8, 3), filter_type=4), "image"
             if doc_id % 4 == 1:  # audio: 96-sample 16-bit mono WAV
                 samples = (seed.astype(np.float64)[:96] - 128.0) / 128.0

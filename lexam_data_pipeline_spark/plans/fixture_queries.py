@@ -6884,7 +6884,9 @@ def q_course_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("v"),
     ).select("question_id", "v.config", "v.split")
-    return course_summary(questions, variants).select(
+    # questions here is corpus-sized (one row per document) — no forced
+    # broadcast; the join hash-partitions on question_id at any scale
+    return course_summary(questions, variants, broadcast_questions=False).select(
         "course",
         "area",
         "jurisdiction",

@@ -307,12 +307,6 @@ _SPARK_DIALECT_SUBS: list[tuple[str, object]] = [
     (r"strftime\(([^,]+),\s*'%Y-%m-%d'\)", r"date_format(\1, 'yyyy-MM-dd')"),
     (r"strftime\(([^,]+),\s*'%Y-%m'\)", r"date_format(\1, 'yyyy-MM')"),
     (r"strftime\(([^,]+),\s*'%H'\)", r"date_format(\1, 'HH')"),
-    # day-grain diff: argument ORDER swaps between the dialects
-    (
-        r"date_diff\('day',\s*([^,()]+(?:\([^()]*\))?[^,()]*),"
-        r"\s*([^,()]+(?:\([^()]*\))?[^,()]*)\)",
-        r"datediff(\2, \1)",
-    ),
     (r"\blen\(", "size("),
     (r"\bAS VARCHAR\b", "AS STRING"),
     # quoted unit → Spark's unquoted unit keyword

@@ -207,7 +207,9 @@ def dashboard(
     }
 
 
-def course_summary(questions: DataFrame, variants: DataFrame) -> DataFrame:
+def course_summary(
+    questions: DataFrame, variants: DataFrame, *, broadcast_questions: bool = True
+) -> DataFrame:
     """The course-summary endpoint (A10/A11, ref main.py:225-308): one row
     per course with per-config distinct-question counts, the union
     cardinality ``total``, sorted label sets, sorted (area, total desc).
@@ -215,20 +217,26 @@ def course_summary(questions: DataFrame, variants: DataFrame) -> DataFrame:
     The reference collects every row into Python sets; here the sets are
     conditional ``collect_set``s in one aggregate and ``total`` is the
     size of their array union — no driver-side state.
+
+    ``broadcast_questions`` fits the serving case (a question bank that
+    fits one executor); pass False when ``questions`` is corpus-sized —
+    e.g. the q_course_summary contract key's one-row-per-document
+    projection — so the join stays a hash join co-partitioned on
+    question_id instead of an unbounded forced broadcast (round-6
+    review finding).
     """
+    q_side = questions.select(
+        F.col("id").alias("question_id"),
+        "course",
+        "area",
+        "jurisdiction",
+        "international",
+        "language",
+    )
+    if broadcast_questions:
+        q_side = F.broadcast(q_side)
     base = variants.select("question_id", "config", "split").join(
-        F.broadcast(
-            questions.select(
-                F.col("id").alias("question_id"),
-                "course",
-                "area",
-                "jurisdiction",
-                "international",
-                "language",
-            )
-        ),
-        "question_id",
-        "inner",
+        q_side, "question_id", "inner"
     )
     is_mcq4 = F.col("config") == "mcq_4_choices"
     is_mcq = F.col("config").isin(*MCQ_CONFIGS)

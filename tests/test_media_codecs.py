@@ -739,20 +739,65 @@ class TestAdam7:
             arr = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
             assert (decode_png(encode_png(arr, interlace=True)) == arr).all()
 
+    @staticmethod
+    def _rebuild_idat(payload: bytes, mutate) -> bytes:
+        """Decompress the IDAT, apply ``mutate`` to the raw scanline
+        stream, recompress, and rebuild the PNG with VALID chunk CRCs —
+        so the decoder's own size arithmetic (not the CRC gate) is what
+        a test exercises."""
+        import struct
+        import zlib as _zlib
+
+        from lexam_data_pipeline_spark.ml.media_codecs import PNG_SIG
+
+        pos, out, raw = 8, [], b""
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if ctype == b"IDAT":
+                raw += data
+            else:
+                out.append((ctype, data))
+            pos += 12 + length
+        new_idat = _zlib.compress(mutate(_zlib.decompress(raw)))
+        rebuilt = PNG_SIG
+        for ctype, data in out:
+            if ctype == b"IEND":
+                break
+            rebuilt += (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+        rebuilt += (
+            struct.pack(">I", len(new_idat)) + b"IDAT" + new_idat
+            + struct.pack(">I", _zlib.crc32(b"IDAT" + new_idat) & 0xFFFFFFFF)
+        )
+        rebuilt += (
+            struct.pack(">I", 0) + b"IEND"
+            + struct.pack(">I", _zlib.crc32(b"IEND") & 0xFFFFFFFF)
+        )
+        return rebuilt
+
     def test_truncated_interlaced_stream_fails_loudly(self):
+        """A REAL truncation (valid CRCs, last pass bytes missing) must
+        trip the decoder's per-pass/total size arithmetic — the
+        'Adam7 stream size mismatch' guard — not return garbage
+        (round-6 review finding: the old test only reached the CRC
+        gate, leaving the size arithmetic uncovered)."""
         from lexam_data_pipeline_spark.ml.media_codecs import (
             decode_png,
             encode_png,
         )
 
-        arr = np.zeros((9, 9, 3), dtype=np.uint8)
-        enc = bytearray(encode_png(arr, interlace=True))
-        # corrupt IHDR's interlace byte→sequential on an Adam7 stream:
-        # byte sizes no longer line up and the decoder must not return
-        # garbage silently.  (IHDR data = bytes 16..29; interlace is the
-        # last data byte; CRC then mismatches first — also loud.)
-        import pytest as _pytest
-
-        with _pytest.raises(ValueError):
-            bad = bytes(enc[:28]) + b"\x00" + bytes(enc[29:])
-            decode_png(bad)
+        arr = np.arange(9 * 9 * 3, dtype=np.uint8).reshape(9, 9, 3)
+        enc = bytes(encode_png(arr, interlace=True))
+        # drop the final pass-7 scanline: per-pass unfilter sizes still
+        # line up for passes 1-6, the total-consumed check must fire
+        truncated = self._rebuild_idat(enc, lambda raw: raw[: -(9 * 3 + 1)])
+        with pytest.raises(ValueError, match="scanline data size|Adam7 stream"):
+            decode_png(truncated)
+        # and padding extra bytes past pass 7 must also fail loudly
+        padded = self._rebuild_idat(enc, lambda raw: raw + b"\x00" * 5)
+        with pytest.raises(ValueError, match="Adam7 stream size mismatch"):
+            decode_png(padded)

@@ -440,6 +440,27 @@ class TestRound6Advice:
         ]
         assert base == dup
 
+    def test_boosted_stumps_conflicting_duplicates_oracle_equal(
+        self, spark, tmp_path
+    ):
+        """CONFLICTING duplicates (same vec_id, reversed embedding) are
+        the only case where the min-bin tie rule can bite — identical
+        duplicates give min == max == the one bin, so the first test
+        alone could not catch an engine/oracle collapse divergence
+        (e.g. a min→max drift; round-6 review finding)."""
+        d = tmp_path / "conflict"
+        d.mkdir()
+        self._copy_world(
+            d,
+            {
+                "embeddings": "SELECT * FROM {src} UNION ALL"
+                " SELECT vec_id, list_reverse(embedding) AS embedding,"
+                " label FROM {src}"
+            },
+        )
+        result = self._compare(spark, str(d), "q_boosted_stumps")
+        assert result.ok, result
+
 
 class TestD18Ceiling:
     """_d18's cast ceiling is 1e18 (cast overflow → silent NULL in
