@@ -15,6 +15,7 @@ import json
 import os
 import re
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -298,7 +299,18 @@ def main() -> None:
     # judge reads it directly), and (2) print a compact line LAST that is
     # guaranteed to fit: headline metrics + the slowest 15 queries + a
     # pointer to the full file.
-    with open(os.path.join(REPO_ROOT, "BENCH_SELF.json"), "w") as fh:
+    # The committed artifact is the sf0.1 headline run ONLY: a pytest
+    # smoke run at sf0.001 (test_bench_contract) must not clobber it
+    # with a wrong-scale file (round-6 review finding).  Other scales
+    # write to SPARK_GRAFT_BENCH_OUT if set, else a temp path.
+    if sf == 0.1:
+        out_path = os.path.join(REPO_ROOT, "BENCH_SELF.json")
+    else:
+        out_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_OUT",
+            os.path.join(tempfile.gettempdir(), f"BENCH_SELF_sf{sf}.json"),
+        )
+    with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
     compact = {

@@ -1,0 +1,104 @@
+"""Distributed ordered prefix sums — the 100 TB switch for global
+cumulative windows.
+
+A cumulative sum over a GLOBAL ordering (``Window.orderBy(...)`` with no
+partitionBy) funnels every row through ONE task: correct, and fine when
+the input is a dimension rollup (parts, customers), but a wall once the
+rollup itself is hundreds of millions of rows.  The classic fix is the
+two-phase range-partitioned prefix sum:
+
+1. ``repartitionByRange(order keys)`` — rows land in partitions that are
+   globally ordered BETWEEN partitions (RangePartitioner samples the
+   keys; partition boundaries are data-dependent but the VALUES below
+   are exact regardless of where the cuts land), then the assignment is
+   PINNED with an eager ``localCheckpoint`` so every consumer sees one
+   consistent ``__pid`` (see inline note);
+2. a per-partition cumulative window (``partitionBy(partition id)``) —
+   bounded state, all partitions in parallel.  Spark re-clusters by
+   hash(__pid) for the window (one extra parallel exchange of the
+   already-reduced rollup — the cost is visibility-tested, and it is a
+   PARALLEL shuffle, unlike the single-task global window this
+   replaces);
+3. per-partition totals, cumulated over the O(#partitions) offset table
+   (the only SinglePartition hop — bounded by cluster size, not data),
+   broadcast back as each partition's offset.
+
+``partitioned_prefix_sum`` is the verified switch referenced by
+``q_abc_classification`` / ``q_percent_rank_spend``'s scale notes:
+``tests/test_prefix_sum.py`` proves VALUE-IDENTITY with the
+single-window formulation on fixtures and asserts the plan contains no
+single-partition global-sort window.
+
+Reference framing: the reference computes its running rollups in Python
+over ORDER BY'd Postgres rows (backend/app/main.py) — a single-node
+scan; this operator is the shape that survives a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+#: output column added by :func:`partitioned_prefix_sum`.
+PREFIX_COL = "cum_value"
+
+
+def partitioned_prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: str,
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``df`` + a :data:`PREFIX_COL` column holding the running sum of
+    ``value_col`` over the TOTAL order given by ``order_cols`` — without
+    a global single-partition window.
+
+    ``order_cols`` must be a total order (include a unique tiebreak) or
+    ties make "running" ambiguous; this matches the contract of the
+    window formulation it replaces.  The value column must be exact
+    (integer/decimal) — the per-partition sums and the offset cascade
+    reassociate the addition, which is only order-independent for exact
+    types (the same rule every moment aggregate in this repo follows).
+    """
+    parted = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    # PIN the partition assignment: __pid is consumed by TWO lineage
+    # branches (the local window and the offset aggregate).  Without the
+    # checkpoint each branch re-executes its own range exchange, and
+    # RangePartitioner's sampled boundaries are not guaranteed identical
+    # across exchanges — a boundary row could land in different __pids
+    # per branch and the offsets would silently mis-key (round-6 review
+    # finding).  localCheckpoint truncates lineage to the materialized
+    # blocks, so both branches read the SAME assignment; a lost block
+    # fails the job loudly instead of recomputing differently.
+    with_pid = parted.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = with_pid.withColumn("__local_cum", F.sum(value_col).over(w_in))
+    # O(#partitions) offset table: total per partition, cumulated over
+    # pid with an exclusive frame, broadcast back.  pid order IS the
+    # global order because repartitionByRange assigns ascending ranges
+    # to ascending partition ids.
+    w_off = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__ptotal"))
+        .withColumn("__offset", F.coalesce(F.sum("__ptotal").over(w_off), F.lit(0)))
+        .select("__pid", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(PREFIX_COL, F.col("__local_cum") + F.col("__offset"))
+        .drop("__pid", "__local_cum")
+    )

@@ -6750,8 +6750,9 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     partkey) tiebreak.  Class thresholds compare exact integers —
     ``5·cum ≤ 4·total`` for 80%, ``20·cum ≤ 19·total`` for 95% — via
     :func:`_d18` products, so boundary parts can never flip class
-    between engines.  100 TB switch: a range-partitioned two-phase
-    prefix sum replaces the single ordered window."""
+    between engines.  100 TB switch: the VERIFIED range-partitioned
+    two-phase prefix sum (:func:`operators.prefix.partitioned_prefix_sum`,
+    value-identical by test) replaces the single ordered window."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)

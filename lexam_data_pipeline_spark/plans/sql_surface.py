@@ -9,7 +9,7 @@ SQL door for a representative slice of the operator inventory, and
 rows of its DataFrame twin — both enter the same Catalyst pipeline, so
 this is an API-parity check, not a second engine.
 
-Coverage (round 6): 121 of the 151 core-oracled keys — 80% — via three
+Coverage (round 6): 128 of the 151 core-oracled keys — 85% — via three
 tiers: the hand-written texts below (dialect-specific rewrites), the
 ANSI-core keys whose oracle text runs in Spark SQL VERBATIM, and the
 ported keys whose oracle text passes through the small mechanical
@@ -304,9 +304,25 @@ _SPARK_DIALECT_SUBS: list[tuple[str, object]] = [
     (r"\[((?:\s*-?[0-9.]+\s*,)+\s*-?[0-9.]+\s*)\]", r"array(\1)"),
     # constant list index: name[3] → element_at(name, 3)
     (r"\b(\w+)\[(\d+)\]", r"element_at(\1, \2)"),
-    (r"strftime\(([^,]+),\s*'%Y-%m-%d'\)", r"date_format(\1, 'yyyy-MM-dd')"),
-    (r"strftime\(([^,]+),\s*'%Y-%m'\)", r"date_format(\1, 'yyyy-MM')"),
+    # (?s) lets the first argument span lines / nested calls; the
+    # tempered dot ((?!strftime\().)+? forbids the capture from crossing
+    # INTO a second strftime call, so a future oracle mixing format
+    # literals cannot make one rule swallow two calls (round-6 review)
+    (
+        r"(?s)strftime\(((?:(?!strftime\().)+?),\s*'%Y-%m-%d'\)",
+        r"date_format(\1, 'yyyy-MM-dd')",
+    ),
+    (
+        r"(?s)strftime\(((?:(?!strftime\().)+?),\s*'%Y-%m'\)",
+        r"date_format(\1, 'yyyy-MM')",
+    ),
     (r"strftime\(([^,]+),\s*'%H'\)", r"date_format(\1, 'HH')"),
+    # DuckDB's range() table function names its column `range`; Spark's
+    # names it `id`
+    (r"\bCAST\(range AS INT\)", "CAST(id AS INT)"),
+    # multi-arg GROUPING(a, b) → grouping_id(a, b): same SQL-standard
+    # bit vector (first argument = most significant bit) in both
+    (r"\bGROUPING\(([^()]*,[^()]*)\)", r"grouping_id(\1)"),
     (r"\blen\(", "size("),
     (r"\bAS VARCHAR\b", "AS STRING"),
     # quoted unit → Spark's unquoted unit keyword
@@ -364,6 +380,8 @@ PORTED_KEYS: tuple[str, ...] = (
     "q_trimmed_mean", "q_tukey_fences", "q_window_funnel",
     "q_winsorized_stats",
     "q_benford_digits", "q_cohort_retention", "q_order_gap_stats",
+    "q_bootstrap_ci", "q_crosscorr_lagged", "q_date_arith",
+    "q_retention_cohorts", "q_cube_orders",
     "q_polyfit_quadratic", "q_split_audit", "q_stratified_sample",
     "q_string_agg", "q_substr_year", "q_table_profile", "q_template_concat",
     "q_top_paths",
@@ -371,3 +389,25 @@ PORTED_KEYS: tuple[str, ...] = (
 
 SQL_QUERIES.update({k: _ORACLES[k] for k in ANSI_CORE_KEYS})
 SQL_QUERIES.update({k: port_oracle(_ORACLES[k]) for k in PORTED_KEYS})
+
+# Hand-written: regex patterns need doubled backslashes in Spark SQL
+# string literals ('\\d' stays a regex class; DuckDB keeps '\d' as-is),
+# so these two cannot ride the mechanical map.
+SQL_QUERIES["q_regex_extract"] = """
+    SELECT CAST(nullif(regexp_extract(o_orderpriority, '^(\\\\d)', 1), '')
+                AS INT) AS priority_class,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+"""
+
+SQL_QUERIES["q_wordcount_stats"] = """
+    WITH w AS (
+        SELECT lang, coalesce(regexp_count(text, '\\\\S+'), 0) AS wc
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(sum(wc) / count(*), 4) AS avg_words,
+           CAST(min(wc) AS INT) AS min_words,
+           CAST(max(wc) AS INT) AS max_words
+    FROM w GROUP BY lang
+"""
