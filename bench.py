@@ -299,16 +299,18 @@ def main() -> None:
     # judge reads it directly), and (2) print a compact line LAST that is
     # guaranteed to fit: headline metrics + the slowest 15 queries + a
     # pointer to the full file.
-    # The committed artifact is the sf0.1 headline run ONLY: a pytest
-    # smoke run at sf0.001 (test_bench_contract) must not clobber it
-    # with a wrong-scale file (round-6 review finding).  Other scales
-    # write to SPARK_GRAFT_BENCH_OUT if set, else a temp path.
-    if sf == 0.1:
-        out_path = os.path.join(REPO_ROOT, "BENCH_SELF.json")
-    else:
-        out_path = os.environ.get(
-            "SPARK_GRAFT_BENCH_OUT",
-            os.path.join(tempfile.gettempdir(), f"BENCH_SELF_sf{sf}.json"),
+    # SPARK_GRAFT_BENCH_OUT wins UNCONDITIONALLY (an explicitly
+    # redirected experimental run must never clobber the committed
+    # artifact, even at sf0.1); otherwise the committed BENCH_SELF.json
+    # is written ONLY by sf0.1 runs — a pytest smoke run at sf0.001
+    # (test_bench_contract) used to clobber it with a wrong-scale file
+    # (round-6 review findings, both passes).
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if not out_path:
+        out_path = (
+            os.path.join(REPO_ROOT, "BENCH_SELF.json")
+            if sf == 0.1
+            else os.path.join(tempfile.gettempdir(), f"BENCH_SELF_sf{sf}.json")
         )
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
@@ -322,7 +324,8 @@ def main() -> None:
         "runs_per_query": 2,
         "cold_total": out["cold_total"],
         "queries": slowest,
-        "queries_note": "slowest 15 of %d; full timings in BENCH_SELF.json" % len(timings),
+        "queries_note": "slowest 15 of %d; full timings in %s"
+        % (len(timings), os.path.basename(out_path)),
         "n_errors": len(errors),
         "sf": sf,
     }

@@ -59,6 +59,10 @@ def partitioned_prefix_sum(
     (integer/decimal) — the per-partition sums and the offset cascade
     reassociate the addition, which is only order-independent for exact
     types (the same rule every moment aggregate in this repo follows).
+    NULL values follow the global window's semantics exactly: they are
+    skipped by the sum, and the running value is NULL only while NO
+    non-NULL value has been seen anywhere earlier in the total order
+    (tracked with a parallel running count — tested).
     """
     parted = (
         df.repartitionByRange(num_partitions, *order_cols)
@@ -82,7 +86,14 @@ def partitioned_prefix_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = with_pid.withColumn("__local_cum", F.sum(value_col).over(w_in))
+    # __local_cnt mirrors the global window's NULL semantics exactly:
+    # sum() ignores NULLs, and the GLOBAL cumulative sum is NULL iff no
+    # non-NULL value precedes — which the per-partition sum alone cannot
+    # see (a partition whose prefix is all-NULL would emit NULL even
+    # when earlier partitions carried real values; round-6 review).
+    local = with_pid.withColumn(
+        "__local_cum", F.sum(value_col).over(w_in)
+    ).withColumn("__local_cnt", F.count(value_col).over(w_in))
     # O(#partitions) offset table: total per partition, cumulated over
     # pid with an exclusive frame, broadcast back.  pid order IS the
     # global order because repartitionByRange assigns ascending ranges
@@ -93,12 +104,22 @@ def partitioned_prefix_sum(
     )
     offsets = (
         local.groupBy("__pid")
-        .agg(F.sum(value_col).alias("__ptotal"))
+        .agg(
+            F.sum(value_col).alias("__ptotal"),
+            F.count(value_col).alias("__pcnt"),
+        )
         .withColumn("__offset", F.coalesce(F.sum("__ptotal").over(w_off), F.lit(0)))
-        .select("__pid", "__offset")
+        .withColumn("__offcnt", F.coalesce(F.sum("__pcnt").over(w_off), F.lit(0)))
+        .select("__pid", "__offset", "__offcnt")
     )
     return (
         local.join(F.broadcast(offsets), "__pid")
-        .withColumn(PREFIX_COL, F.col("__local_cum") + F.col("__offset"))
-        .drop("__pid", "__local_cum")
+        .withColumn(
+            PREFIX_COL,
+            F.when(
+                F.col("__local_cnt") + F.col("__offcnt") > 0,
+                F.coalesce(F.col("__local_cum"), F.lit(0)) + F.col("__offset"),
+            ),
+        )
+        .drop("__pid", "__local_cum", "__local_cnt", "__offset", "__offcnt")
     )

@@ -316,7 +316,10 @@ _SPARK_DIALECT_SUBS: list[tuple[str, object]] = [
         r"(?s)strftime\(((?:(?!strftime\().)+?),\s*'%Y-%m'\)",
         r"date_format(\1, 'yyyy-MM')",
     ),
-    (r"strftime\(([^,]+),\s*'%H'\)", r"date_format(\1, 'HH')"),
+    (
+        r"(?s)strftime\(((?:(?!strftime\().)+?),\s*'%H'\)",
+        r"date_format(\1, 'HH')",
+    ),
     # DuckDB's range() table function names its column `range`; Spark's
     # names it `id`
     (r"\bCAST\(range AS INT\)", "CAST(id AS INT)"),

@@ -13,8 +13,17 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def test_bench_prints_one_json_line():
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001", SPARK_GRAFT_CPUS="4")
+def test_bench_prints_one_json_line(tmp_path):
+    # redirect the full artifact: the smoke run must neither clobber the
+    # committed sf0.1 BENCH_SELF.json nor be validated against it
+    # (round-6 review, both passes)
+    bench_out = str(tmp_path / "bench_full.json")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_BENCH_OUT=bench_out,
+    )
     proc = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         capture_output=True,
@@ -38,10 +47,14 @@ def test_bench_prints_one_json_line():
     assert 0 < len(d["queries"]) <= 15
     assert d["n_queries"] >= 25
     assert all(isinstance(v, float) and v >= 0 for v in d["queries"].values())
-    full = json.loads((REPO / "BENCH_SELF.json").read_text())
+    full = json.loads(Path(bench_out).read_text())
+    assert full["sf"] == 0.001
     assert len(full["queries"]) == d["n_queries"]
     assert abs(sum(full["queries"].values()) - full["value"]) < 0.01
     assert set(d["queries"]) <= set(full["queries"])
+    # the committed headline artifact stays the sf0.1 run
+    committed = json.loads((REPO / "BENCH_SELF.json").read_text())
+    assert committed["sf"] == 0.1
 
 
 def test_registry_complete_from_bare_interpreter():

@@ -76,3 +76,33 @@ def test_fact_side_exchange_is_range_partitioned(spark, sf_small):
     for line in plan.splitlines():
         if "Window" in line and "__local_cum" in line:
             assert "__pid" in line, line
+
+
+def test_output_schema_adds_only_prefix_col(spark):
+    """No internal column (__pid/__local_cum/__offset/...) may leak into
+    the returned schema (round-6 third review pass)."""
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k int, v long")
+    out = partitioned_prefix_sum(df, ["k"], "v", num_partitions=2)
+    assert sorted(out.columns) == sorted(["k", "v", PREFIX_COL])
+
+
+def test_null_values_match_global_window(spark):
+    """NULL handling must be value-identical to the global window: sums
+    skip NULLs, and the running value is NULL only before the FIRST
+    non-NULL in the total order — including when an entire range
+    partition's prefix is NULL (round-6 third review pass: the naive
+    per-partition sum emitted NULL there instead of the carried-in
+    running value)."""
+    rows = [
+        (0, None), (1, 5), (2, 3), (3, None), (4, 2), (5, None), (6, 1),
+        (7, None), (8, None), (9, 4),
+    ]
+    df = spark.createDataFrame(rows, "k int, v long")
+    want = _as_map(_global_cum(df, ["k"], "v"), "k")
+    for parts in (1, 2, 3, 5):
+        got = _as_map(
+            partitioned_prefix_sum(df, ["k"], "v", num_partitions=parts), "k"
+        )
+        assert got == want, (parts, got, want)
+    # leading NULLs stay NULL on both formulations
+    assert want[0] is None
