@@ -9,7 +9,7 @@ SQL door for a representative slice of the operator inventory, and
 rows of its DataFrame twin — both enter the same Catalyst pipeline, so
 this is an API-parity check, not a second engine.
 
-Coverage (round 6): 128 of the 151 core-oracled keys — 85% — via three
+Coverage (round 6): 133 of the 151 core-oracled keys — 88% — via three
 tiers: the hand-written texts below (dialect-specific rewrites), the
 ANSI-core keys whose oracle text runs in Spark SQL VERBATIM, and the
 ported keys whose oracle text passes through the small mechanical
@@ -413,4 +413,137 @@ SQL_QUERIES["q_wordcount_stats"] = """
            CAST(min(wc) AS INT) AS min_words,
            CAST(max(wc) AS INT) AS max_words
     FROM w GROUP BY lang
+"""
+
+# Hand-written: regexp_extract_all needs an explicit group index 0 in
+# Spark (DuckDB defaults to the whole match), string regex literals
+# double their backslashes, DuckDB's list_* higher-order functions map
+# to transform/filter/aggregate (aggregate's 0-init left fold is
+# bit-equal to DuckDB's list_reduce because 0 + x == x in IEEE), and
+# string_split's literal '.' must become the escaped regex '\\.'.
+SQL_QUERIES["q_length_buckets"] = """
+    WITH t AS (
+        SELECT CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)
+                   AS n_tok
+        FROM documents
+    ),
+    b AS (
+        SELECT n_tok,
+               CASE WHEN n_tok <= 1 THEN CAST(1 AS BIGINT)
+                    ELSE CAST(1 << length(bin(n_tok - 1)) AS BIGINT)
+               END AS bucket_len
+        FROM t
+    )
+    SELECT bucket_len,
+           count(*) AS n_seqs,
+           CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+           CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens,
+           CAST(count(*) * bucket_len - sum(n_tok) AS BIGINT) AS waste_tokens
+    FROM b GROUP BY bucket_len
+"""
+
+SQL_QUERIES["q_char_class_stats"] = """
+    WITH counted AS (
+        SELECT lang,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(size(regexp_extract_all(text, '[A-Za-z]', 0)) AS BIGINT)
+                   AS n_alpha,
+               CAST(size(regexp_extract_all(text, '[0-9]', 0)) AS BIGINT)
+                   AS n_digit,
+               CAST(size(regexp_extract_all(text, '\\\\s', 0)) AS BIGINT)
+                   AS n_space
+        FROM documents
+    ),
+    agg AS (
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS c_total,
+               CAST(sum(n_alpha) AS BIGINT) AS c_alpha,
+               CAST(sum(n_digit) AS BIGINT) AS c_digit,
+               CAST(sum(n_space) AS BIGINT) AS c_space
+        FROM counted GROUP BY lang
+    )
+    SELECT lang, n_docs, c_alpha, c_digit, c_space,
+           round(CASE WHEN c_total > 0 THEN c_alpha / c_total END, 4)
+               AS alpha_ratio,
+           round(CASE WHEN c_total > 0 THEN
+                 1.0 - ((c_alpha / c_total) * (c_alpha / c_total)
+                        + (c_digit / c_total) * (c_digit / c_total)
+                        + (c_space / c_total) * (c_space / c_total)
+                        + ((c_total - c_alpha - c_digit - c_space) / c_total)
+                          * ((c_total - c_alpha - c_digit - c_space) / c_total))
+                 END, 4)
+               AS class_gini
+    FROM agg
+"""
+
+SQL_QUERIES["q_autocorr_revenue"] = """
+    WITH monthly AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000)
+                    AS BIGINT) AS kd
+        FROM orders GROUP BY midx
+    ),
+    lags AS (SELECT explode(sequence(1, 6)) AS lag),
+    pairs AS (
+        SELECT l.lag, x.kd AS x, y.kd AS y
+        FROM lags l
+        JOIN monthly y ON TRUE
+        JOIN monthly x ON x.midx = y.midx + l.lag
+    ),
+    m AS (
+        SELECT lag, count(*) AS n_pairs,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS acf
+    FROM m
+"""
+
+SQL_QUERIES["q_sentence_stats"] = """
+    WITH s AS (
+        SELECT doc_id,
+               transform(
+                   filter(split(text, '\\\\.'),
+                          p -> length(trim(p)) > 0),
+                   p -> length(trim(p))) AS lens
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(size(lens) AS INT) AS n_sentences,
+           CAST(aggregate(lens, 0, (a, b) -> a + b) AS INT)
+               AS total_sentence_chars,
+           round(aggregate(lens, 0, (a, b) -> a + b) / size(lens), 4)
+               AS avg_sentence_chars,
+           CAST(array_max(lens) AS INT) AS longest_sentence
+    FROM s
+    WHERE size(lens) > 0
+"""
+
+SQL_QUERIES["q_embedding_norms"] = """
+    SELECT vec_id, label,
+           CAST(size(embedding) AS INT) AS dim,
+           round(sqrt(aggregate(
+               transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               CAST(0 AS DOUBLE), (a, b) -> a + b)), 6) AS l2_norm,
+           round(aggregate(
+               transform(embedding, x -> CAST(x AS DOUBLE)),
+               CAST(0 AS DOUBLE), (a, b) -> a + b) / size(embedding), 6)
+               AS mean_component
+    FROM embeddings
 """
