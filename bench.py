@@ -307,11 +307,18 @@ def main() -> None:
     # (round-6 review findings, both passes).
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
     if not out_path:
-        out_path = (
-            os.path.join(REPO_ROOT, "BENCH_SELF.json")
-            if sf == 0.1
-            else os.path.join(tempfile.gettempdir(), f"BENCH_SELF_sf{sf}.json")
-        )
+        if sf == 0.1:
+            out_path = os.path.join(REPO_ROOT, "BENCH_SELF.json")
+        else:
+            # mkstemp, not a fixed name in the shared temp dir: a
+            # predictable path lets concurrent runs clobber each other
+            # and a pre-planted symlink redirect the write (round-6
+            # advice).  mkstemp creates the file with O_EXCL under a
+            # unique per-run name.
+            fd, out_path = tempfile.mkstemp(
+                prefix=f"BENCH_SELF_sf{sf}_", suffix=".json"
+            )
+            os.close(fd)
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])

@@ -41,6 +41,13 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 #: output column added by :func:`partitioned_prefix_sum`.
 PREFIX_COL = "cum_value"
 
+#: working columns the operator adds then drops; caller columns with
+#: these names would be silently overwritten by withColumn/drop, so the
+#: function rejects them at entry (round-6 advice).
+_RESERVED_COLS = frozenset(
+    {PREFIX_COL, "__pid", "__local_cum", "__local_cnt", "__offset", "__offcnt"}
+)
+
 
 def partitioned_prefix_sum(
     df: DataFrame,
@@ -48,6 +55,7 @@ def partitioned_prefix_sum(
     value_col: str,
     *,
     num_partitions: int | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """``df`` + a :data:`PREFIX_COL` column holding the running sum of
     ``value_col`` over the TOTAL order given by ``order_cols`` — without
@@ -63,7 +71,24 @@ def partitioned_prefix_sum(
     skipped by the sum, and the running value is NULL only while NO
     non-NULL value has been seen anywhere earlier in the total order
     (tracked with a parallel running count — tested).
+
+    ``reliable_checkpoint=True`` pins the partition assignment with a
+    RELIABLE ``df.checkpoint()`` (replicated to the configured
+    ``sparkContext.setCheckpointDir`` storage) instead of the default
+    eager ``localCheckpoint``.  The default stores unreplicated
+    executor-local blocks for the FULL fact-side data, so on a long
+    1000-executor run a single executor loss fails the whole job; the
+    reliable variant survives executor loss at the cost of a
+    distributed-storage write.  Raises if no checkpoint dir is set —
+    silently falling back to the fragile path would defeat the point.
     """
+    clash = _RESERVED_COLS.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            "partitioned_prefix_sum would overwrite caller column(s) "
+            f"{sorted(clash)}; rename them before calling (reserved: "
+            f"{sorted(_RESERVED_COLS)})"
+        )
     parted = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
@@ -78,9 +103,17 @@ def partitioned_prefix_sum(
     # finding).  localCheckpoint truncates lineage to the materialized
     # blocks, so both branches read the SAME assignment; a lost block
     # fails the job loudly instead of recomputing differently.
-    with_pid = parted.withColumn(
-        "__pid", F.spark_partition_id()
-    ).localCheckpoint(eager=True)
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    if reliable_checkpoint:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "reliable_checkpoint=True requires "
+                "sparkContext.setCheckpointDir(...) to be configured"
+            )
+        with_pid = with_pid.checkpoint(eager=True)
+    else:
+        with_pid = with_pid.localCheckpoint(eager=True)
     w_in = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)

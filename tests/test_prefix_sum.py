@@ -106,3 +106,38 @@ def test_null_values_match_global_window(spark):
         assert got == want, (parts, got, want)
     # leading NULLs stay NULL on both formulations
     assert want[0] is None
+
+def test_reserved_column_collision_raises(spark):
+    """Caller columns matching the operator's working names must error,
+    not be silently overwritten (round-6 advice)."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 2, 3)], "k int, v long, cum_value long")
+    with pytest.raises(ValueError, match="cum_value"):
+        partitioned_prefix_sum(df, ["k"], "v")
+    df2 = spark.createDataFrame([(1, 2, 3)], "k int, v long, __pid int")
+    with pytest.raises(ValueError, match="__pid"):
+        partitioned_prefix_sum(df2, ["k"], "v")
+
+
+def test_reliable_checkpoint_requires_dir_then_matches(spark, tmp_path):
+    """reliable_checkpoint=True errors without a checkpoint dir, and
+    once one is set it produces the same values as the default path."""
+    import pytest
+
+    rows = [(i, i * 3 % 11) for i in range(100)]
+    df = spark.createDataFrame(rows, "k int, v long")
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        partitioned_prefix_sum(df, ["k"], "v", reliable_checkpoint=True)
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        got = partitioned_prefix_sum(
+            df, ["k"], "v", num_partitions=4, reliable_checkpoint=True
+        )
+        want = _global_cum(df, ["k"], "v")
+        assert _as_map(got, "k") == _as_map(want, "k")
+    finally:
+        # other tests assert the default (no checkpoint dir) behavior
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
