@@ -6900,3 +6900,515 @@ def q_course_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("bigint").alias("total"),
         "language",
     )
+
+
+# ─── round 7: statistics tier (rank tests, variance homogeneity) ────────────
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across ALL market segments — the k-group
+    generalization of q_mannwhitney (rank-based, distribution-free
+    sibling of q_anova_f), answering "does segment shift the order-value
+    distribution?" without normality assumptions.
+
+    Exact core: the doubled-average-rank posture on the value spine
+    (``2·preceding + ties + 1`` — see q_mannwhitney) keeps every rank
+    sum an exact integer; per-segment doubled rank sums and the tie term
+    Σ(t³−t) are decimal-exact distributed aggregates.  The bounded
+    k-row table then finishes on the driver in unbounded Python integer
+    arithmetic (Σ⌊R²_g/n_g⌋ never wraps at ANY scale — the same
+    sufficient-statistic posture as q_shannon_diversity), closed by
+    mirrored double expressions and F.round in a Spark projection.
+
+    Scale: one fact scan → (value, segment) cell aggregate; the only
+    ordered window runs over the value spine (domain-bounded in cents).
+    No fact-row sort, no unbounded driver state (k = #segments).
+
+    Reference framing: the reference's stats endpoint stops at grouped
+    means (backend/app/main.py accuracy rollups); this is the engine-side
+    hypothesis test a segmentation analysis needs."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rows = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    per_vs = rows.groupBy("cents", "segment").agg(F.count(F.lit(1)).alias("c"))
+    per_v = per_vs.groupBy("cents").agg(F.sum("c").alias("tot"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "cents",
+        (
+            2 * F.coalesce(F.sum("tot").over(w), F.lit(0)) + F.col("tot") + 1
+        ).alias("r2"),
+    )
+    groups = collect_bounded(
+        per_vs.join(ranked, "cents")
+        .groupBy("segment")
+        .agg(
+            F.sum("c").alias("ng"),
+            F.sum(_d18("c") * _d18("r2")).alias("r2s"),
+        ),
+        _MAX_CELL_ROWS,
+        "q_kruskal_wallis per-segment rank sums",
+    )
+    # t³ via decimal(12,0) operands: precision 12·3+2 ≤ 38, exact for
+    # tie groups up to 1e12 rows (same ceiling class as the other rank
+    # keys; the scale probe owns it)
+    d12 = F.col("tot").cast("decimal(12,0)")
+    tie_row = per_v.agg(
+        F.sum(d12 * d12 * d12 - F.col("tot")).alias("t3t")
+    ).collect()[0]
+    if not groups:
+        out = spark.createDataFrame(
+            [(None, 0, None, None)],
+            "n bigint, k bigint, h_stat double, h_tie_corrected double",
+        )
+        return out.select(
+            "n", "k", F.round("h_stat", 6).alias("h_stat"),
+            F.round("h_tie_corrected", 6).alias("h_tie_corrected"),
+        )
+    n = sum(int(g["ng"]) for g in groups)
+    k = len(groups)
+    t3t = int(tie_row["t3t"])
+    # Σ⌊R2²_g/n_g⌋ — exact Python bigints, floored identically to the
+    # oracle's HUGEINT // division
+    s_h = sum((int(g["r2s"]) ** 2) // int(g["ng"]) for g in groups)
+    # mirrored double closing: 12/(N(N+1))·Σ(R2²/4)/n − 3(N+1)
+    h = 3.0 * float(s_h) / (float(n) * float(n + 1)) - 3.0 * float(n + 1)
+    nnn = n**3 - n
+    corr = 1.0 - float(t3t) / float(nnn) if nnn > 0 else None
+    h_corr = h / corr if corr is not None and corr > 0.0 else None
+    out = spark.createDataFrame(
+        [(n, k, h, h_corr)],
+        "n bigint, k bigint, h_stat double, h_tie_corrected double",
+    )
+    return out.select(
+        "n", "k", F.round("h_stat", 6).alias("h_stat"),
+        F.round("h_tie_corrected", 6).alias("h_tie_corrected"),
+    )
+
+
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED customer spend: first-era
+    (≤1997) vs second-era (≥1998) total order cents per customer — the
+    paired sibling of q_mannwhitney (which compares independent groups)
+    and the distribution-free sibling of q_ab_test.  "Did the same
+    customers spend more after the cutover?"
+
+    Exact core: nonzero paired differences d; the |d| value spine gets
+    doubled average ranks (2·preceding + ties + 1); W⁺ is the doubled
+    rank sum of positive d halved ONCE at the end.  The normal
+    approximation z uses the tie-corrected variance
+    n(n+1)(2n+1)/24 − Σ(t³−t)/48, all terms exact decimals cast to
+    double in one mirrored closing expression.
+
+    Scale: fact scan → per-customer pair aggregate (one shuffle on the
+    natural key) → |d| value-spine window (domain-bounded).  No driver
+    state at all — the closing is a 1-row reduction."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.select(
+            "o_custkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            (F.year("o_orderdate") <= 1997).alias("is_h1"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("is_h1"), F.col("cents")).otherwise(0)).alias("h1"),
+            F.sum(F.when(F.col("is_h1"), 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(~F.col("is_h1"), F.col("cents")).otherwise(0)).alias("h2"),
+            F.sum(F.when(~F.col("is_h1"), 1).otherwise(0)).alias("n2"),
+        )
+    )
+    diffs = (
+        per_cust.where((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select((F.col("h2") - F.col("h1")).alias("d"))
+        .where(F.col("d") != 0)
+    )
+    spine = diffs.groupBy(F.abs(F.col("d")).alias("ad")).agg(
+        F.sum((F.col("d") > 0).cast("bigint")).alias("cpos"),
+        F.sum((F.col("d") < 0).cast("bigint")).alias("cneg"),
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    tot = F.col("cpos") + F.col("cneg")
+    ranked = spine.select(
+        tot.alias("tot"),
+        "cpos",
+        (
+            2 * F.coalesce(F.sum(tot).over(w), F.lit(0)) + tot + 1
+        ).alias("r2"),
+    )
+    d12 = F.col("tot").cast("decimal(12,0)")
+    m = ranked.agg(
+        F.sum("tot").alias("n"),
+        F.sum(_d18("cpos") * _d18("r2")).alias("wpos2"),
+        F.sum(d12 * d12 * d12 - F.col("tot")).alias("t3t"),
+    )
+    nd = F.col("n").cast("decimal(12,0)")
+    # exact quadruple numerator 2·W⁺₂ − n(n+1); exact variance operands
+    num4 = 2 * F.col("wpos2") - nd * (nd + 1)
+    var24 = nd * (nd + 1) * (2 * nd + 1)
+    var = var24.cast("double") / F.lit(24.0) - F.col("t3t").cast(
+        "double"
+    ) / F.lit(48.0)
+    return m.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (F.col("wpos2").cast("double") / F.lit(2.0)).alias("w_plus"),
+        F.round(
+            F.when(
+                var > 0,
+                (num4.cast("double") / F.lit(4.0)) / F.sqrt(var),
+            ),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe homogeneity-of-variance test (Levene with median
+    centers) of order value across market segments — the gatekeeper
+    q_anova_f needs (ANOVA assumes equal group variances; this tests
+    that assumption robustly).
+
+    Exact core: per-segment MEDIANS come off the (segment, value) spine
+    by cumulative-count crossing (doubled median = lower + upper central
+    element — exact integers, NO per-group sort buffer and no
+    percentile driver state, unlike a naive ``percentile`` call that
+    buffers each group).  Median-centered deviations z = |2·cents − m2|
+    are exact integers per fact row; the closing one-way-ANOVA-on-z
+    statistic reuses q_anova_f's floor-scaled moment posture verbatim.
+
+    Scale: spine aggregate + per-segment window over the spine for the
+    medians; one more fact-side scan for the z moments (broadcast join
+    of the k-row median table).  Both exchanges are parallel; nothing
+    buffers a group in memory."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rows = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    vs = rows.groupBy("segment", "cents").agg(F.count(F.lit(1)).alias("c"))
+    totals = vs.groupBy("segment").agg(F.sum("c").alias("ng"))
+    wseg = (
+        Window.partitionBy("segment")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = vs.withColumn("cum", F.sum("c").over(wseg)).join(
+        F.broadcast(totals), "segment"
+    )
+    lo = F.expr("(ng + 1) div 2")
+    hi = F.expr("(ng + 2) div 2")
+    meds = cum.groupBy("segment").agg(
+        (
+            F.min(F.when(F.col("cum") >= lo, F.col("cents")))
+            + F.min(F.when(F.col("cum") >= hi, F.col("cents")))
+        ).alias("m2")
+    )
+    z = rows.join(F.broadcast(meds), "segment").select(
+        "segment", F.abs(2 * F.col("cents") - F.col("m2")).alias("z2")
+    )
+    groups = z.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("z2").alias("sg"),
+        F.sum(_d18("z2") * _d18("z2")).alias("qg"),
+    )
+    tot = groups.agg(
+        F.sum("ng").alias("n"), F.sum("sg").alias("s"), F.count(F.lit(1)).alias("k")
+    )
+    gmean = F.col("s").cast("double") / F.col("n").cast("double")
+    mean_g = F.col("sg").cast("double") / F.col("ng").cast("double")
+    scaled = groups.join(F.broadcast(tot)).select(
+        "n",
+        "k",
+        F.floor(
+            F.col("ng").cast("double")
+            * (mean_g - gmean)
+            * (mean_g - gmean)
+            / F.lit(100.0)
+        )
+        .cast("bigint")
+        .alias("ssb_s"),
+        F.floor(
+            (
+                F.col("qg").cast("double")
+                - F.col("sg").cast("double")
+                * F.col("sg").cast("double")
+                / F.col("ng").cast("double")
+            )
+            / F.lit(100.0)
+        )
+        .cast("bigint")
+        .alias("ssw_s"),
+    )
+    m = scaled.groupBy("n", "k").agg(
+        F.sum("ssb_s").alias("ssb"), F.sum("ssw_s").alias("ssw")
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        F.round(
+            (
+                F.col("ssb").cast("double")
+                / F.nullif((F.col("k") - 1).cast("double"), F.lit(0.0))
+            )
+            / F.nullif(
+                F.col("ssw").cast("double")
+                / F.nullif((F.col("n") - F.col("k")).cast("double"), F.lit(0.0)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("w_stat"),
+    )
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the corpus rank–frequency curve: OLS slope
+    of ln(freq) on ln(rank) over the top-100 words — the classic "is
+    this corpus natural language or machine junk?" diagnostic (natural
+    text slopes ≈ −1; templated/generated text is much flatter or
+    steeper).  Complements the per-document signals (q_repetition_stats,
+    q_lexical_rarity) with a corpus-level law.
+
+    Engine-exact despite ln: the top-100 (word, freq) table is BOUNDED,
+    so the fit finishes on the driver — each regression term is floored
+    to a scaled BIGINT (⌊ln(·)·1e6⌋; driver math.log == DuckDB ln, the
+    ml/nb.py libm argument), summed as exact Python integers
+    (order-independent), and closed by one mirrored double ratio.
+
+    Scale: one distributed word count, a top-k (TakeOrdered — no global
+    sort), a 100-row collect.  Nothing else touches the driver."""
+    from lexam_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(tokens("text")).alias("term")
+    ).where(F.col("term") != "")
+    top = (
+        words.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.desc("f"), F.asc("term"))
+        .limit(100)
+        .collect()
+    )
+    schema = "n_terms bigint, zipf_slope double, fit_r2 double"
+    if not top:
+        out = spark.createDataFrame([(0, None, None)], schema)
+        return out.select(
+            "n_terms",
+            F.round("zipf_slope", 6).alias("zipf_slope"),
+            F.round("fit_r2", 6).alias("fit_r2"),
+        )
+    ranked = sorted(((int(r["f"]), r["term"]) for r in top), key=lambda t: (-t[0], t[1]))
+    n = len(ranked)
+    sx = sy = sxy = sxx = syy = 0
+    for i, (f, _term) in enumerate(ranked):
+        x = math.floor(math.log(i + 1) * 1000000.0)
+        y = math.floor(math.log(f) * 1000000.0)
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+        syy += y * y
+    den = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    slope = float(num) / float(den) if den != 0 else None
+    r2 = (
+        float(num) * float(num) / (float(den) * float(deny))
+        if den != 0 and deny != 0
+        else None
+    )
+    out = spark.createDataFrame([(n, slope, r2)], schema)
+    return out.select(
+        "n_terms",
+        F.round("zipf_slope", 6).alias("zipf_slope"),
+        F.round("fit_r2", 6).alias("fit_r2"),
+    )
+
+
+def q_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class confusion report (support / tp / fp / fn, precision,
+    recall, F1) of the marker-voting language classifier against ground
+    truth — the multi-class evaluation every trained curation filter
+    ships with (q_judge_agreement reduces the same classifier to one
+    binary kappa; this keeps the full per-class picture).
+
+    Every metric is a SINGLE division of exact integer counts from ONE
+    bounded (truth, predicted) cell aggregate — no float summation, so
+    it is engine-exact with no libm anywhere.
+
+    Scale: one corpus scan → langs×(langs+1) cell table; everything
+    after runs on the bounded cells."""
+    from lexam_data_pipeline_spark.ml.textstats import q_lang_id
+
+    scored = (
+        q_lang_id(spark, sf_dir)
+        .where(F.col("lang").isNotNull())
+        .select("lang", "predicted_lang")
+    )
+    cells = scored.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    truth = cells.groupBy("lang").agg(
+        F.sum("c").alias("support"),
+        F.sum(
+            F.when(F.col("predicted_lang") == F.col("lang"), F.col("c")).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when(F.col("predicted_lang") != F.col("lang"), F.col("c")).otherwise(0)
+        ).alias("fn"),
+    )
+    pred_side = (
+        cells.where(F.col("predicted_lang") != F.col("lang"))
+        .groupBy("predicted_lang")
+        .agg(F.sum("c").alias("fp"))
+    )
+    rep = truth.join(
+        pred_side, truth["lang"] == pred_side["predicted_lang"], "left"
+    ).select(
+        F.col("lang").alias("class"),
+        "support",
+        "tp",
+        F.coalesce(F.col("fp"), F.lit(0)).alias("fp"),
+        "fn",
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return rep.select(
+        "class",
+        F.col("support").cast("bigint").alias("support"),
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        F.round(F.when(tp + fp > 0, tp / (tp + fp)), 6).alias("precision"),
+        F.round(F.when(tp + fn > 0, tp / (tp + fn)), 6).alias("recall"),
+        F.round(F.when(2 * tp + fp + fn > 0, 2 * tp / (2 * tp + fp + fn)), 6).alias(
+            "f1"
+        ),
+    ).orderBy("class")
+
+
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test: does the marker-voting language classifier
+    beat the majority-class baseline ON THE SAME documents?  The correct
+    test when two models are evaluated on one dataset (q_ab_test's
+    two-proportion z assumes independent samples and is wrong here);
+    only the DISAGREEMENT cells b (only classifier right) and c (only
+    baseline right) carry signal.
+
+    χ² = (b−c)²/(b+c) with Edwards' continuity-corrected twin — exact
+    integer counts, single final divisions, engine-exact.  The baseline
+    predicts the corpus-majority language (deterministic count-desc,
+    lang-asc tie-break), computed distributed and broadcast back.
+
+    Scale: one corpus scan for the mode, one for the pair flags; both
+    1-row/k-row reductions."""
+    from lexam_data_pipeline_spark.ml.textstats import q_lang_id
+
+    scored = (
+        q_lang_id(spark, sf_dir)
+        .where(F.col("lang").isNotNull())
+        .select("lang", "predicted_lang")
+    )
+    mode = (
+        scored.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("mc"))
+        .orderBy(F.desc("mc"), F.asc("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("mode_lang"))
+    )
+    flagged = scored.join(F.broadcast(mode)).select(
+        (F.col("predicted_lang") == F.col("lang")).alias("a_ok"),
+        (F.col("lang") == F.col("mode_lang")).alias("b_ok"),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("a_ok") & ~F.col("b_ok")).cast("bigint")).alias("b"),
+        F.sum((~F.col("a_ok") & F.col("b_ok")).cast("bigint")).alias("c"),
+    )
+    b, c = F.col("b"), F.col("c")
+    disc = (b - c).cast("double")
+    tot = (b + c).cast("double")
+    cc = (F.abs(b - c) - 1).cast("double")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        b.cast("bigint").alias("b_only_classifier"),
+        c.cast("bigint").alias("c_only_baseline"),
+        F.round(F.when(b + c > 0, disc * disc / tot), 6).alias("chi2_mcnemar"),
+        F.round(F.when(b + c > 0, cc * cc / tot), 6).alias("chi2_continuity"),
+    )
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding CENTROIDS
+    — the class-separation / drift monitor an embedding pipeline runs
+    after every re-embed (centroids collapsing toward each other = the
+    embedding stopped separating classes; a centroid moving between
+    snapshots = representation drift).
+
+    Engine-exact floats: components are quantized ⌊val·1e6⌋ BIGINT per
+    row FIRST, so the per-(label, dimension) sums are exact integers —
+    cross-engine float summation (order-dependent) never happens.
+    Cosine over the integer sum vectors equals cosine over the
+    (unnormalized) quantized centroids because the 1/n scale cancels;
+    dot and norm products use decimal(18,0) operands (exact under the
+    38-digit cap).
+
+    Scale: one scan → posexplode → (label, dim) sum — shuffle width
+    k·d rows, not corpus size; the pairwise join runs on that bounded
+    table.  The final divisions are mirrored doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("val").cast("double") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("qv"),
+    )
+    sums = comp.groupBy("label", "pos").agg(F.sum("qv").alias("s"))
+    norms = sums.groupBy("label").agg(
+        F.sum(_d18("s") * _d18("s")).alias("n2")
+    )
+    a = sums.select(
+        F.col("label").alias("label_a"), "pos", F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"), "pos", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, "pos")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(_d18("sa") * _d18("sb")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("n2").alias("n2b"))
+    out = dots.join(F.broadcast(na), "label_a").join(F.broadcast(nb), "label_b")
+    den = F.sqrt(F.col("n2a").cast("double")) * F.sqrt(
+        F.col("n2b").cast("double")
+    )
+    return out.select(
+        F.col("label_a").cast("int").alias("label_a"),
+        F.col("label_b").cast("int").alias("label_b"),
+        F.round(
+            F.when(den > 0, F.col("dot").cast("double") / den), 6
+        ).alias("centroid_cosine"),
+    ).orderBy("label_a", "label_b")

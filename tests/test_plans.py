@@ -724,3 +724,67 @@ def test_quartile_skew_percentiles_run_on_customer_rollup(spark, sf_small):
     plan = _plan(QUERIES["q_quartile_skewness"](spark, sf_small))
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+# ── round 7 ──────────────────────────────────────────────────────────
+
+
+def test_kruskal_returned_plan_is_driver_finished(spark, sf_small):
+    """Sufficient-statistic posture: the corpus contributed bounded
+    per-segment rank sums at build time; the returned plan is a local
+    projection (no parquet scan, no join)."""
+    plan = _plan(QUERIES["q_kruskal_wallis"](spark, sf_small))
+    assert plan.count("Scan parquet") == 0
+    assert "Join" not in plan
+
+
+def test_wilcoxon_runs_on_diff_value_spine(spark, sf_small):
+    """One fact scan → per-customer pair aggregate → |d| spine; the
+    ordered window runs on the spine and the closing is a 1-row
+    reduction.  No cartesian, no Python."""
+    plan = _plan(QUERIES["q_wilcoxon_signed_rank"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_brown_forsythe_medians_come_off_spine(spark, sf_small):
+    """Medians come from the (segment, value) spine by cum-count
+    crossing; the k-row median and total tables broadcast back.  No
+    percentile buffers, no cartesian, no Python."""
+    plan = _plan(QUERIES["q_brown_forsythe"](spark, sf_small))
+    assert "percentile" not in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Python" not in plan
+
+
+def test_zipf_returned_plan_is_driver_finished(spark, sf_small):
+    plan = _plan(QUERIES["q_zipf_fit"](spark, sf_small))
+    assert plan.count("Scan parquet") == 0
+    assert "Join" not in plan
+
+
+def test_confusion_report_is_cell_aggregate(spark, sf_small):
+    """One corpus scan feeds the bounded (truth, predicted) cell table;
+    everything downstream (truth/pred splits, the left join) runs on
+    cells.  No Python stage, no cartesian."""
+    plan = _plan(QUERIES["q_confusion_report"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_mcnemar_mode_broadcasts_back(spark, sf_small):
+    plan = _plan(QUERIES["q_mcnemar_test"](spark, sf_small))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_embedding_drift_joins_run_on_label_dim_sums(spark, sf_small):
+    """The pairwise join input is the (label, dim) integer-sum table
+    (k·d rows), never raw vectors; norm tables broadcast back.  No
+    Python — quantization is a JVM floor expression."""
+    plan = _plan(QUERIES["q_embedding_drift"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Python" not in plan

@@ -166,6 +166,14 @@ PROBES = [
     "q_mann_kendall",
     "q_abc_classification",
     "q_quartile_skewness",
+    # round 7 additions
+    "q_kruskal_wallis",
+    "q_wilcoxon_signed_rank",
+    "q_brown_forsythe",
+    "q_zipf_fit",
+    "q_confusion_report",
+    "q_mcnemar_test",
+    "q_embedding_drift",
 ]
 
 OFFSETS = {
