@@ -110,6 +110,78 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-sensitivity curve: for each Jaccard threshold
+    0.1 … 0.9, how many candidate pairs and how many distinct documents
+    would a near-dup pass at that threshold touch?  THE operational
+    question before any dedup rollout — the curve's knee picks the
+    production threshold; q_dedup_ngram_jaccard then runs at the chosen
+    point.
+
+    Exact core: "jaccard ≥ t/10" is decided by the integer
+    cross-multiplication 10·common ≥ t·(na+nb−common) — no float
+    comparison anywhere, so bucket membership is engine-exact.  Each
+    pair fans out only to the thresholds it qualifies for
+    (``sequence(1, tmax)`` — ≤ 9 rows per pair).
+
+    Scale: identical candidate pipeline (df-capped inverted index) and
+    shuffle budget as q_dedup_ngram_jaccard; the sweep adds one ≤9×
+    fan-out of the (already reduced) pair table, then two bounded
+    (≤9-row) aggregates."""
+    from pyspark.sql import Window
+
+    max_df = 50
+    docs = load_table(spark, sf_dir, "documents")
+    ex = (
+        _doc_shingles(docs)
+        .withColumn("df", F.count("*").over(Window.partitionBy("s")))
+        .filter(F.col("df") <= max_df)
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+        .select("doc_id", "s", "n_sh")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    union_sz = F.col("na") + F.col("nb") - F.col("common")
+    tmax = F.least(F.lit(9), F.expr("(10 * common) div (na + nb - common)"))
+    qual = (
+        pairs.withColumn("tmax", tmax)
+        .where(F.col("tmax") >= 1)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.col("tmax"))).alias("t10"),
+            "doc_id_a",
+            "doc_id_b",
+        )
+    )
+    n_pairs = qual.groupBy("t10").agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_docs = (
+        qual.select(
+            "t10", F.explode(F.array("doc_id_a", "doc_id_b")).alias("d")
+        )
+        .groupBy("t10")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    return (
+        n_pairs.join(n_docs, "t10")
+        .select(
+            F.col("t10").cast("int").alias("t10"),
+            (F.col("t10") / F.lit(10.0)).alias("threshold"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("t10")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 16
 ) -> DataFrame:

@@ -18,6 +18,7 @@ from lexam_data_pipeline_spark.ml.dedup import (
     q_dedup_exact,
     q_dedup_keep_best,
     q_dedup_ngram_jaccard,
+    q_dedup_threshold_sweep,
     q_dedup_segments,
     q_minhash_lsh_pairs,
     q_simhash_buckets,
@@ -82,6 +83,7 @@ ML_QUERIES = {
     "q_dedup_embedding": q_dedup_embedding,
     "q_dedup_embedding_blocked": q_dedup_embedding_blocked,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_threshold_sweep": q_dedup_threshold_sweep,
     "q_containment_dedup": q_containment_dedup,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash_buckets": q_simhash_buckets,
@@ -262,6 +264,49 @@ ML_ORACLES: dict[str, str] = {
                round(common / (na + nb - common), 4) AS jaccard
         FROM pairs
         WHERE common / (na + nb - common) >= 0.5
+    """,
+    "q_dedup_threshold_sweep": f"""
+        WITH sh AS ({_SHINGLES}),
+        ex_all AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ),
+        rare AS (
+            SELECT s FROM ex_all GROUP BY s HAVING count(*) <= 50
+        ),
+        ex_rare AS (
+            SELECT doc_id, ex_all.s AS s FROM ex_all JOIN rare USING (s)
+        ),
+        ex AS (
+            SELECT doc_id, s,
+                   count(*) OVER (PARTITION BY doc_id) AS n_sh
+            FROM ex_rare
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        ),
+        qual AS (
+            SELECT unnest(generate_series(1,
+                       least(9, (10 * common) // (na + nb - common)))) AS t10,
+                   doc_id_a, doc_id_b
+            FROM pairs
+            WHERE (10 * common) // (na + nb - common) >= 1
+        ),
+        np AS (SELECT t10, count(*) AS n_pairs FROM qual GROUP BY t10),
+        nd AS (
+            SELECT t10, count(DISTINCT d) AS n_docs
+            FROM (SELECT t10, doc_id_a AS d FROM qual
+                  UNION ALL SELECT t10, doc_id_b FROM qual)
+            GROUP BY t10
+        )
+        SELECT CAST(np.t10 AS INT) AS t10,
+               np.t10 / 10.0 AS threshold,
+               CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(n_docs AS BIGINT) AS n_docs
+        FROM np JOIN nd ON np.t10 = nd.t10
+        ORDER BY t10
     """,
     "q_knn_batch": """
         WITH q AS (

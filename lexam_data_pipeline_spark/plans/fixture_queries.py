@@ -7412,3 +7412,221 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(den > 0, F.col("dot").cast("double") / den), 6
         ).alias("centroid_cosine"),
     ).orderBy("label_a", "label_b")
+
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: per-source (tokens N,
+    distinct vocabulary V) points, OLS of ln V on ln N → the Heaps
+    exponent β (natural corpora: β ≈ 0.4–0.6; templated/duplicated
+    corpora much lower).  The corpus-growth sibling of q_zipf_fit's
+    rank–frequency law — together they are the two classic "is this
+    corpus natural?" power laws.
+
+    Same engine-exact posture as q_zipf_fit: the per-source point table
+    is bounded (|sources|), so the fit finishes on the driver with
+    ⌊ln(·)·1e6⌋ BIGINT terms (driver math.log == DuckDB ln) summed as
+    exact Python integers, closed by mirrored double ratios.
+
+    Scale: one tokenize scan → per-source (count, count distinct)
+    aggregate; sources with zero tokens simply contribute no point (both
+    engines).  The collect is |sources| rows."""
+    from lexam_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pts = collect_bounded(
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("term").alias("v"),
+        ),
+        _MAX_CELL_ROWS,
+        "q_heaps_law per-source vocabulary points",
+    )
+    schema = "n_sources bigint, heaps_beta double, fit_r2 double"
+    if not pts:
+        out = spark.createDataFrame([(0, None, None)], schema)
+        return out.select(
+            "n_sources",
+            F.round("heaps_beta", 6).alias("heaps_beta"),
+            F.round("fit_r2", 6).alias("fit_r2"),
+        )
+    n = len(pts)
+    sx = sy = sxy = sxx = syy = 0
+    for r in pts:
+        x = math.floor(math.log(r["n_tokens"]) * 1000000.0)
+        y = math.floor(math.log(r["v"]) * 1000000.0)
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+        syy += y * y
+    den = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    beta = float(num) / float(den) if den != 0 else None
+    r2 = (
+        float(num) * float(num) / (float(den) * float(deny))
+        if den != 0 and deny != 0
+        else None
+    )
+    out = spark.createDataFrame([(n, beta, r2)], schema)
+    return out.select(
+        "n_sources",
+        F.round("heaps_beta", 6).alias("heaps_beta"),
+        F.round("fit_r2", 6).alias("fit_r2"),
+    )
+
+
+def q_cochrans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across THREE classifiers evaluated on the same
+    documents — do the marker-voting lang-id, the global-majority
+    baseline, and the per-source-majority baseline have the same error
+    rate?  The k-classifier generalization of q_mcnemar_test (k = 2),
+    and the gate before pairwise McNemar post-hocs.
+
+    Exact core: per-document success indicators are 0/1; Q =
+    (k−1)(k·ΣC²ⱼ − (ΣCⱼ)²) / (k·ΣRᵢ − ΣR²ᵢ) needs only the three
+    per-classifier success totals and Σ of squared per-document row
+    sums — ONE aggregate over the flag scan, every term an exact
+    integer (decimal-squared for 100 TB counts), one closing division.
+
+    Scale: one corpus scan for the source-prior mode table (k-row,
+    broadcast back), one for the flags; the closing is a 1-row
+    reduction."""
+    from lexam_data_pipeline_spark.ml.textstats import q_lang_id
+
+    scored = (
+        q_lang_id(spark, sf_dir)
+        .where(F.col("lang").isNotNull())
+        .select("doc_id", "lang", "predicted_lang")
+    )
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull()
+    )
+    base = scored.join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    mode = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("mc"))
+        .orderBy(F.desc("mc"), F.asc("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("mode_lang"))
+    )
+    wsrc = Window.partitionBy("source").orderBy(F.desc("sc"), F.asc("lang"))
+    src_mode = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("sc"))
+        .withColumn("rn", F.row_number().over(wsrc))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("source_prior"))
+    )
+    flags = (
+        base.join(F.broadcast(mode))
+        .join(F.broadcast(src_mode), "source")
+        .select(
+            (F.col("predicted_lang") == F.col("lang")).cast("bigint").alias("xa"),
+            (F.col("mode_lang") == F.col("lang")).cast("bigint").alias("xb"),
+            (F.col("source_prior") == F.col("lang")).cast("bigint").alias("xc"),
+        )
+    )
+    ri = F.col("xa") + F.col("xb") + F.col("xc")
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").alias("ca"),
+        F.sum("xb").alias("cb"),
+        F.sum("xc").alias("cc"),
+        F.sum(ri).alias("sr"),
+        F.sum(ri * ri).alias("sr2"),
+    )
+    d = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    num = 2 * (
+        3 * (d("ca") * d("ca") + d("cb") * d("cb") + d("cc") * d("cc"))
+        - d("sr") * d("sr")
+    )
+    den = (3 * F.col("sr") - F.col("sr2")).cast("double")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("ca").cast("bigint").alias("c_langid"),
+        F.col("cb").cast("bigint").alias("c_majority"),
+        F.col("cc").cast("bigint").alias("c_source_prior"),
+        F.round(
+            F.when(den > 0, num.cast("double") / den), 6
+        ).alias("q_stat"),
+    )
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier audit: how many vectors sit more than
+    2× the label's mean squared centroid distance from their OWN label
+    centroid?  The standard mislabel / contamination detector an
+    embedding pipeline runs before training on labeled vectors
+    (q_embedding_drift watches BETWEEN-label geometry; this watches
+    WITHIN-label cohesion).
+
+    Engine-exact with zero float summation: quantized components
+    ⌊val·1e6⌋ make the centroid sums S exact integers, the per-row
+    scaled squared distance Σ_d (n·q_d − S_d)² an exact decimal (the
+    1/n centroid scale is cleared by cross-multiplication), and the
+    2×-mean flag the exact integer comparison n_label·dist² >
+    4·Σdist².  Only the reported share divides.
+
+    Scale: posexplode → (label,dim) sums (k·d rows) broadcast back to
+    one component scan; per-row distances reduce in the same pass.
+    Decimal(38) headroom note: n·q_d ≤ 1e18 keeps every product exact
+    through ~1e11 rows/label; past that, drop the quantization scale —
+    the probe owns the ceiling (SCALE.md)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.floor(F.col("val").cast("double") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("qv"),
+    )
+    sums = comp.groupBy("label", "pos").agg(
+        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("nl")
+    )
+    term = _d18("nl") * _d18("qv") - _d18("s")
+    dists = (
+        comp.join(F.broadcast(sums), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(term * term).alias("d2"))
+    )
+    per_label = dists.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.sum("d2").alias("tot")
+    )
+    scaled_d2 = F.col("d2") * F.col("n_vecs").cast("decimal(12,0)")
+    flagged = dists.join(F.broadcast(per_label), "label").select(
+        "label",
+        "n_vecs",
+        "tot",
+        (scaled_d2 > 4 * F.col("tot")).cast("bigint").alias("is_out"),
+        scaled_d2.alias("sd2"),
+    )
+    return (
+        flagged.groupBy("label", "n_vecs", "tot")
+        .agg(F.sum("is_out").alias("n_outliers"), F.max("sd2").alias("max_sd2"))
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.col("n_outliers").cast("bigint").alias("n_outliers"),
+            F.round(F.col("n_outliers") / F.col("n_vecs"), 6).alias(
+                "outlier_share"
+            ),
+            # worst vector's distance² as a multiple of the label mean —
+            # the discriminating signal even when no vector trips 2×
+            # (exact ints until this one mirrored division)
+            F.round(
+                F.col("max_sd2").cast("double")
+                / F.nullif(F.col("tot").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("max_ratio"),
+        )
+        .orderBy("label")
+    )

@@ -4051,3 +4051,125 @@ CORE_ORACLES["q_embedding_drift"] = """
     JOIN norms nb ON nb.label = dots.label_b
     ORDER BY label_a, label_b
 """
+
+CORE_ORACLES["q_heaps_law"] = """
+    WITH words AS (
+        SELECT source, t.term FROM (
+            SELECT source,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents
+        ) t WHERE t.term <> ''
+    ),
+    pts AS (
+        SELECT source, count(*) AS n_tokens, count(DISTINCT term) AS v
+        FROM words GROUP BY source
+    ),
+    terms AS (
+        SELECT CAST(floor(ln(n_tokens) * 1000000.0) AS BIGINT) AS x,
+               CAST(floor(ln(v) * 1000000.0) AS BIGINT) AS y
+        FROM pts
+    ),
+    s AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM terms
+    ),
+    closing AS (
+        SELECT n,
+               CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+               CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+               CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny
+        FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_sources,
+           round(CASE WHEN den <> 0
+                 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END, 6)
+               AS heaps_beta,
+           round(CASE WHEN den <> 0 AND deny <> 0
+                 THEN CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                      / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) END, 6)
+               AS fit_r2
+    FROM closing
+"""
+
+CORE_ORACLES["q_cochrans_q"] = f"""
+    WITH {_LANG_ID_CTE.replace("SELECT lang,", "SELECT doc_id, lang,")},
+    base AS (
+        SELECT p.doc_id, p.lang, p.predicted_lang, d.source
+        FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+    ),
+    mode_l AS (
+        SELECT lang AS mode_lang FROM base
+        GROUP BY lang ORDER BY count(*) DESC, lang ASC LIMIT 1
+    ),
+    src_mode AS (
+        SELECT source, lang AS source_prior FROM (
+            SELECT source, lang,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY count(*) DESC, lang ASC) AS rn
+            FROM base GROUP BY source, lang
+        ) WHERE rn = 1
+    ),
+    flags AS (
+        SELECT CASE WHEN b.predicted_lang = b.lang THEN 1 ELSE 0 END AS xa,
+               CASE WHEN m.mode_lang = b.lang THEN 1 ELSE 0 END AS xb,
+               CASE WHEN s.source_prior = b.lang THEN 1 ELSE 0 END AS xc
+        FROM base b CROSS JOIN mode_l m JOIN src_mode s USING (source)
+    ),
+    agg AS (
+        SELECT count(*) AS n, sum(xa) AS ca, sum(xb) AS cb, sum(xc) AS cc,
+               sum(xa + xb + xc) AS sr,
+               sum((xa + xb + xc) * (xa + xb + xc)) AS sr2
+        FROM flags
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(ca AS BIGINT) AS c_langid,
+           CAST(cb AS BIGINT) AS c_majority,
+           CAST(cc AS BIGINT) AS c_source_prior,
+           round(CASE WHEN 3 * sr - sr2 > 0
+                 THEN CAST(2 * (3 * (CAST(ca AS HUGEINT) * ca
+                                     + CAST(cb AS HUGEINT) * cb
+                                     + CAST(cc AS HUGEINT) * cc)
+                                - CAST(sr AS HUGEINT) * sr) AS DOUBLE)
+                      / CAST(3 * sr - sr2 AS DOUBLE) END, 6) AS q_stat
+    FROM agg
+"""
+
+CORE_ORACLES["q_embedding_outliers"] = """
+    WITH comp AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS qv
+        FROM embeddings
+    ),
+    sums AS (
+        SELECT label, pos, sum(qv) AS s, count(*) AS nl
+        FROM comp GROUP BY label, pos
+    ),
+    dists AS (
+        SELECT c.vec_id, c.label,
+               sum((CAST(m.nl AS HUGEINT) * c.qv - m.s)
+                   * (CAST(m.nl AS HUGEINT) * c.qv - m.s)) AS d2
+        FROM comp c JOIN sums m ON c.label = m.label AND c.pos = m.pos
+        GROUP BY c.vec_id, c.label
+    ),
+    per_label AS (
+        SELECT label, count(*) AS n_vecs, sum(d2) AS tot
+        FROM dists GROUP BY label
+    )
+    SELECT CAST(d.label AS INT) AS label,
+           CAST(p.n_vecs AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN d.d2 * p.n_vecs > 4 * p.tot
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(CAST(sum(CASE WHEN d.d2 * p.n_vecs > 4 * p.tot
+                              THEN 1 ELSE 0 END) AS DOUBLE) / p.n_vecs, 6)
+               AS outlier_share,
+           round(CAST(max(d.d2 * p.n_vecs) AS DOUBLE)
+                 / nullif(CAST(p.tot AS DOUBLE), 0.0), 6) AS max_ratio
+    FROM dists d JOIN per_label p ON d.label = p.label
+    GROUP BY d.label, p.n_vecs, p.tot
+    ORDER BY label
+"""
