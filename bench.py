@@ -225,6 +225,26 @@ def main() -> None:
         "q_mann_kendall",
         "q_abc_classification",
         "q_quartile_skewness",
+        "q_kruskal_wallis",
+        "q_wilcoxon_signed_rank",
+        "q_brown_forsythe",
+        "q_zipf_fit",
+        "q_confusion_report",
+        "q_mcnemar_test",
+        "q_embedding_drift",
+        "q_heaps_law",
+        "q_cochrans_q",
+        "q_embedding_outliers",
+        "q_dedup_threshold_sweep",
+        "q_welch_ttest",
+        "q_cliffs_delta",
+        "q_hellinger_distance",
+        "q_friedman_test",
+        "q_fleiss_kappa",
+        "q_silhouette_labels",
+        "q_davies_bouldin",
+        "q_mrr_eval",
+        "q_readability",
     ):
         if extra in queries and extra not in names:
             names.append(extra)

@@ -7630,3 +7630,566 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the BUILDING and
+    MACHINERY order-value distributions — the parametric sibling of
+    q_mannwhitney on the same two-sample spine (reference experiment
+    comparisons stop at accuracy deltas; this is the significance test a
+    curation A/B needs when the metric is a mean).
+
+    Exact core: the three moments per group (n, Σx, Σx²) accumulate as
+    exact decimals (operands cast to decimal(12,0) BEFORE the triple
+    product — c·cents² reaches ~3.6e28 at 100 TB row counts, far past
+    BIGINT, still inside decimal(38)).  Means, variances, t, and the
+    Welch–Satterthwaite df are one mirrored block of double expressions.
+
+    Scale: same posture as q_mannwhitney — one fact scan, value-level
+    spine, 1-row reduction.  No window needed at all."""
+    spine = _two_sample_value_spine(spark, sf_dir)
+    d12 = lambda c: F.col(c).cast("decimal(12,0)")  # noqa: E731
+    dx = F.col("cents").cast("decimal(12,0)")
+    m = spine.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(d12("c1") * dx).alias("s1"),
+        F.sum(d12("c2") * dx).alias("s2"),
+        F.sum(d12("c1") * dx * dx).alias("ss1"),
+        F.sum(d12("c2") * dx * dx).alias("ss2"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    ss1, ss2 = F.col("ss1").cast("double"), F.col("ss2").cast("double")
+    m1, m2 = s1 / n1, s2 / n2
+    v1 = (ss1 - s1 * s1 / n1) / (n1 - 1.0)
+    v2 = (ss2 - s2 * s2 / n2) / (n2 - 1.0)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (v1 / n1) * (v1 / n1) / (n1 - 1.0) + (v2 / n2) * (v2 / n2) / (n2 - 1.0)
+    )
+    ok = (F.col("n1") > 1) & (F.col("n2") > 1)
+    return m.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(m1 / 100.0, 4).alias("mean_a"),
+        F.round(m2 / 100.0, 4).alias("mean_b"),
+        F.round(F.when(ok & (se2 > 0), t), 6).alias("t_stat"),
+        F.round(F.when(ok & (se2 > 0), df), 4).alias("df_welch"),
+    )
+
+
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size between the same two segments:
+    δ = (#(x>y) − #(x<y)) / (n1·n2) — the assumption-free effect size
+    reported alongside q_mannwhitney's U (δ = 2·AUC − 1 only when there
+    are no ties; this computes the tie-aware value directly).
+
+    Exact core: on the value spine ordered by cents, Σ c1·cum2(<) counts
+    the greater pairs and n1·n2 − Σ c1·cum2(≤) the lesser pairs, all in
+    exact decimals (c1·cum2 reaches ~1e26 at 100 TB pooled counts).
+    One running-sum window over the spine, one 1-row reduction, one
+    closing division."""
+    spine = _two_sample_value_spine(spark, sf_dir)
+    we = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    wi = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = spine.select(
+        "c1",
+        F.coalesce(F.sum("c2").over(we), F.lit(0)).alias("cum2e"),
+        F.sum("c2").over(wi).alias("cum2i"),
+    )
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    m = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(d18("c1") * d18("cum2e")).alias("se"),
+        F.sum(d18("c1") * d18("cum2i")).alias("si"),
+    )
+    totals = _two_sample_value_spine(spark, sf_dir).agg(
+        F.sum("c2").alias("n2")
+    )
+    # gt − lt = se − (n1·n2 − si) = se + si − n1·n2, all exact decimal
+    joined = m.join(F.broadcast(totals))
+    num = (
+        F.col("se")
+        + F.col("si")
+        - F.col("n1").cast("decimal(18,0)") * F.col("n2").cast("decimal(18,0)")
+    )
+    n1n2 = F.col("n1").cast("double") * F.col("n2").cast("double")
+    return joined.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(
+            num.cast("double") / F.nullif(n1n2, F.lit(0.0)), 6
+        ).alias("cliffs_delta"),
+    )
+
+
+def q_hellinger_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance between the two segments' order-value
+    HISTOGRAMS ($5,000 buckets) — the bounded [0,1] distribution-shift
+    score used to compare data sources before mixing (the metric
+    sibling of q_js_divergence: Hellinger is a true metric, JSD is not).
+
+    Exact core: per-bucket Bhattacharyya terms are ⌊√(c1·c2)·1e3⌋
+    BIGINTs (the product is an exact decimal first; IEEE sqrt is
+    correctly rounded, so the floor is engine-exact) — integer sums are
+    order-independent; BC and H close in two mirrored double ops.
+
+    Scale: one fact scan → bucket table bounded by the value domain
+    (cents div 500000); everything after is bucket-bounded."""
+    spine = _two_sample_value_spine(spark, sf_dir)
+    buckets = (
+        spine.groupBy(F.expr("cents div 500000").alias("bucket"))
+        .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
+    )
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    bcq = F.floor(
+        F.sqrt((d18("c1") * d18("c2")).cast("double")) * F.lit(1000.0)
+    )
+    m = buckets.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(bcq).alias("bcq"),
+    )
+    bc = (
+        F.col("bcq").cast("double")
+        / 1000.0
+        / F.sqrt(F.col("n1").cast("double") * F.col("n2").cast("double"))
+    )
+    return m.select(
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        F.round(bc, 6).alias("bhattacharyya"),
+        F.round(F.sqrt(F.greatest(F.lit(0.0), 1.0 - bc)), 6).alias(
+            "hellinger"
+        ),
+    )
+
+
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test: do the five market segments keep the same
+    revenue ORDERING month after month?  Blocks = months with all k
+    segments present, treatments = segments, ranked within each block —
+    the k-sample repeated-measures sibling of q_kruskal_wallis (which
+    ignores blocking) and the rank analogue of q_cochrans_q (which needs
+    binary outcomes).
+
+    Exact core: within each month the doubled average rank of a cell is
+    2p + c + 1 from two RANGE-frame window counts over the k-row block
+    (p = strictly-smaller cells, c = tie-group size) — exact integers
+    under ties.  Q = 3·ΣR2ⱼ²/(n·k·(k+1)) − 3·n·(k+1) closes from the
+    k-row doubled-rank-sum table (ΣR2² as exact decimal).
+
+    Scale: one fact scan → (month × segment) cell table (calendar- and
+    domain-bounded); all windows and joins run on cells."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cells = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+            ).alias("month"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    k_w = Window.partitionBy("month")
+    full = cells.withColumn("k_in_block", F.count(F.lit(1)).over(k_w))
+    kcount = full.agg(F.max("k_in_block").alias("k")).collect()[0]["k"]
+    blocks = full.where(F.col("k_in_block") == F.lit(kcount))
+    wp = (
+        Window.partitionBy("month")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wc = Window.partitionBy("month").orderBy("cents").rangeBetween(0, 0)
+    ranked = blocks.select(
+        "month",
+        "seg",
+        (
+            2 * F.coalesce(F.count(F.lit(1)).over(wp), F.lit(0))
+            + F.count(F.lit(1)).over(wc)
+            + 1
+        ).alias("r2"),
+    )
+    per_seg = ranked.groupBy("seg").agg(
+        F.sum("r2").alias("r2j"), F.count(F.lit(1)).alias("n_blocks")
+    )
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    m = per_seg.agg(
+        F.max("n_blocks").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(d18("r2j") * d18("r2j")).alias("sr2"),
+    )
+    n, k = F.col("n").cast("double"), F.col("k").cast("double")
+    q = 3.0 * F.col("sr2").cast("double") / (n * k * (k + 1.0)) - 3.0 * n * (
+        k + 1.0
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_blocks"),
+        F.col("k").cast("bigint").alias("k"),
+        F.round(F.when((F.col("n") > 0) & (F.col("k") > 1), q), 6).alias(
+            "q_stat"
+        ),
+    )
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across the THREE language raters of q_cochrans_q
+    (marker-voting lang-id, global-majority, per-source-majority), over
+    the full language category set — the multi-rater generalization of
+    q_judge_agreement's Cohen kappa (2 raters, binary) and the
+    agreement-strength companion to q_cochrans_q (which only tests
+    equality of error rates).
+
+    Exact core: with k=3 ratings per item, κ = [3N(S₂−3N) − 2ΣC²] /
+    [2(9N² − ΣC²)] where S₂ = ΣᵢΣ꜀ n²ᵢ꜀ and C꜀ are category totals —
+    every term an exact decimal (N² passes BIGINT at ~3e9 items), one
+    closing division.
+
+    Scale: the rating table is 3 rows per document (explode of a 3-array
+    — no extra scan); n₍ᵢ꜀₎ aggregates by (doc, category), C꜀ by
+    category (bounded cells)."""
+    from lexam_data_pipeline_spark.ml.textstats import q_lang_id
+
+    scored = (
+        q_lang_id(spark, sf_dir)
+        .where(F.col("lang").isNotNull())
+        .select("doc_id", "lang", "predicted_lang")
+    )
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull()
+    )
+    base = scored.join(docs.select("doc_id", "source"), "doc_id")
+    mode = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("mc"))
+        .orderBy(F.desc("mc"), F.asc("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("mode_lang"))
+    )
+    wsrc = Window.partitionBy("source").orderBy(F.desc("sc"), F.asc("lang"))
+    src_mode = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("sc"))
+        .withColumn("rn", F.row_number().over(wsrc))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("source_prior"))
+    )
+    ratings = (
+        base.join(F.broadcast(mode))
+        .join(F.broadcast(src_mode), "source")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array("predicted_lang", "mode_lang", "source_prior")
+            ).alias("cat"),
+        )
+    )
+    nic = ratings.groupBy("doc_id", "cat").agg(F.count(F.lit(1)).alias("nic"))
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    item = nic.agg(
+        F.countDistinct("doc_id").alias("n_items"),
+        F.sum(d18("nic") * d18("nic")).alias("s2"),
+    )
+    cc = nic.groupBy("cat").agg(F.sum("nic").alias("c"))
+    cat = cc.agg(F.sum(d18("c") * d18("c")).alias("sc2"))
+    m = item.join(F.broadcast(cat))
+    dn = F.col("n_items").cast("decimal(18,0)")
+    num = 3 * dn * (F.col("s2") - 3 * dn) - 2 * F.col("sc2")
+    den = 2 * (9 * dn * dn - F.col("sc2"))
+    p_bar = (F.col("s2") - 3 * dn).cast("double") / (
+        6.0 * F.col("n_items").cast("double")
+    )
+    p_e = F.col("sc2").cast("double") / (
+        9.0 * F.col("n_items").cast("double") * F.col("n_items").cast("double")
+    )
+    return m.select(
+        F.col("n_items").cast("bigint").alias("n_items"),
+        F.lit(3).cast("int").alias("k_raters"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round(
+            F.when(
+                den.cast("double") != 0.0, num.cast("double") / den.cast("double")
+            ),
+            6,
+        ).alias("fleiss_kappa"),
+    )
+
+
+def q_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per embedding label:
+    s = (b − a)/max(a, b) with a = distance to the OWN label centroid
+    and b = the nearest OTHER centroid — the O(n·k) clustering-quality
+    audit (full silhouette is O(n²) — wrong at 100 TB by construction).
+    Completes the embedding-geometry trio: q_embedding_drift (between-
+    label), q_embedding_outliers (within-label), silhouette (both).
+
+    Engine-exact: distances to label l clear the 1/nₗ centroid scale by
+    the (nₗ·q − Sₗ)² cross-multiplication (exact decimal), then
+    D = √d2/nₗ — IEEE sqrt is correctly rounded, so D, the per-vector
+    score, and its ⌊s·1e6⌋ quantization are bit-identical across
+    engines; per-label sums are integer-exact in any order.  The common
+    1e6 component-quantization scale cancels inside s.
+
+    Scale: the (label,dim) sum table (k·d rows) broadcasts back onto the
+    component scan with a k-way fan-out — the declared cost of
+    simplified silhouette (n·k·d work, no shuffle growth)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.where(F.col("label").isNotNull()).select(
+        "vec_id",
+        F.col("label").alias("own_label"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "vec_id",
+        "own_label",
+        "pos",
+        F.floor(F.col("val").cast("double") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("qv"),
+    )
+    sums = (
+        comp
+        .groupBy(F.col("own_label").alias("c_label"), "pos")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("nl"))
+    )
+    term = _d18("nl") * _d18("qv") - _d18("s")
+    d2 = (
+        comp.join(F.broadcast(sums), "pos")
+        .groupBy("vec_id", "own_label", "c_label")
+        .agg(F.sum(term * term).alias("d2"), F.max("nl").alias("nl"))
+    )
+    dist = F.sqrt(F.col("d2").cast("double")) / F.col("nl").cast("double")
+    per_vec = d2.groupBy("vec_id", "own_label").agg(
+        F.max(F.when(F.col("c_label") == F.col("own_label"), dist)).alias("a"),
+        F.min(F.when(F.col("c_label") != F.col("own_label"), dist)).alias("b"),
+    )
+    s = F.when(
+        F.col("b").isNotNull() & (F.greatest("a", "b") > 0.0),
+        (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+    ).otherwise(F.lit(0.0))
+    scored = per_vec.select(
+        "own_label", F.floor(s * F.lit(1000000.0)).cast("bigint").alias("sq")
+    )
+    return (
+        scored.groupBy("own_label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("sq").alias("ssq"))
+        .select(
+            F.col("own_label").cast("int").alias("label"),
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.round(
+                F.col("ssq").cast("double")
+                / (F.col("n_vecs").cast("double") * 1000000.0),
+                6,
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin index over the embedding labels: DB = mean over
+    clusters of max_{j≠i} (σᵢ + σⱼ)/d(cᵢ,cⱼ) — the single-number
+    clustering-validity score (lower = tighter, better separated),
+    closing the audit set next to q_silhouette_labels (per-cluster) and
+    q_embedding_drift (pairwise geometry).
+
+    Engine-exact: per-vector √d2 quantizes to BIGINT before the scatter
+    sums (σᵢ = ΣQᵢ/nᵢ²·1e6); centroid separations clear both 1/n scales
+    by the (nⱼ·Sᵢ − nᵢ·Sⱼ)² cross-multiplication; the shared 1e6 scale
+    cancels inside Rᵢⱼ, which quantizes again before the k-row max/mean
+    so no float sum ever depends on order.
+
+    Scale: scatter is the same component-scan reduce as
+    q_embedding_outliers; separations live on the (label,dim) sum table
+    (k²·d bounded pair join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.where(F.col("label").isNotNull()).select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.floor(F.col("val").cast("double") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("qv"),
+    )
+    sums = comp.groupBy("label", "pos").agg(
+        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("nl")
+    )
+    term = _d18("nl") * _d18("qv") - _d18("s")
+    d2 = (
+        comp.join(F.broadcast(sums), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(term * term).alias("d2"))
+    )
+    scatter = d2.select(
+        "label", F.floor(F.sqrt(F.col("d2").cast("double"))).alias("qs")
+    ).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("qs").alias("q")
+    )
+    a = sums.select(
+        F.col("label").alias("la"), "pos", F.col("s").alias("sa"),
+        F.col("nl").alias("na"),
+    )
+    b = sums.select(
+        F.col("label").alias("lb"), "pos", F.col("s").alias("sb"),
+        F.col("nl").alias("nb"),
+    )
+    sep_term = _d18("nb") * F.col("sa").cast("decimal(18,0)") - _d18(
+        "na"
+    ) * F.col("sb").cast("decimal(18,0)")
+    seps = (
+        a.join(b, "pos")
+        .where(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(sep_term * sep_term).alias("m"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+    )
+    sa = scatter.select(
+        F.col("label").alias("la"), F.col("n").alias("n_a"), F.col("q").alias("q_a")
+    )
+    sb = scatter.select(
+        F.col("label").alias("lb"), F.col("n").alias("n_b"), F.col("q").alias("q_b")
+    )
+    paired = seps.join(F.broadcast(sa), "la").join(F.broadcast(sb), "lb")
+    sig_a = F.col("q_a").cast("double") / (
+        F.col("n_a").cast("double") * F.col("n_a").cast("double")
+    )
+    sig_b = F.col("q_b").cast("double") / (
+        F.col("n_b").cast("double") * F.col("n_b").cast("double")
+    )
+    r = (
+        (sig_a + sig_b)
+        * F.col("na").cast("double")
+        * F.col("nb").cast("double")
+        / F.sqrt(F.col("m").cast("double"))
+    )
+    rq = paired.select(
+        "la", F.floor(r * F.lit(1000000.0)).cast("bigint").alias("rq")
+    )
+    per_label = rq.groupBy("la").agg(F.max("rq").alias("max_rq"))
+    m = per_label.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("max_rq").alias("srq")
+    )
+    return m.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.round(
+            F.col("srq").cast("double")
+            / (F.col("k").cast("double") * 1000000.0),
+            6,
+        ).alias("db_index"),
+    )
+
+
+def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 per nation for the q_ndcg_eval ranking (top customers by
+    account balance): reciprocal rank of the first customer who placed
+    an URGENT-priority order — the first-hit retrieval metric reported
+    next to NDCG (which grades the whole list).
+
+    Exact: ranks are integers; 1/rank is one exact double division per
+    nation (rank ≤ 10 — all reciprocals exact in binary? no — but both
+    engines perform the identical single division).  Nations with no
+    relevant customer in the top 10 score 0 by convention.
+
+    Scale: the K·|nations| top-K table broadcasts INTO the one fact
+    scan (orders filtered to URGENT), so relevance never materializes a
+    per-customer table; the rollup is |nations| rows."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    topk = (
+        customer.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= NDCG_K)
+        .select("c_nationkey", "c_custkey", "rank")
+    )
+    hits = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .join(F.broadcast(topk), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(F.min("rank").alias("first_rank"))
+    )
+    return (
+        nation.join(
+            hits, nation.n_nationkey == hits.c_nationkey, "left"
+        )
+        .select(
+            "n_name",
+            F.col("first_rank").cast("int").alias("first_rank"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.col("first_rank").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("reciprocal_rank"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source with a deterministic syllable
+    proxy (vowel-run count, floored at one per word) — the classic
+    quality-scoring signal a curation pipeline buckets sources by
+    (SURVEY text-analysis tier; the reference computes no text metrics).
+
+    Exact core: words (non-space runs), sentences ([.!?]+ runs, min 1
+    per doc), and vowel runs are integer regexp counts summed exactly;
+    the Flesch formula is one mirrored double expression over three
+    integer totals.
+
+    Scale: ONE documents scan, one map-side-combined aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.coalesce(F.regexp_count(F.col("text"), F.lit(r"\S+")), F.lit(0))
+    sents = F.greatest(
+        F.coalesce(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(0)),
+        F.lit(1),
+    )
+    vruns = F.coalesce(
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")), F.lit(0)
+    )
+    per_doc = docs.select(
+        "source",
+        words.alias("w"),
+        sents.alias("st"),
+        F.greatest(vruns, words).alias("sy"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("words"),
+        F.sum("st").alias("sentences"),
+        F.sum("sy").alias("syllables"),
+    )
+    wd = F.col("words").cast("double")
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * wd / F.col("sentences").cast("double")
+        - 84.6 * F.col("syllables").cast("double") / wd
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("words").cast("bigint").alias("words"),
+        F.col("sentences").cast("bigint").alias("sentences"),
+        F.col("syllables").cast("bigint").alias("syllables"),
+        F.round(F.when(F.col("words") > 0, flesch), 4).alias("flesch"),
+    ).orderBy("source")

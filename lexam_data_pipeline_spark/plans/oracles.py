@@ -4173,3 +4173,356 @@ CORE_ORACLES["q_embedding_outliers"] = """
     GROUP BY d.label, p.n_vecs, p.tot
     ORDER BY label
 """
+
+
+_TWO_SAMPLE_SPINE_SQL = """
+        SELECT cents, sum(is_a) AS c1, sum(1 - is_a) AS c2
+        FROM (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents,
+                   CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_a
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ) GROUP BY cents
+"""
+
+CORE_ORACLES["q_welch_ttest"] = f"""
+    WITH spine AS ({_TWO_SAMPLE_SPINE_SQL}),
+    m AS (
+        SELECT sum(c1) AS n1, sum(c2) AS n2,
+               sum(CAST(c1 AS HUGEINT) * cents) AS s1,
+               sum(CAST(c2 AS HUGEINT) * cents) AS s2,
+               sum(CAST(c1 AS HUGEINT) * cents * cents) AS ss1,
+               sum(CAST(c2 AS HUGEINT) * cents * cents) AS ss2
+        FROM spine
+    ),
+    c AS (
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+               CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+               CAST(ss1 AS DOUBLE) AS ss1d, CAST(ss2 AS DOUBLE) AS ss2d
+        FROM m
+    ),
+    v AS (
+        SELECT n1, n2, n1d, n2d,
+               s1d / n1d AS m1, s2d / n2d AS m2,
+               (ss1d - s1d * s1d / n1d) / (n1d - 1.0) AS v1,
+               (ss2d - s2d * s2d / n2d) / (n2d - 1.0) AS v2
+        FROM c
+    ),
+    s AS (
+        SELECT n1, n2, n1d, n2d, m1, m2, v1, v2,
+               v1 / n1d + v2 / n2d AS se2
+        FROM v
+    )
+    SELECT n1, n2,
+           round(m1 / 100.0, 4) AS mean_a,
+           round(m2 / 100.0, 4) AS mean_b,
+           round(CASE WHEN n1 > 1 AND n2 > 1 AND se2 > 0
+                 THEN (m1 - m2) / sqrt(se2) END, 6) AS t_stat,
+           round(CASE WHEN n1 > 1 AND n2 > 1 AND se2 > 0
+                 THEN (se2 * se2) /
+                      ((v1 / n1d) * (v1 / n1d) / (n1d - 1.0)
+                       + (v2 / n2d) * (v2 / n2d) / (n2d - 1.0)) END, 4)
+               AS df_welch
+    FROM s
+"""
+
+CORE_ORACLES["q_cliffs_delta"] = f"""
+    WITH spine AS ({_TWO_SAMPLE_SPINE_SQL}),
+    cum AS (
+        SELECT c1,
+               coalesce(sum(c2) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum2e,
+               sum(c2) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum2i
+        FROM spine
+    ),
+    m AS (
+        SELECT sum(c1) AS n1,
+               sum(CAST(c1 AS HUGEINT) * cum2e) AS se,
+               sum(CAST(c1 AS HUGEINT) * cum2i) AS si
+        FROM cum
+    ),
+    totals AS (SELECT sum(c2) AS n2 FROM spine)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(CAST(se + si - CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+                 / nullif(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE), 0.0), 6)
+               AS cliffs_delta
+    FROM m CROSS JOIN totals
+"""
+
+CORE_ORACLES["q_hellinger_distance"] = f"""
+    WITH spine AS ({_TWO_SAMPLE_SPINE_SQL}),
+    buckets AS (
+        SELECT cents // 500000 AS bucket, sum(c1) AS c1, sum(c2) AS c2
+        FROM spine GROUP BY bucket
+    ),
+    m AS (
+        SELECT count(*) AS n_buckets, sum(c1) AS n1, sum(c2) AS n2,
+               sum(floor(sqrt(CAST(CAST(c1 AS HUGEINT) * c2 AS DOUBLE))
+                         * 1000.0)) AS bcq
+        FROM buckets
+    )
+    SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
+           round(CAST(bcq AS DOUBLE) / 1000.0
+                 / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+               AS bhattacharyya,
+           round(sqrt(greatest(0.0,
+                 1.0 - CAST(bcq AS DOUBLE) / 1000.0
+                       / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))), 6)
+               AS hellinger
+    FROM m
+"""
+
+CORE_ORACLES["q_friedman_test"] = """
+    WITH cells AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               c_mktsegment AS seg,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY month, seg
+    ),
+    sized AS (
+        SELECT month, seg, cents,
+               count(*) OVER (PARTITION BY month) AS k_in_block
+        FROM cells
+    ),
+    kmax AS (SELECT max(k_in_block) AS k FROM sized),
+    ranked AS (
+        SELECT seg,
+               2 * count(*) OVER (PARTITION BY month ORDER BY cents
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               + count(*) OVER (PARTITION BY month ORDER BY cents
+                   RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+               + 1 AS r2
+        FROM sized CROSS JOIN kmax
+        WHERE k_in_block = kmax.k
+    ),
+    per_seg AS (
+        SELECT seg, sum(r2) AS r2j, count(*) AS n_blocks
+        FROM ranked GROUP BY seg
+    ),
+    m AS (
+        SELECT max(n_blocks) AS n, count(*) AS k,
+               sum(CAST(r2j AS HUGEINT) * r2j) AS sr2
+        FROM per_seg
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+           round(CASE WHEN n > 0 AND k > 1
+                 THEN 3.0 * CAST(sr2 AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                         * (CAST(k AS DOUBLE) + 1.0))
+                      - 3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)
+                 END, 6) AS q_stat
+    FROM m
+"""
+
+CORE_ORACLES["q_fleiss_kappa"] = f"""
+    WITH {_LANG_ID_CTE.replace("SELECT lang,", "SELECT doc_id, lang,")},
+    base AS (
+        SELECT p.doc_id, p.lang, p.predicted_lang, d.source
+        FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+    ),
+    mode_l AS (
+        SELECT lang AS mode_lang FROM base
+        GROUP BY lang ORDER BY count(*) DESC, lang ASC LIMIT 1
+    ),
+    src_mode AS (
+        SELECT source, lang AS source_prior FROM (
+            SELECT source, lang,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY count(*) DESC, lang ASC) AS rn
+            FROM base GROUP BY source, lang
+        ) WHERE rn = 1
+    ),
+    rated AS (
+        SELECT b.doc_id, b.predicted_lang AS r1, m.mode_lang AS r2,
+               s.source_prior AS r3
+        FROM base b CROSS JOIN mode_l m JOIN src_mode s USING (source)
+    ),
+    ratings AS (
+        SELECT doc_id, r1 AS cat FROM rated
+        UNION ALL SELECT doc_id, r2 FROM rated
+        UNION ALL SELECT doc_id, r3 FROM rated
+    ),
+    nic AS (
+        SELECT doc_id, cat, count(*) AS nic FROM ratings GROUP BY doc_id, cat
+    ),
+    item AS (
+        SELECT count(DISTINCT doc_id) AS n_items,
+               sum(CAST(nic AS HUGEINT) * nic) AS s2
+        FROM nic
+    ),
+    cc AS (SELECT cat, sum(nic) AS c FROM nic GROUP BY cat),
+    cat_tot AS (SELECT sum(CAST(c AS HUGEINT) * c) AS sc2 FROM cc)
+    SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST(3 AS INT) AS k_raters,
+           round(CAST(s2 - 3 * CAST(n_items AS HUGEINT) AS DOUBLE)
+                 / (6.0 * CAST(n_items AS DOUBLE)), 6) AS p_bar,
+           round(CAST(sc2 AS DOUBLE)
+                 / (9.0 * CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)),
+                 6) AS p_e,
+           round(CASE WHEN CAST(2 * (9 * CAST(n_items AS HUGEINT) * n_items
+                                     - sc2) AS DOUBLE) != 0.0
+                 THEN CAST(3 * CAST(n_items AS HUGEINT)
+                             * (s2 - 3 * CAST(n_items AS HUGEINT))
+                           - 2 * sc2 AS DOUBLE)
+                      / CAST(2 * (9 * CAST(n_items AS HUGEINT) * n_items
+                                  - sc2) AS DOUBLE) END, 6) AS fleiss_kappa
+    FROM item CROSS JOIN cat_tot
+"""
+
+CORE_ORACLES["q_silhouette_labels"] = """
+    WITH comp AS (
+        SELECT vec_id, label AS own_label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS qv
+        FROM embeddings WHERE label IS NOT NULL
+    ),
+    sums AS (
+        SELECT own_label AS c_label, pos, sum(qv) AS s, count(*) AS nl
+        FROM comp GROUP BY own_label, pos
+    ),
+    d2 AS (
+        SELECT c.vec_id, c.own_label, m.c_label,
+               sum((CAST(m.nl AS HUGEINT) * c.qv - m.s)
+                   * (CAST(m.nl AS HUGEINT) * c.qv - m.s)) AS d2,
+               max(m.nl) AS nl
+        FROM comp c JOIN sums m ON c.pos = m.pos
+        GROUP BY c.vec_id, c.own_label, m.c_label
+    ),
+    per_vec AS (
+        SELECT vec_id, own_label,
+               max(CASE WHEN c_label = own_label
+                   THEN sqrt(CAST(d2 AS DOUBLE)) / CAST(nl AS DOUBLE) END)
+                   AS a,
+               min(CASE WHEN c_label <> own_label
+                   THEN sqrt(CAST(d2 AS DOUBLE)) / CAST(nl AS DOUBLE) END)
+                   AS b
+        FROM d2 GROUP BY vec_id, own_label
+    ),
+    scored AS (
+        SELECT own_label,
+               CAST(floor((CASE WHEN b IS NOT NULL AND greatest(a, b) > 0.0
+                           THEN (b - a) / greatest(a, b)
+                           ELSE 0.0 END) * 1000000.0) AS BIGINT) AS sq
+        FROM per_vec
+    )
+    SELECT CAST(own_label AS INT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(sq) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 1000000.0), 6)
+               AS mean_silhouette
+    FROM scored GROUP BY own_label ORDER BY label
+"""
+
+CORE_ORACLES["q_davies_bouldin"] = """
+    WITH comp AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS qv
+        FROM embeddings WHERE label IS NOT NULL
+    ),
+    sums AS (
+        SELECT label, pos, sum(qv) AS s, count(*) AS nl
+        FROM comp GROUP BY label, pos
+    ),
+    d2 AS (
+        SELECT c.vec_id, c.label,
+               sum((CAST(m.nl AS HUGEINT) * c.qv - m.s)
+                   * (CAST(m.nl AS HUGEINT) * c.qv - m.s)) AS d2
+        FROM comp c JOIN sums m ON c.label = m.label AND c.pos = m.pos
+        GROUP BY c.vec_id, c.label
+    ),
+    scatter AS (
+        SELECT label, count(*) AS n,
+               sum(CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT)) AS q
+        FROM d2 GROUP BY label
+    ),
+    seps AS (
+        SELECT a.label AS la, b.label AS lb,
+               sum((CAST(b.nl AS HUGEINT) * a.s - CAST(a.nl AS HUGEINT) * b.s)
+                   * (CAST(b.nl AS HUGEINT) * a.s
+                      - CAST(a.nl AS HUGEINT) * b.s)) AS m,
+               max(a.nl) AS na, max(b.nl) AS nb
+        FROM sums a JOIN sums b ON a.pos = b.pos AND a.label <> b.label
+        GROUP BY la, lb
+    ),
+    paired AS (
+        SELECT s.la,
+               CAST(floor((CAST(pa.q AS DOUBLE)
+                           / (CAST(pa.n AS DOUBLE) * CAST(pa.n AS DOUBLE))
+                           + CAST(pb.q AS DOUBLE)
+                           / (CAST(pb.n AS DOUBLE) * CAST(pb.n AS DOUBLE)))
+                          * CAST(s.na AS DOUBLE) * CAST(s.nb AS DOUBLE)
+                          / sqrt(CAST(s.m AS DOUBLE)) * 1000000.0)
+                    AS BIGINT) AS rq
+        FROM seps s JOIN scatter pa ON s.la = pa.label
+                    JOIN scatter pb ON s.lb = pb.label
+    ),
+    per_label AS (SELECT la, max(rq) AS max_rq FROM paired GROUP BY la)
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           round(CAST(sum(max_rq) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS db_index
+    FROM per_label
+"""
+
+CORE_ORACLES["q_mrr_eval"] = """
+    WITH topk AS (
+        SELECT c_nationkey, c_custkey, rank FROM (
+            SELECT c_nationkey, c_custkey,
+                   row_number() OVER (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+            FROM customer
+        ) WHERE rank <= 10
+    ),
+    hits AS (
+        SELECT c_nationkey, min(rank) AS first_rank
+        FROM orders JOIN topk ON o_custkey = c_custkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY c_nationkey
+    )
+    SELECT n_name,
+           CAST(first_rank AS INT) AS first_rank,
+           round(coalesce(1.0 / CAST(first_rank AS DOUBLE), 0.0), 6)
+               AS reciprocal_rank
+    FROM nation LEFT JOIN hits ON n_nationkey = c_nationkey
+    ORDER BY n_name
+"""
+
+CORE_ORACLES["q_readability"] = """
+    WITH per_doc AS (
+        SELECT source,
+               coalesce(len(regexp_extract_all(text, '\\S+')), 0) AS w,
+               greatest(coalesce(len(regexp_extract_all(text, '[.!?]+')), 0),
+                        1) AS st,
+               greatest(coalesce(len(regexp_extract_all(lower(text),
+                                                        '[aeiouy]+')), 0),
+                        coalesce(len(regexp_extract_all(text, '\\S+')), 0))
+                   AS sy
+        FROM documents
+    ),
+    agg AS (
+        SELECT source, count(*) AS n_docs, sum(w) AS words,
+               sum(st) AS sentences, sum(sy) AS syllables
+        FROM per_doc GROUP BY source
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(words AS BIGINT) AS words,
+           CAST(sentences AS BIGINT) AS sentences,
+           CAST(syllables AS BIGINT) AS syllables,
+           round(CASE WHEN words > 0
+                 THEN 206.835
+                      - 1.015 * CAST(words AS DOUBLE)
+                              / CAST(sentences AS DOUBLE)
+                      - 84.6 * CAST(syllables AS DOUBLE)
+                             / CAST(words AS DOUBLE) END, 4) AS flesch
+    FROM agg ORDER BY source
+"""

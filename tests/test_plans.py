@@ -819,6 +819,75 @@ def test_embedding_outliers_joins_run_on_label_dim_sums(spark, sf_small):
     assert "Python" not in plan
 
 
+def test_welch_and_cliffs_run_on_value_spine(spark, sf_small):
+    """Both reuse q_mannwhitney's value spine: one fact scan into a
+    value-level aggregate; q_welch_ttest needs NO window at all and
+    q_cliffs_delta only the spine running sums.  No cartesian (beyond
+    the deliberate 1-row totals cross), no Python."""
+    for key in ("q_welch_ttest", "q_cliffs_delta"):
+        plan = _plan(QUERIES[key](spark, sf_small))
+        assert "CartesianProduct" not in plan, key
+        assert "Python" not in plan, key
+    welch = _plan(QUERIES["q_welch_ttest"](spark, sf_small))
+    assert "Window" not in welch  # moments fold in ONE aggregate
+
+
+def test_hellinger_runs_on_bucket_table(spark, sf_small):
+    plan = _plan(QUERIES["q_hellinger_distance"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # bucket aggregate only, no spine walk
+    assert "Python" not in plan
+
+
+def test_friedman_windows_run_on_month_cells(spark, sf_small):
+    """Rank windows are RANGE frames over the (month × segment) cell
+    table — calendar-bounded, never fact rows."""
+    plan = _plan(QUERIES["q_friedman_test"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # customer dim broadcast
+    assert "Python" not in plan
+
+
+def test_fleiss_mode_tables_broadcast_back(spark, sf_small):
+    plan = _plan(QUERIES["q_fleiss_kappa"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Python" not in plan
+
+
+def test_silhouette_joins_run_on_label_dim_sums(spark, sf_small):
+    """The k-way fan-out joins the broadcast (label,dim) sum table onto
+    the component scan — raw vectors never join raw vectors."""
+    plan = _plan(QUERIES["q_silhouette_labels"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_davies_bouldin_pairs_run_on_sum_table(spark, sf_small):
+    """Separations pair-join the k·d sum table with itself (bounded);
+    scatter reuses the q_embedding_outliers reduce posture."""
+    plan = _plan(QUERIES["q_davies_bouldin"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_mrr_topk_broadcasts_into_fact_scan(spark, sf_small):
+    """The K·|nations| top-K table broadcasts into the URGENT-filtered
+    orders scan; the filter reaches the parquet scan."""
+    plan = _plan(QUERIES["q_mrr_eval"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderpriority" in ln for ln in pushed)
+    assert "Python" not in plan
+
+
+def test_readability_is_single_scan_aggregate(spark, sf_small):
+    plan = _plan(QUERIES["q_readability"](spark, sf_small))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
 def test_dedup_threshold_sweep_no_cartesian_no_python(spark, sf_small):
     """The candidate pipeline is the same df-capped inverted index as
     q_dedup_ngram_jaccard (equi-join on shingle, never all-pairs); the

@@ -112,3 +112,264 @@ def test_dedup_threshold_sweep_curve_is_monotone(spark, sf_small):
         from lexam_data_pipeline_spark.ml.dedup import q_dedup_ngram_jaccard
 
         assert by_t[5] == q_dedup_ngram_jaccard(spark, sf_small).count()
+
+
+def _two_sample_cents(sf_small):
+    """Pandas replica of the BUILDING/MACHINERY cents samples."""
+    orders = pd.read_parquet(f"{sf_small}/orders.parquet")
+    cust = pd.read_parquet(f"{sf_small}/customer.parquet")
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j = j[j["c_mktsegment"].isin(["BUILDING", "MACHINERY"])]
+    cents = (j["o_totalprice"].round(2) * 100).round().astype(np.int64)
+    a = cents[j["c_mktsegment"] == "BUILDING"].to_numpy()
+    b = cents[j["c_mktsegment"] == "MACHINERY"].to_numpy()
+    return a, b
+
+
+def test_welch_ttest_matches_numpy(spark, sf_small):
+    a, b = _two_sample_cents(sf_small)
+    from lexam_data_pipeline_spark.plans.fixture_queries import q_welch_ttest
+
+    row = q_welch_ttest(spark, sf_small).collect()[0]
+    assert row["n1"] == len(a) and row["n2"] == len(b)
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    se2 = v1 / len(a) + v2 / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(se2)
+    df = se2 * se2 / (
+        (v1 / len(a)) ** 2 / (len(a) - 1) + (v2 / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert abs(row["t_stat"] - t) < 1e-4
+    assert abs(row["df_welch"] - df) < 0.5
+    assert abs(row["mean_a"] - a.mean() / 100.0) < 1e-3
+
+
+def test_cliffs_delta_matches_bruteforce(spark, sf_small):
+    a, b = _two_sample_cents(sf_small)
+    from lexam_data_pipeline_spark.plans.fixture_queries import q_cliffs_delta
+
+    row = q_cliffs_delta(spark, sf_small).collect()[0]
+    diff = a[:, None] - b[None, :]
+    want = (np.count_nonzero(diff > 0) - np.count_nonzero(diff < 0)) / (
+        len(a) * len(b)
+    )
+    assert abs(row["cliffs_delta"] - round(want, 6)) < 1e-9
+
+
+def test_hellinger_matches_numpy(spark, sf_small):
+    a, b = _two_sample_cents(sf_small)
+    from lexam_data_pipeline_spark.plans.fixture_queries import (
+        q_hellinger_distance,
+    )
+
+    row = q_hellinger_distance(spark, sf_small).collect()[0]
+    ba = np.bincount(a // 500000)
+    bb = np.bincount(b // 500000)
+    n = max(len(ba), len(bb))
+    ba = np.pad(ba, (0, n - len(ba))).astype(float)
+    bb = np.pad(bb, (0, n - len(bb))).astype(float)
+    bc = np.sum(np.sqrt(ba / ba.sum() * (bb / bb.sum())))
+    # the engine quantizes per-bucket √(c1·c2) at 1e-3 — allow that slack
+    assert abs(row["bhattacharyya"] - bc) < 1e-3
+    assert abs(row["hellinger"] - math.sqrt(max(0.0, 1.0 - bc))) < 1e-3
+    assert 0.0 <= row["hellinger"] <= 1.0
+
+
+def test_friedman_matches_pandas_ranks(spark, sf_small):
+    from lexam_data_pipeline_spark.plans.fixture_queries import q_friedman_test
+
+    orders = pd.read_parquet(f"{sf_small}/orders.parquet")
+    cust = pd.read_parquet(f"{sf_small}/customer.parquet")
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["month"] = j["o_orderdate"].dt.strftime("%Y-%m")
+    cells = (
+        j.assign(cents=(j["o_totalprice"].round(2) * 100).round().astype(np.int64))
+        .groupby(["month", "c_mktsegment"])["cents"]
+        .sum()
+        .reset_index()
+    )
+    k = cells.groupby("month").size().max()
+    full = cells.groupby("month").filter(lambda g: len(g) == k)
+    full["rank"] = full.groupby("month")["cents"].rank(method="average")
+    rj = full.groupby("c_mktsegment")["rank"].sum()
+    n = full["month"].nunique()
+    want = 12.0 * (rj**2).sum() / (n * k * (k + 1)) - 3.0 * n * (k + 1)
+    row = q_friedman_test(spark, sf_small).collect()[0]
+    assert row["n_blocks"] == n and row["k"] == k
+    assert abs(row["q_stat"] - want) < 1e-6
+
+
+def test_fleiss_kappa_matches_python_replica(spark, sf_small):
+    """Recompute κ from the engine's own three raters (collected at
+    fixture scale) with the textbook per-item formula — verifies the
+    integer-identity closing, independent of the SQL oracle."""
+    from collections import Counter
+
+    from lexam_data_pipeline_spark.ml.textstats import q_lang_id
+    from lexam_data_pipeline_spark.plans.fixture_queries import q_fleiss_kappa
+
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    pred = {
+        r["doc_id"]: (r["lang"], r["predicted_lang"])
+        for r in q_lang_id(spark, sf_small).collect()
+        if r["lang"] is not None
+    }
+    src = docs.set_index("doc_id")["source"].to_dict()
+    langs = Counter(lang for lang, _ in pred.values())
+    mode_lang = min(langs, key=lambda c: (-langs[c], c))
+    by_src = {}
+    for d, (lang, _) in pred.items():
+        by_src.setdefault(src[d], Counter())[lang] += 1
+    prior = {s: min(c, key=lambda x: (-c[x], x)) for s, c in by_src.items()}
+    items = [
+        Counter([p, mode_lang, prior[src[d]]]) for d, (_, p) in pred.items()
+    ]
+    n = len(items)
+    s2 = sum(v * v for it in items for v in it.values())
+    cat = Counter()
+    for it in items:
+        cat.update(it)
+    sc2 = sum(v * v for v in cat.values())
+    p_bar = (s2 - 3 * n) / (6 * n)
+    p_e = sc2 / (9 * n * n)
+    want = (p_bar - p_e) / (1 - p_e)
+    row = q_fleiss_kappa(spark, sf_small).collect()[0]
+    assert row["n_items"] == n
+    assert abs(row["fleiss_kappa"] - round(want, 6)) < 1e-6
+    assert abs(row["p_bar"] - round(p_bar, 6)) < 1e-6
+
+
+def _quantized_components(sf_small):
+    emb = pd.read_parquet(f"{sf_small}/embeddings.parquet")
+    emb = emb[emb["label"].notna()]
+    q = np.floor(np.stack(emb["embedding"].to_numpy()) * 1e6).astype(object)
+    return emb, q
+
+
+def test_silhouette_matches_numpy_replica(spark, sf_small):
+    from lexam_data_pipeline_spark.plans.fixture_queries import (
+        q_silhouette_labels,
+    )
+
+    emb, q = _quantized_components(sf_small)
+    labels = sorted(emb["label"].unique())
+    sums = {}
+    for lab in labels:
+        m = q[(emb["label"] == lab).to_numpy()]
+        sums[lab] = (m.sum(axis=0), len(m))
+    got = {
+        r["label"]: r.asDict()
+        for r in q_silhouette_labels(spark, sf_small).collect()
+    }
+    acc = {lab: [0, 0] for lab in labels}
+    for i, own in enumerate(emb["label"].to_numpy()):
+        dists = {}
+        for lab, (s, nl) in sums.items():
+            t = nl * q[i] - s
+            dists[lab] = math.sqrt(float((t * t).sum())) / nl
+        a = dists[own]
+        b = min(v for lab, v in dists.items() if lab != own)
+        s_i = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
+        acc[own][0] += math.floor(s_i * 1e6)
+        acc[own][1] += 1
+    for lab in labels:
+        want = round(acc[lab][0] / (acc[lab][1] * 1e6), 6)
+        assert abs(got[int(lab)]["mean_silhouette"] - want) < 2e-6, lab
+        assert -1.0 <= got[int(lab)]["mean_silhouette"] <= 1.0
+
+
+def test_davies_bouldin_matches_numpy_replica(spark, sf_small):
+    from lexam_data_pipeline_spark.plans.fixture_queries import q_davies_bouldin
+
+    emb, q = _quantized_components(sf_small)
+    labels = sorted(emb["label"].unique())
+    sums, scat = {}, {}
+    for lab in labels:
+        m = q[(emb["label"] == lab).to_numpy()]
+        s, nl = m.sum(axis=0), len(m)
+        sums[lab] = (s, nl)
+        t = nl * m - s
+        scat[lab] = sum(
+            math.floor(math.sqrt(float((row * row).sum()))) for row in t
+        )
+    rqs = {}
+    for i in labels:
+        si, ni = sums[i]
+        best = None
+        for j in labels:
+            if i == j:
+                continue
+            sj, nj = sums[j]
+            d = nj * si - ni * sj
+            m_ij = float((d * d).sum())
+            r = (
+                (scat[i] / (ni * ni) + scat[j] / (nj * nj))
+                * ni
+                * nj
+                / math.sqrt(m_ij)
+            )
+            rq = math.floor(r * 1e6)
+            best = rq if best is None else max(best, rq)
+        rqs[i] = best
+    want = round(sum(rqs.values()) / (len(labels) * 1e6), 6)
+    row = q_davies_bouldin(spark, sf_small).collect()[0]
+    assert row["k"] == len(labels)
+    assert abs(row["db_index"] - want) < 2e-6
+    assert row["db_index"] > 0
+
+
+def test_mrr_matches_pandas_replica(spark, sf_small):
+    from lexam_data_pipeline_spark.plans.fixture_queries import q_mrr_eval
+
+    cust = pd.read_parquet(f"{sf_small}/customer.parquet")
+    orders = pd.read_parquet(f"{sf_small}/orders.parquet")
+    nation = pd.read_parquet(f"{sf_small}/nation.parquet")
+    cust = cust.sort_values(
+        ["c_nationkey", "c_acctbal", "c_custkey"],
+        ascending=[True, False, True],
+    )
+    cust["rank"] = cust.groupby("c_nationkey").cumcount() + 1
+    topk = cust[cust["rank"] <= 10]
+    urgent = set(
+        orders[orders["o_orderpriority"] == "1-URGENT"]["o_custkey"]
+    )
+    hit = topk[topk["c_custkey"].isin(urgent)]
+    first = hit.groupby("c_nationkey")["rank"].min().to_dict()
+    got = {r["n_name"]: r.asDict() for r in q_mrr_eval(spark, sf_small).collect()}
+    assert len(got) == len(nation)
+    for _, nrow in nation.iterrows():
+        fr = first.get(nrow["n_nationkey"])
+        g = got[nrow["n_name"]]
+        assert g["first_rank"] == fr
+        want = round(1.0 / fr, 6) if fr else 0.0
+        assert abs(g["reciprocal_rank"] - want) < 1e-9, nrow["n_name"]
+
+
+def test_readability_matches_regex_replica(spark, sf_small):
+    import re
+
+    from lexam_data_pipeline_spark.plans.fixture_queries import q_readability
+
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    agg = {}
+    for _, r in docs.iterrows():
+        t = r["text"] or ""
+        w = len(re.findall(r"\S+", t))
+        st = max(len(re.findall(r"[.!?]+", t)), 1)
+        sy = max(len(re.findall(r"[aeiouy]+", t.lower())), w)
+        acc = agg.setdefault(r["source"], [0, 0, 0, 0])
+        acc[0] += 1
+        acc[1] += w
+        acc[2] += st
+        acc[3] += sy
+    got = {r["source"]: r.asDict() for r in q_readability(spark, sf_small).collect()}
+    assert set(got) == set(agg)
+    for srcname, (n, w, st, sy) in agg.items():
+        g = got[srcname]
+        assert (g["n_docs"], g["words"], g["sentences"], g["syllables"]) == (
+            n,
+            w,
+            st,
+            sy,
+        ), srcname
+        want = round(206.835 - 1.015 * w / st - 84.6 * sy / w, 4)
+        assert abs(g["flesch"] - want) < 1e-9, srcname

@@ -179,6 +179,16 @@ PROBES = [
     "q_cochrans_q",
     "q_embedding_outliers",
     "q_dedup_threshold_sweep",
+    # round 7, third batch
+    "q_welch_ttest",
+    "q_cliffs_delta",
+    "q_hellinger_distance",
+    "q_friedman_test",
+    "q_fleiss_kappa",
+    "q_silhouette_labels",
+    "q_davies_bouldin",
+    "q_mrr_eval",
+    "q_readability",
 ]
 
 OFFSETS = {
