@@ -22,6 +22,11 @@ beyond the standard library:
   read from the stream, interleaved MCUs with 1x/2x sampling factors,
   restart markers; matching 4:4:4 encoder (see the JPEG section header
   for the verification strategy).
+* **GIF (87a/89a)** — the GIF LZW variant (LSB-first packing, variable
+  3..12-bit codes, CLEAR/EOI, 4096-entry cap), global/local palettes,
+  4-pass interlace; first-frame decode (animation frames beyond the
+  first are out of scope for feature extraction, like audio beyond
+  PCM).  Matching encoder (palette build + LZW) for roundtrip tests.
 
 Everything here is a pure ``bytes → numpy`` function with no Spark
 dependency; ml/multimodal.py lifts them into Arrow-batched
@@ -57,6 +62,8 @@ def sniff(payload: bytes | None) -> str | None:
         return "bmp"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -996,4 +1003,222 @@ def decode_features(payload: bytes | None) -> list[float] | None:
         return image_features(decode_bmp(payload))
     if kind == "jpeg":
         return image_features(_to_rgb(decode_jpeg(payload)))
+    if kind == "gif":
+        return image_features(decode_gif(payload))
     return None
+
+
+# --------------------------------------------------------------------------
+# GIF (87a/89a: LZW + palette, optional interlace) — stdlib + numpy only.
+# Single-frame decode (the first image descriptor); animation frames
+# after the first are out of scope for feature extraction, like audio
+# beyond PCM.  LZW here is the GIF variant: LSB-first bit packing,
+# variable code width 3..12 bits, CLEAR/EOI codes, 4096-entry cap.
+# --------------------------------------------------------------------------
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_deinterlace_rows(height: int) -> list[int]:
+    """Source-row order of an interlaced GIF: pass p emits rows
+    start::step; returns dest row for each source row in stream order."""
+    rows = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        rows.extend(range(start, height, step))
+    return rows
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW: returns exactly n_pixels palette indices."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # LSB-first bit reader over the concatenated sub-block payload
+    acc = nbits = pos = 0
+
+    def read(width: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return eoi  # truncated stream: treat as end
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while len(out) < n_pixels:
+        code = read(width)
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK special case
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_pixels:
+        raise ValueError("GIF pixel data truncated")
+    return bytes(out[:n_pixels])
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a as an (h, w, 3) uint8 RGB array."""
+    try:
+        return _decode_gif(payload)
+    except (IndexError, struct.error) as exc:  # short reads mid-block
+        raise ValueError("truncated GIF stream") from exc
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02X}")
+        _left, _top, w, h, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        min_code = payload[pos]
+        pos += 1
+        chunks = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            chunks += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _lzw_decode(bytes(chunks), min_code, w * h), dtype=np.uint8
+        ).reshape(h, w)
+        if iflags & 0x40:  # interlaced: reorder stream rows to dest rows
+            dest = np.empty_like(idx)
+            dest[_gif_deinterlace_rows(h)] = idx
+            idx = dest
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("GIF index out of palette range")
+        return pal[idx]
+    raise ValueError("GIF contains no image descriptor")
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (dictionary, LSB-first bit packing)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {}
+
+    def reset() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = reset()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = reset()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = bytes([b])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB with ≤256 distinct colors → single-frame
+    GIF89a (global color table, optional interlace) — the roundtrip
+    twin of :func:`decode_gif`."""
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"{len(pal)} colors — quantize to ≤256 before GIF encode")
+    depth = max(1, (len(pal) - 1).bit_length())
+    n = 1 << depth
+    idx = inv.astype(np.uint8).reshape(h, w)
+    if interlace:
+        idx = idx[_gif_deinterlace_rows(h)]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes() + b"\x00" * (3 * (n - len(pal)))
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    min_code = max(2, depth)
+    out.append(min_code)
+    data = _lzw_encode(idx.tobytes(), min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

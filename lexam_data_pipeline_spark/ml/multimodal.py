@@ -100,6 +100,7 @@ def media_table_real(docs: DataFrame) -> DataFrame:
     the other % 4 == 0 residues stay sequential Paeth so BOTH decode
     paths remain corpus-reachable),
     a paletted color-type-3 PNG (PLTE lookup path),
+    a single-frame GIF (LZW + palette path),
     or a baseline JPEG (huffman + IDCT path), audio rows a 16-bit PCM
     WAV, video rows a PPM frame.  This makes the
     whole multimodal tier run with ``deterministic_fake=False`` — every
@@ -121,6 +122,7 @@ def media_table_real(docs: DataFrame) -> DataFrame:
     _enc_wav = media_codecs.encode_wav
     _enc_ppm = media_codecs.encode_ppm
     _enc_jpeg = media_codecs.encode_jpeg
+    _enc_gif = media_codecs.encode_gif
 
     def run(batches):
         import numpy as np
@@ -129,11 +131,14 @@ def media_table_real(docs: DataFrame) -> DataFrame:
         def synth(doc_id, raw):
             # 192 deterministic bytes derived from the text
             seed = np.frombuffer((raw * (192 // max(len(raw), 1) + 1))[:192], dtype=np.uint8)
-            if doc_id % 8 == 4:  # image: 8x8 paletted (color-type-3) PNG
+            if doc_id % 16 == 4:  # image: 8x8 paletted (color-type-3) PNG
                 return (
                     _enc_png_pal(seed[:64].reshape(8, 8) % 16, seed[64:112].reshape(16, 3)),
                     "image",
                 )
+            if doc_id % 16 == 12:  # image: 8x8 GIF (LZW + palette path)
+                pal = seed[64:112].reshape(16, 3)
+                return _enc_gif(pal[seed[:64].reshape(8, 8) % 16]), "image"
             if doc_id % 16 == 0:  # image: 8x8 RGB PNG, Adam7 interlaced
                 return (
                     _enc_png(seed.reshape(8, 8, 3), filter_type=4, interlace=True),
@@ -300,6 +305,8 @@ def resize_media(
     _enc_jpeg = media_codecs.encode_jpeg
     _to_rgb = media_codecs._to_rgb
     _resize = media_codecs.resize_nearest
+    _dec_gif = media_codecs.decode_gif
+    _enc_gif = media_codecs.encode_gif
 
     def run(batches):
         import pandas as _pd
@@ -312,7 +319,7 @@ def resize_media(
                     continue
                 payload = bytes(payload)
                 kind = _sniff(payload)
-                if kind in ("ppm", "png", "bmp", "jpeg"):
+                if kind in ("ppm", "png", "bmp", "jpeg", "gif"):
                     try:
                         if kind == "ppm":
                             out_payload.append(_enc(_resize(_dec(payload), tw, th)))
@@ -323,6 +330,11 @@ def resize_media(
                         elif kind == "jpeg":
                             out_payload.append(
                                 _enc_jpeg(_resize(_to_rgb(_dec_jpeg(payload)), tw, th))
+                            )
+                        elif kind == "gif":
+                            # nearest-neighbor keeps the palette: stays <=256
+                            out_payload.append(
+                                _enc_gif(_resize(_dec_gif(payload), tw, th))
                             )
                         else:
                             out_payload.append(

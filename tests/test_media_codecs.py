@@ -801,3 +801,115 @@ class TestAdam7:
         padded = self._rebuild_idat(enc, lambda raw: raw + b"\x00" * 5)
         with pytest.raises(ValueError, match="Adam7 stream size mismatch"):
             decode_png(padded)
+
+
+class TestGIF:
+    """GIF87a/89a: LZW + palette, optional interlace — stdlib-only,
+    roundtripped against the in-repo encoder (round-7 cheap-remainder
+    codec, following the Adam7 pattern)."""
+
+    def test_roundtrip_random_images_exact(self):
+        from hypothesis import given, settings, strategies as st
+
+        from lexam_data_pipeline_spark.ml.media_codecs import (
+            decode_gif,
+            encode_gif,
+        )
+
+        @given(
+            w=st.integers(1, 40),
+            h=st.integers(1, 40),
+            seed=st.integers(0, 2**31),
+            interlace=st.booleans(),
+            colors=st.integers(1, 8),
+        )
+        @settings(max_examples=40, deadline=None)
+        def check(w, h, seed, interlace, colors):
+            rng = np.random.default_rng(seed)
+            palette = rng.integers(0, 256, size=(colors, 3), dtype=np.uint8)
+            arr = palette[rng.integers(0, colors, size=(h, w))]
+            dec = decode_gif(encode_gif(arr, interlace=interlace))
+            assert np.array_equal(dec, arr)
+
+        check()
+
+    def test_dictionary_growth_past_one_width_step(self):
+        """A long structured image forces the LZW code width to grow
+        (and with >4096 phrases, a mid-stream CLEAR) — the paths a tiny
+        random fixture never reaches."""
+        from lexam_data_pipeline_spark.ml.media_codecs import (
+            decode_gif,
+            encode_gif,
+        )
+
+        y, x = np.mgrid[0:128, 0:128]
+        arr = np.stack([(y * 3) % 256, (x * 5) % 256, (x + y) % 256], axis=2)
+        arr = (arr & 0xC0).astype(np.uint8)  # <=64 distinct colors
+        assert np.array_equal(decode_gif(encode_gif(arr)), arr)
+
+    def test_interlaced_equals_sequential_decode(self):
+        from lexam_data_pipeline_spark.ml.media_codecs import (
+            decode_gif,
+            encode_gif,
+        )
+
+        rng = np.random.default_rng(3)
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        arr = pal[rng.integers(0, 16, (21, 13))]
+        seq = decode_gif(encode_gif(arr, interlace=False))
+        inter = decode_gif(encode_gif(arr, interlace=True))
+        assert np.array_equal(seq, inter)
+
+    def test_sniff_and_decode_features(self):
+        from lexam_data_pipeline_spark.ml.media_codecs import (
+            decode_features,
+            encode_gif,
+            sniff,
+        )
+
+        img = np.full((6, 9, 3), 77, np.uint8)
+        enc = encode_gif(img)
+        assert sniff(enc) == "gif"
+        feats = decode_features(enc)
+        assert feats is not None and feats[0] == 6 and feats[1] == 9
+        assert abs(feats[2] - 77) < 1e-9
+
+    def test_truncated_and_corrupt_fail_loudly(self):
+        import pytest
+
+        from lexam_data_pipeline_spark.ml.media_codecs import (
+            decode_gif,
+            encode_gif,
+        )
+
+        rng = np.random.default_rng(5)
+        pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+        arr = pal[rng.integers(0, 4, (12, 12))]
+        enc = bytearray(encode_gif(arr))
+        with pytest.raises(ValueError):
+            decode_gif(bytes(enc[:20]))  # header only: no image block
+        # chop the data sub-blocks: decoder must not fabricate pixels
+        cut = bytes(enc[: len(enc) // 2]) + b"\x00\x3b"
+        with pytest.raises(ValueError):
+            decode_gif(cut)
+
+    def test_too_many_colors_rejected(self):
+        import pytest
+
+        from lexam_data_pipeline_spark.ml.media_codecs import encode_gif
+
+        rng = np.random.default_rng(9)
+        with pytest.raises(ValueError, match="quantize"):
+            encode_gif(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
+
+    def test_256_color_min_code_size_8(self):
+        """A full 256-color palette needs min LZW code size 8 — the
+        widest initial dictionary the format allows."""
+        from lexam_data_pipeline_spark.ml.media_codecs import (
+            decode_gif,
+            encode_gif,
+        )
+
+        pal = np.arange(256 * 3, dtype=np.uint8).reshape(256, 3)
+        arr = pal[np.arange(256).reshape(16, 16) % 256]
+        assert np.array_equal(decode_gif(encode_gif(arr)), arr)
