@@ -245,6 +245,9 @@ def main() -> None:
         "q_davies_bouldin",
         "q_mrr_eval",
         "q_readability",
+        "q_cuped_adjustment",
+        "q_vocab_overlap",
+        "q_dedup_rate_by_source",
     ):
         if extra in queries and extra not in names:
             names.append(extra)

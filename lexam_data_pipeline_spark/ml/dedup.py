@@ -182,6 +182,89 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication rates: for each (source, source)
+    pair, how many jaccard-0.5 near-dup pairs span it, and what share
+    of each source's documents are implicated?  The provenance audit a
+    curation team runs before dropping a source — high off-diagonal
+    rates mean one source republishes another (drop the copy, keep the
+    origin); high diagonal rates mean internal templating.
+
+    Same candidate pipeline (df-capped inverted index) and exact
+    integer jaccard cut as q_dedup_ngram_jaccard; pairs then join the
+    broadcast doc→source map twice and roll up to the |sources|² grid
+    with distinct-doc counts per side.
+
+    Scale: adds two broadcast joins and one cell-bounded aggregate on
+    top of the shared pair table — no new shuffle class."""
+    from pyspark.sql import Window
+
+    max_df = 50
+    docs = load_table(spark, sf_dir, "documents")
+    ex = (
+        _doc_shingles(docs)
+        .withColumn("df", F.count("*").over(Window.partitionBy("s")))
+        .filter(F.col("df") <= max_df)
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+        .select("doc_id", "s", "n_sh")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+        .filter(
+            F.col("common")
+            / (F.col("na") + F.col("nb") - F.col("common"))
+            >= 0.5
+        )
+    )
+    srcmap = docs.select("doc_id", "source")
+    sa = F.broadcast(
+        srcmap.select(F.col("doc_id").alias("doc_id_a"), F.col("source").alias("sa"))
+    )
+    sb = F.broadcast(
+        srcmap.select(F.col("doc_id").alias("doc_id_b"), F.col("source").alias("sb"))
+    )
+    tagged = (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "doc_id_a",
+            "doc_id_b",
+        )
+    )
+    cells = tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    touched = (
+        tagged.select(
+            "source_a", "source_b", F.explode(F.array("doc_id_a", "doc_id_b")).alias("d")
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("d").alias("n_docs_touched"))
+    )
+    return (
+        cells
+        .join(touched, ["source_a", "source_b"])
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("n_docs_touched").cast("bigint").alias("n_docs_touched"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 16
 ) -> DataFrame:

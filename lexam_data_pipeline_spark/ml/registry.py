@@ -19,6 +19,7 @@ from lexam_data_pipeline_spark.ml.dedup import (
     q_dedup_keep_best,
     q_dedup_ngram_jaccard,
     q_dedup_threshold_sweep,
+    q_dedup_rate_by_source,
     q_dedup_segments,
     q_minhash_lsh_pairs,
     q_simhash_buckets,
@@ -84,6 +85,7 @@ ML_QUERIES = {
     "q_dedup_embedding_blocked": q_dedup_embedding_blocked,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_threshold_sweep": q_dedup_threshold_sweep,
+    "q_dedup_rate_by_source": q_dedup_rate_by_source,
     "q_containment_dedup": q_containment_dedup,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash_buckets": q_simhash_buckets,
@@ -307,6 +309,57 @@ ML_ORACLES: dict[str, str] = {
                CAST(n_docs AS BIGINT) AS n_docs
         FROM np JOIN nd ON np.t10 = nd.t10
         ORDER BY t10
+    """,
+    "q_dedup_rate_by_source": f"""
+        WITH sh AS ({_SHINGLES}),
+        ex_all AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ),
+        rare AS (
+            SELECT s FROM ex_all GROUP BY s HAVING count(*) <= 50
+        ),
+        ex_rare AS (
+            SELECT doc_id, ex_all.s AS s FROM ex_all JOIN rare USING (s)
+        ),
+        ex AS (
+            SELECT doc_id, s,
+                   count(*) OVER (PARTITION BY doc_id) AS n_sh
+            FROM ex_rare
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        ),
+        near AS (
+            SELECT doc_id_a, doc_id_b FROM pairs
+            WHERE common / (na + nb - common) >= 0.5
+        ),
+        tagged AS (
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   n.doc_id_a, n.doc_id_b
+            FROM near n
+            JOIN documents da ON n.doc_id_a = da.doc_id
+            JOIN documents db ON n.doc_id_b = db.doc_id
+        ),
+        cells AS (
+            SELECT source_a, source_b, count(*) AS n_pairs
+            FROM tagged GROUP BY source_a, source_b
+        ),
+        touched AS (
+            SELECT source_a, source_b, count(DISTINCT d) AS n_docs_touched
+            FROM (SELECT source_a, source_b, doc_id_a AS d FROM tagged
+                  UNION ALL SELECT source_a, source_b, doc_id_b FROM tagged)
+            GROUP BY source_a, source_b
+        )
+        SELECT c.source_a, c.source_b,
+               CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(n_docs_touched AS BIGINT) AS n_docs_touched
+        FROM cells c JOIN touched t
+          ON c.source_a = t.source_a AND c.source_b = t.source_b
+        ORDER BY c.source_a, c.source_b
     """,
     "q_knn_batch": """
         WITH q AS (

@@ -8193,3 +8193,105 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("syllables").cast("bigint").alias("syllables"),
         F.round(F.when(F.col("words") > 0, flesch), 4).alias("flesch"),
     ).orderBy("source")
+
+
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013): using each
+    customer's PRE-period spend (orders ≤ 1996) as the covariate for
+    the post-period metric (≥ 1997), how much experiment variance does
+    the adjustment Y − θ(X − X̄) remove?  The power-planning number an
+    A/B platform computes before every experiment — var reduction
+    equals ρ², so the report is θ, ρ, and the percentage saved.
+
+    Exact core: the five moments (n, ΣX, ΣY, ΣX², ΣXY, ΣY²) accumulate
+    as exact decimals over per-customer cent totals (operands cast to
+    decimal(12,0) BEFORE multiplying — X·Y reaches ~1e24 at 100 TB
+    customer counts); θ = (nΣXY − ΣXΣY)/(nΣX² − (ΣX)²) and
+    ρ² = (nΣXY − ΣXΣY)²/((nΣX² − (ΣX)²)(nΣY² − (ΣY)²)) close in one
+    mirrored double block.
+
+    Scale: one fact scan → per-customer conditional-sum rollup
+    (|customers| rows, map-side combined) → 1-row moment reduction."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(F.year("o_orderdate") <= 1996, cents).otherwise(0)).alias("x"),
+        F.sum(F.when(F.year("o_orderdate") >= 1997, cents).otherwise(0)).alias("y"),
+    )
+    d12 = lambda c: F.col(c).cast("decimal(12,0)")  # noqa: E731
+    m = per_cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(d12("x") * d12("x")).alias("sxx"),
+        F.sum(d12("x") * d12("y")).alias("sxy"),
+        F.sum(d12("y") * d12("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    cxy = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    theta = cxy / vx
+    rho2 = (cxy * cxy) / (vx * vy)
+    ok = (vx > 0) & (vy > 0) & (F.col("n") > 1)
+    return m.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(F.when(ok, theta), 6).alias("theta"),
+        F.round(F.when(ok, rho2), 6).alias("rho_squared"),
+        F.round(F.when(ok, 100.0 * rho2), 4).alias("var_reduction_pct"),
+    )
+
+
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources: |V_a ∩ V_b| /
+    |V_a ∪ V_b| over distinct whitespace tokens — the corpus-mixing
+    audit that says which sources are lexically redundant BEFORE
+    computing document-level near-dups (q_dedup_threshold_sweep works
+    at doc grain; this works at source grain).
+
+    Exact: set sizes and intersections are integer counts; one mirrored
+    division per pair.
+
+    Scale: one tokenize scan → DISTINCT (source, term) table; the pair
+    join fans each term to its sources² pairs (≤ |sources|² per term —
+    bounded fan, never a doc-level join); output is |sources|² rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    from lexam_data_pipeline_spark.functions.text import tokens
+
+    vocab = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a = vocab.select(F.col("source").alias("source_a"), "term")
+    b = vocab.select(F.col("source").alias("source_b"), "term")
+    common = (
+        a.join(b, "term")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("v").alias("va")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("v").alias("vb")))
+    return (
+        common.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("va").cast("bigint").alias("va"),
+            F.col("vb").cast("bigint").alias("vb"),
+            F.col("common").cast("bigint").alias("common"),
+            F.round(
+                F.col("common")
+                / (F.col("va") + F.col("vb") - F.col("common")).cast("double"),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

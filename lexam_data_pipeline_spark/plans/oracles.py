@@ -4526,3 +4526,74 @@ CORE_ORACLES["q_readability"] = """
                              / CAST(words AS DOUBLE) END, 4) AS flesch
     FROM agg ORDER BY source
 """
+
+
+CORE_ORACLES["q_cuped_adjustment"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               sum(CASE WHEN year(o_orderdate) <= 1996
+                   THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   ELSE 0 END) AS x,
+               sum(CASE WHEN year(o_orderdate) >= 1997
+                   THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   ELSE 0 END) AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    m AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM per_cust
+    ),
+    c AS (
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+               CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+               CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+        FROM m
+    ),
+    v AS (
+        SELECT n,
+               nd * sxyd - sxd * syd AS cxy,
+               nd * sxxd - sxd * sxd AS vx,
+               nd * syyd - syd * syd AS vy
+        FROM c
+    )
+    SELECT n AS n_customers,
+           round(CASE WHEN vx > 0 AND vy > 0 AND n > 1
+                 THEN cxy / vx END, 6) AS theta,
+           round(CASE WHEN vx > 0 AND vy > 0 AND n > 1
+                 THEN (cxy * cxy) / (vx * vy) END, 6) AS rho_squared,
+           round(CASE WHEN vx > 0 AND vy > 0 AND n > 1
+                 THEN 100.0 * (cxy * cxy) / (vx * vy) END, 4)
+               AS var_reduction_pct
+    FROM v
+"""
+
+CORE_ORACLES["q_vocab_overlap"] = """
+    WITH vocab AS (
+        SELECT DISTINCT source, t.term FROM (
+            SELECT source,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents
+        ) t WHERE t.term <> ''
+    ),
+    sizes AS (SELECT source, count(*) AS v FROM vocab GROUP BY source),
+    common AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS common
+        FROM vocab a JOIN vocab b
+          ON a.term = b.term AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST(sa.v AS BIGINT) AS va,
+           CAST(sb.v AS BIGINT) AS vb,
+           CAST(common AS BIGINT) AS common,
+           round(common / CAST(sa.v + sb.v - common AS DOUBLE), 6)
+               AS vocab_jaccard
+    FROM common
+    JOIN sizes sa ON source_a = sa.source
+    JOIN sizes sb ON source_b = sb.source
+    ORDER BY source_a, source_b
+"""

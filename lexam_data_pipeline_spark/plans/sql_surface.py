@@ -9,7 +9,7 @@ SQL door for a representative slice of the operator inventory, and
 rows of its DataFrame twin — both enter the same Catalyst pipeline, so
 this is an API-parity check, not a second engine.
 
-Coverage (round 7): 157 of the 170 core-oracled keys — 92% — via four
+Coverage (round 7): 159 of the 172 core-oracled keys — 92% — via four
 tiers: the hand-written texts below (dialect-specific rewrites), the
 ANSI-core keys whose oracle text runs in Spark SQL VERBATIM, the
 ported keys whose oracle text passes through the small mechanical
@@ -434,6 +434,7 @@ PORTED_KEYS: tuple[str, ...] = (
     "q_judge_agreement", "q_confusion_report", "q_mcnemar_test",
     "q_cochrans_q", "q_fleiss_kappa", "q_peak_concurrency",
     "q_quality_audit",
+    "q_cuped_adjustment", "q_vocab_overlap",
 )
 
 SQL_QUERIES.update({k: _ORACLES[k] for k in ANSI_CORE_KEYS})

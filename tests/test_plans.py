@@ -888,6 +888,34 @@ def test_readability_is_single_scan_aggregate(spark, sf_small):
     assert "Python" not in plan
 
 
+def test_cuped_is_single_scan_two_aggregates(spark, sf_small):
+    """One fact scan → per-customer conditional rollup → 1-row moment
+    reduction.  No join, no window, no Python."""
+    plan = _plan(QUERIES["q_cuped_adjustment"](spark, sf_small))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Python" not in plan
+
+
+def test_vocab_overlap_joins_distinct_term_table(spark, sf_small):
+    """The pair join runs on the DISTINCT (source, term) table (fan ≤
+    |sources|² per term), never doc rows; size tables broadcast back."""
+    plan = _plan(QUERIES["q_vocab_overlap"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_dedup_rate_by_source_broadcasts_source_map(spark, sf_small):
+    """Same df-capped inverted index as q_dedup_ngram_jaccard; the
+    doc→source map joins broadcast on both pair sides."""
+    plan = _plan(QUERIES["q_dedup_rate_by_source"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
 def test_dedup_threshold_sweep_no_cartesian_no_python(spark, sf_small):
     """The candidate pipeline is the same df-capped inverted index as
     q_dedup_ngram_jaccard (equi-join on shingle, never all-pairs); the

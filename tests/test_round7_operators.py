@@ -373,3 +373,83 @@ def test_readability_matches_regex_replica(spark, sf_small):
         ), srcname
         want = round(206.835 - 1.015 * w / st - 84.6 * sy / w, 4)
         assert abs(g["flesch"] - want) < 1e-9, srcname
+
+
+def test_cuped_matches_numpy(spark, sf_small):
+    from lexam_data_pipeline_spark.plans.fixture_queries import (
+        q_cuped_adjustment,
+    )
+
+    orders = pd.read_parquet(f"{sf_small}/orders.parquet")
+    cents = (orders["o_totalprice"].round(2) * 100).round().astype(np.int64)
+    yr = orders["o_orderdate"].dt.year
+    pc = pd.DataFrame(
+        {
+            "k": orders["o_custkey"],
+            "x": np.where(yr <= 1996, cents, 0),
+            "y": np.where(yr >= 1997, cents, 0),
+        }
+    ).groupby("k").sum()
+    x, y = pc["x"].to_numpy(float), pc["y"].to_numpy(float)
+    n = len(pc)
+    cxy = n * (x * y).sum() - x.sum() * y.sum()
+    vx = n * (x * x).sum() - x.sum() ** 2
+    vy = n * (y * y).sum() - y.sum() ** 2
+    row = q_cuped_adjustment(spark, sf_small).collect()[0]
+    assert row["n_customers"] == n
+    assert abs(row["theta"] - cxy / vx) < 1e-6
+    assert abs(row["rho_squared"] - cxy * cxy / (vx * vy)) < 1e-6
+    assert 0.0 <= row["rho_squared"] <= 1.0
+
+
+def test_vocab_overlap_matches_python_sets(spark, sf_small):
+    from lexam_data_pipeline_spark.plans.fixture_queries import q_vocab_overlap
+
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    vocab = {}
+    for _, r in docs.iterrows():
+        vocab.setdefault(r["source"], set()).update((r["text"] or "").split())
+    got = {
+        (r["source_a"], r["source_b"]): r.asDict()
+        for r in q_vocab_overlap(spark, sf_small).collect()
+    }
+    names = sorted(vocab)
+    expected_pairs = {
+        (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
+        if vocab[a] & vocab[b]
+    }
+    assert set(got) == expected_pairs
+    for (a, b), g in got.items():
+        inter = len(vocab[a] & vocab[b])
+        union = len(vocab[a] | vocab[b])
+        assert g["va"] == len(vocab[a]) and g["vb"] == len(vocab[b])
+        assert g["common"] == inter, (a, b)
+        assert abs(g["vocab_jaccard"] - round(inter / union, 6)) < 1e-9
+
+
+def test_dedup_rate_by_source_consistent_with_pair_table(spark, sf_small):
+    """Cell counts must partition the q_dedup_ngram_jaccard pair table
+    exactly, and every touched-doc count is bounded by 2·pairs."""
+    from lexam_data_pipeline_spark.ml.dedup import (
+        q_dedup_ngram_jaccard,
+        q_dedup_rate_by_source,
+    )
+
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    src = docs.set_index("doc_id")["source"].to_dict()
+    pairs = [
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in q_dedup_ngram_jaccard(spark, sf_small).collect()
+    ]
+    want = {}
+    touched = {}
+    for a, b in pairs:
+        key = tuple(sorted((src[a], src[b])))
+        want[key] = want.get(key, 0) + 1
+        touched.setdefault(key, set()).update((a, b))
+    rows = q_dedup_rate_by_source(spark, sf_small).collect()
+    got = {(r["source_a"], r["source_b"]): r for r in rows}
+    assert set(got) == set(want)
+    for key, n in want.items():
+        assert got[key]["n_pairs"] == n, key
+        assert got[key]["n_docs_touched"] == len(touched[key]), key

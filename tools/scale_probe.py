@@ -189,6 +189,10 @@ PROBES = [
     "q_davies_bouldin",
     "q_mrr_eval",
     "q_readability",
+    # round 7, fourth batch
+    "q_cuped_adjustment",
+    "q_vocab_overlap",
+    "q_dedup_rate_by_source",
 ]
 
 OFFSETS = {
