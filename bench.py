@@ -23,7 +23,10 @@ REPO_ROOT = str(Path(__file__).resolve().parent)
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
-from lexam_data_pipeline_spark.plans.registry import build_queries  # noqa: E402
+from lexam_data_pipeline_spark.plans.registry import (  # noqa: E402
+    ROUND7_KEYS,
+    build_queries,
+)
 from lexam_data_pipeline_spark.session import get_spark  # noqa: E402
 
 #: Headline set: every operator family with nontrivial execution cost.
@@ -225,29 +228,8 @@ def main() -> None:
         "q_mann_kendall",
         "q_abc_classification",
         "q_quartile_skewness",
-        "q_kruskal_wallis",
-        "q_wilcoxon_signed_rank",
-        "q_brown_forsythe",
-        "q_zipf_fit",
-        "q_confusion_report",
-        "q_mcnemar_test",
-        "q_embedding_drift",
-        "q_heaps_law",
-        "q_cochrans_q",
-        "q_embedding_outliers",
-        "q_dedup_threshold_sweep",
-        "q_welch_ttest",
-        "q_cliffs_delta",
-        "q_hellinger_distance",
-        "q_friedman_test",
-        "q_fleiss_kappa",
-        "q_silhouette_labels",
-        "q_davies_bouldin",
-        "q_mrr_eval",
-        "q_readability",
-        "q_cuped_adjustment",
-        "q_vocab_overlap",
-        "q_dedup_rate_by_source",
+        # round-7 keys come from the registry's single source of truth
+        *ROUND7_KEYS,
     ):
         if extra in queries and extra not in names:
             names.append(extra)

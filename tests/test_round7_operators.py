@@ -453,3 +453,133 @@ def test_dedup_rate_by_source_consistent_with_pair_table(spark, sf_small):
     for key, n in want.items():
         assert got[key]["n_pairs"] == n, key
         assert got[key]["n_docs_touched"] == len(touched[key]), key
+
+
+def test_ab_power_constants_and_numpy_replica(spark, sf_small):
+    """Z literals must equal the true normal quantiles (NormalDist is
+    the independent stdlib oracle), and the n_per_arm grid must match a
+    numpy replica of the formula."""
+    from statistics import NormalDist
+
+    from lexam_data_pipeline_spark.plans.fixture_queries import (
+        Z_80,
+        Z_975,
+        q_ab_power,
+    )
+
+    nd = NormalDist()
+    assert abs(Z_975 - nd.inv_cdf(0.975)) < 1e-12
+    assert abs(Z_80 - nd.inv_cdf(0.80)) < 1e-12
+
+    orders = pd.read_parquet(f"{sf_small}/orders.parquet")
+    v = (orders["o_totalprice"].round(2) * 100).round().astype(np.int64).to_numpy(float)
+    mu, var = v.mean(), v.var(ddof=1)
+    rows = q_ab_power(spark, sf_small).collect()
+    assert [r["delta"] for r in rows] == [0.01, 0.02, 0.05, 0.10]
+    for r in rows:
+        want = math.ceil(2 * (Z_975 + Z_80) ** 2 * var / (r["delta"] * mu) ** 2)
+        assert abs(r["n_per_arm"] - want) <= 1, r["delta"]
+        assert abs(r["mde_dollars"] - round(r["delta"] * mu / 100.0, 4)) < 1e-9
+    # grid sanity: quadrupling the effect quarters-ish the sample
+    n = {r["delta"]: r["n_per_arm"] for r in rows}
+    assert n[0.01] > n[0.02] > n[0.05] > n[0.10]
+
+
+def test_sampling_bias_audit_matches_python_replica(spark, sf_small):
+    import hashlib
+
+    from lexam_data_pipeline_spark.plans.fixture_queries import (
+        q_sampling_bias_audit,
+    )
+
+    orders = pd.read_parquet(f"{sf_small}/orders.parquet")
+    sampled = orders["o_orderkey"].map(
+        lambda k: hashlib.md5(str(k).encode()).hexdigest()[:4] < "1999"
+    )
+    full = orders.groupby("o_orderpriority").size()
+    samp = orders[sampled].groupby("o_orderpriority").size()
+    nt, st = int(full.sum()), int(samp.sum())
+    got = {r["priority"]: r.asDict() for r in q_sampling_bias_audit(spark, sf_small).collect()}
+    assert set(got) == set(full.index)
+    total_chi2 = 0.0
+    for p in full.index:
+        g = got[p]
+        obs = int(samp.get(p, 0))
+        assert g["n_full"] == int(full[p]) and g["n_sampled"] == obs
+        want = (obs * nt - int(full[p]) * st) ** 2 / (nt * int(full[p]) * st)
+        assert abs(g["chi2_contrib"] - round(want, 6)) < 1e-9, p
+        total_chi2 += want
+    # the md5 rule should not be grossly biased: chi2 under the df=4
+    # 99.9% critical value (18.47)
+    assert total_chi2 < 18.47
+
+
+def test_cluster_size_dist_partitions_the_corpus(spark, sf_small):
+    from lexam_data_pipeline_spark.plans.fixture_queries import (
+        q_cluster_size_dist,
+    )
+
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    n = len(docs)
+    rows = q_cluster_size_dist(spark, sf_small).collect()
+    for grain in ("exact", "template"):
+        sub = [r for r in rows if r["grain"] == grain]
+        assert sub, grain
+        assert sum(r["n_docs"] for r in sub) == n  # bands partition corpus
+        assert abs(sum(r["doc_share"] for r in sub) - 1.0) < 1e-4
+        for r in sub:
+            assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+    # independent replica of the template grain with pandas
+    tmpl = docs["text"].fillna("").str[:40]
+    sizes = tmpl.groupby(tmpl).size().value_counts().to_dict()
+    got_t = {
+        r["cluster_size"]: r["n_clusters"] for r in rows if r["grain"] == "template"
+    }
+    assert got_t == {int(k): int(v) for k, v in sizes.items()}
+
+
+def test_embedding_quant_scale_pinned_everywhere():
+    """The DuckDB oracle texts and the Spark SQL hand ports are strings
+    and cannot import functions/embeddings.QUANT_SCALE — pin their
+    literals to the shared constant so a scale change cannot silently
+    diverge the engines (round-7 review)."""
+    from lexam_data_pipeline_spark.functions.embeddings import QUANT_SCALE
+    from lexam_data_pipeline_spark.plans.oracles import CORE_ORACLES
+    from lexam_data_pipeline_spark.plans.sql_surface import SQL_QUERIES
+
+    lit = repr(QUANT_SCALE)  # '1000000.0'
+    for k in (
+        "q_embedding_drift",
+        "q_embedding_outliers",
+        "q_silhouette_labels",
+        "q_davies_bouldin",
+    ):
+        assert lit in CORE_ORACLES[k], f"oracle {k} quantizes at a different scale"
+        assert lit in SQL_QUERIES[k], f"SQL port {k} quantizes at a different scale"
+
+
+def test_round7_keys_are_benched_and_probed():
+    """Every round-7 key must reach the bench and the scale probe via
+    the registry's single exported tuple — a new key can no longer ship
+    unbenched/unprobed by forgetting a hand-copied list entry."""
+    import importlib.util
+    from pathlib import Path
+
+    from lexam_data_pipeline_spark.plans.registry import (
+        DRIVER_PRIORITY,
+        ROUND7_KEYS,
+    )
+
+    assert len(ROUND7_KEYS) == 26
+    assert ROUND7_KEYS == DRIVER_PRIORITY[:26]
+    repo = Path(__file__).resolve().parent.parent
+    probe_src = (repo / "tools" / "scale_probe.py").read_text()
+    bench_src = (repo / "bench.py").read_text()
+    assert "*ROUND7_KEYS" in probe_src
+    assert "*ROUND7_KEYS" in bench_src
+    spec = importlib.util.spec_from_file_location(
+        "scale_probe", repo / "tools" / "scale_probe.py"
+    )
+    sp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sp)
+    assert set(ROUND7_KEYS) <= set(sp.PROBES)

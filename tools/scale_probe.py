@@ -24,7 +24,10 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 from lexam_data_pipeline_spark.catalog import load_table  # noqa: E402
-from lexam_data_pipeline_spark.plans.registry import build_queries  # noqa: E402
+from lexam_data_pipeline_spark.plans.registry import (  # noqa: E402
+    ROUND7_KEYS,
+    build_queries,
+)
 from lexam_data_pipeline_spark.session import get_spark  # noqa: E402
 
 BASE_SF = "/root/testdata/sf0.1"
@@ -166,33 +169,8 @@ PROBES = [
     "q_mann_kendall",
     "q_abc_classification",
     "q_quartile_skewness",
-    # round 7 additions
-    "q_kruskal_wallis",
-    "q_wilcoxon_signed_rank",
-    "q_brown_forsythe",
-    "q_zipf_fit",
-    "q_confusion_report",
-    "q_mcnemar_test",
-    "q_embedding_drift",
-    # round 7, second batch
-    "q_heaps_law",
-    "q_cochrans_q",
-    "q_embedding_outliers",
-    "q_dedup_threshold_sweep",
-    # round 7, third batch
-    "q_welch_ttest",
-    "q_cliffs_delta",
-    "q_hellinger_distance",
-    "q_friedman_test",
-    "q_fleiss_kappa",
-    "q_silhouette_labels",
-    "q_davies_bouldin",
-    "q_mrr_eval",
-    "q_readability",
-    # round 7, fourth batch
-    "q_cuped_adjustment",
-    "q_vocab_overlap",
-    "q_dedup_rate_by_source",
+    # round-7 keys come from the registry's single source of truth
+    *ROUND7_KEYS,
 ]
 
 OFFSETS = {
