@@ -8369,12 +8369,17 @@ def q_sampling_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority",
         F.col("n_full").cast("bigint").alias("n_full"),
         F.col("n_sampled").cast("bigint").alias("n_sampled"),
-        F.round(F.col("n_full") / F.col("nt").cast("double"), 6).alias(
-            "full_share"
-        ),
-        F.round(F.col("n_sampled") / F.col("st").cast("double"), 6).alias(
-            "sampled_share"
-        ),
+        F.round(
+            F.col("n_full") / F.nullif(F.col("nt").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("full_share"),
+        # a world where NO key hashes under the threshold (tiny/constant
+        # corpora) must yield NULL shares, not a divide-by-zero
+        F.round(
+            F.col("n_sampled")
+            / F.nullif(F.col("st").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("sampled_share"),
         F.round(
             F.when(
                 den > 0, (num * num).cast("double") / den

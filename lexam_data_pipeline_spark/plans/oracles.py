@@ -4644,8 +4644,9 @@ CORE_ORACLES["q_sampling_bias_audit"] = """
     SELECT priority,
            CAST(n_full AS BIGINT) AS n_full,
            CAST(n_sampled AS BIGINT) AS n_sampled,
-           round(n_full / CAST(nt AS DOUBLE), 6) AS full_share,
-           round(n_sampled / CAST(st AS DOUBLE), 6) AS sampled_share,
+           round(n_full / nullif(CAST(nt AS DOUBLE), 0.0), 6) AS full_share,
+           round(n_sampled / nullif(CAST(st AS DOUBLE), 0.0), 6)
+               AS sampled_share,
            round(CASE WHEN CAST(nt AS DOUBLE) * n_full * st > 0
                  THEN CAST((CAST(n_sampled AS HUGEINT) * nt
                             - CAST(n_full AS HUGEINT) * st)

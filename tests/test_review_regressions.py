@@ -494,3 +494,50 @@ class TestD18Ceiling:
         # linear in SF: 1e12 here would already be 1e18 at sf1e5 — keep
         # ~6 orders of fixture-scale headroom for the 100 TB budget
         assert daily_max < 1e12
+
+
+class TestD12Ceiling:
+    """_d12 backs TRIPLE products (d12·d12·d12 lands exactly at the
+    38-digit cap), so each operand must stay below 1e12.  Assert the
+    sf0.1 maxima of the triple-product operand families so a future
+    reuse on a larger-magnitude column trips a test, not a silent NULL
+    drop (round-7 review; the _d18 pattern above)."""
+
+    SF = "/root/testdata/sf0.1"
+
+    def test_cent_values_far_below_ceiling(self, spark):
+        """q_welch_ttest / q_ab_power multiply per-value cents twice:
+        the largest single order in cents must clear 1e12 with wide
+        margin (order values don't grow with corpus size)."""
+        from lexam_data_pipeline_spark.catalog import load_table
+
+        max_cents = (
+            load_table(spark, self.SF, "orders")
+            .agg(
+                F.max(
+                    (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                        "bigint"
+                    )
+                )
+            )
+            .collect()[0][0]
+        )
+        assert max_cents < 1e9  # 3 orders of headroom, SF-invariant
+
+    def test_per_customer_era_cents_below_ceiling(self, spark):
+        """q_cuped_adjustment multiplies per-customer era totals: the
+        largest pre/post total must clear 1e12.  Grows with orders per
+        customer (bounded), not with customer count."""
+        from lexam_data_pipeline_spark.catalog import load_table
+
+        cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+            "bigint"
+        )
+        m = (
+            load_table(spark, self.SF, "orders")
+            .groupBy("o_custkey")
+            .agg(F.sum(cents).alias("t"))
+            .agg(F.max("t"))
+            .collect()[0][0]
+        )
+        assert m < 1e10  # 2 orders of headroom vs the 1e12 operand cap
