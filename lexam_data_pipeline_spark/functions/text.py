@@ -64,3 +64,34 @@ def avg_word_len(toks: Column) -> Column:
 def stopword_ratio(toks: Column, stopwords: tuple[str, ...]) -> Column:
     hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
     return hits / F.size(toks)
+
+
+def readability_counts(docs: "DataFrame") -> "DataFrame":  # noqa: F821
+    """Per-source (n_docs, words, sentences, syllables) integer sums —
+    the shared sufficient statistic of q_readability
+    (plans.fixture_queries) and the streaming maintainer
+    (streaming/textstats.py).  One definition so the regexes and the
+    per-word syllable floor cannot diverge between the batch key and
+    the fold (the functions/embeddings.py pattern).  Words are
+    non-space runs, sentences [.!?]+ runs floored at 1 per document,
+    syllables vowel-run counts floored at one per word."""
+    words = F.coalesce(F.regexp_count(F.col("text"), F.lit(r"\S+")), F.lit(0))
+    sents = F.greatest(
+        F.coalesce(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(0)),
+        F.lit(1),
+    )
+    vruns = F.coalesce(
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")), F.lit(0)
+    )
+    per_doc = docs.select(
+        "source",
+        words.alias("w"),
+        sents.alias("st"),
+        F.greatest(vruns, words).alias("sy"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("words"),
+        F.sum("st").alias("sentences"),
+        F.sum("sy").alias("syllables"),
+    )

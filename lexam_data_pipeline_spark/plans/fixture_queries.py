@@ -8142,27 +8142,9 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer totals.
 
     Scale: ONE documents scan, one map-side-combined aggregate."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = F.coalesce(F.regexp_count(F.col("text"), F.lit(r"\S+")), F.lit(0))
-    sents = F.greatest(
-        F.coalesce(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(0)),
-        F.lit(1),
-    )
-    vruns = F.coalesce(
-        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")), F.lit(0)
-    )
-    per_doc = docs.select(
-        "source",
-        words.alias("w"),
-        sents.alias("st"),
-        F.greatest(vruns, words).alias("sy"),
-    )
-    agg = per_doc.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("w").alias("words"),
-        F.sum("st").alias("sentences"),
-        F.sum("sy").alias("syllables"),
-    )
+    from lexam_data_pipeline_spark.functions.text import readability_counts
+
+    agg = readability_counts(load_table(spark, sf_dir, "documents"))
     wd = F.col("words").cast("double")
     flesch = (
         F.lit(206.835)
