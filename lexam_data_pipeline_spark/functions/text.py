@@ -71,10 +71,13 @@ def readability_counts(docs: "DataFrame") -> "DataFrame":  # noqa: F821
     the shared sufficient statistic of q_readability
     (plans.fixture_queries) and the streaming maintainer
     (streaming/textstats.py).  One definition so the regexes and the
-    per-word syllable floor cannot diverge between the batch key and
-    the fold (the functions/embeddings.py pattern).  Words are
-    non-space runs, sentences [.!?]+ runs floored at 1 per document,
-    syllables vowel-run counts floored at one per word."""
+    syllable floor cannot diverge between the batch key and the fold
+    (the functions/embeddings.py pattern).  Words are non-space runs,
+    sentences [.!?]+ runs floored at 1 per document, syllables
+    vowel-run counts floored at the DOCUMENT level (per-doc syllables
+    ≥ per-doc words via greatest(vowel_runs, words)); a vowel-rich
+    word can therefore offset a vowel-less one, which a true per-word
+    floor would not allow."""
     words = F.coalesce(F.regexp_count(F.col("text"), F.lit(r"\S+")), F.lit(0))
     sents = F.greatest(
         F.coalesce(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(0)),

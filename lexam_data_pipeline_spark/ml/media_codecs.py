@@ -1171,12 +1171,14 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     width = min_code_size + 1
     emit(clear, width)
     run = b""
+    first_since_clear = True  # decoder inserts no entry for this code
     for b in indices:
         cand = run + bytes([b])
         if cand in table:
             run = cand
             continue
         emit(table[run], width)
+        first_since_clear = False
         table[cand] = next_code
         next_code += 1
         if next_code - 1 == (1 << width) and width < 12:
@@ -1186,9 +1188,20 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
             table = reset()
             next_code = eoi + 1
             width = min_code_size + 1
+            first_since_clear = True
         run = bytes([b])
     if run:
         emit(table[run], width)
+        # The decoder inserts an implied table entry for this final data
+        # code (unless it is the first code after a clear) and may bump
+        # its read width BEFORE reading EOI; mirror that bookkeeping so
+        # EOI is emitted at the decoder's width instead of relying on
+        # LSB-first zero padding to keep the extra high bit 0
+        # (round-7 advice).
+        if not first_since_clear and next_code < 4096:
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)

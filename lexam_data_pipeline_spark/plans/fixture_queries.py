@@ -8132,7 +8132,8 @@ def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease per source with a deterministic syllable
-    proxy (vowel-run count, floored at one per word) — the classic
+    proxy (vowel-run count, floored at the document level: per-doc
+    syllables ≥ per-doc words — see functions/text.py) — the classic
     quality-scoring signal a curation pipeline buckets sources by
     (SURVEY text-analysis tier; the reference computes no text metrics).
 
@@ -8420,3 +8421,269 @@ def q_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grain", "cluster_size")
     )
+
+
+# ─── round 8: serving-endpoint composites driven end-to-end on fixtures ─────
+
+
+def _lexam_projection(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic LEXam-shaped (questions, variants) projection of the
+    ``documents`` fixture — the shared input of the three round-8
+    serving-parity keys (q_questions_page, q_search_top_courses,
+    q_dashboard_suite), extending q_course_summary's derivation with the
+    columns the listing/dashboard endpoints touch.
+
+    Derivation rules (mirrored verbatim in the oracle CTE — see
+    plans.oracles._LEXAM_Q_V_CTE):
+
+    * id = lpad(doc_id, 8, '0') — zero-padded so the STRING tiebreak
+      sort equals numeric order in both engines
+    * question = text; course = source; language = lang
+    * area = AREAS[len(course) mod 4] (functionally dependent on course)
+    * jurisdiction = JURISDICTIONS[doc_id mod 3]
+    * year = 2000 + doc_id mod 24
+    * international = NULL when doc_id mod 11 = 0 (genuine 3-valued
+      booleans for the P3 filter), else doc_id mod 7 = 0
+    * variant 1: id = doc_id*10, config = CONFIGS[doc_id mod 5] (four
+      MCQ sizes + open_question), split by doc_id parity; open variants
+      carry answer = substr(text, 1, 80), MCQ variants carry gold =
+      doc_id mod 4 and a fixed 4-letter choices array
+    * docs with doc_id mod 3 = 0 add an open_question/test variant
+      (id = doc_id*10+1) whose answer is prefixed 'merge-audit ' — so
+      the answer-side search EXISTS genuinely widens the match set
+
+    One documents scan produces BOTH frames; variants are a 1-or-2
+    exploded per-doc array, not a union of two scans."""
+    from lexam_data_pipeline_spark.serving.dashboard import (
+        AREAS,
+        JURISDICTIONS,
+        MCQ_CONFIGS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    areas = F.array(*[F.lit(a) for a in AREAS])
+    juris = F.array(*[F.lit(j) for j in JURISDICTIONS])
+    configs = F.array(*[F.lit(c) for c in (*MCQ_CONFIGS, "open_question")])
+    qid = F.lpad(F.col("doc_id").cast("string"), 8, "0")
+    questions = docs.select(
+        qid.alias("id"),
+        F.col("text").alias("question"),
+        F.col("source").alias("course"),
+        F.col("lang").alias("language"),
+        F.element_at(areas, (F.length("source") % 4 + 1).cast("int")).alias("area"),
+        F.element_at(juris, (F.col("doc_id") % 3 + 1).cast("int")).alias(
+            "jurisdiction"
+        ),
+        (F.col("doc_id") % 24 + 2000).cast("int").alias("year"),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit(None).cast("boolean")
+        )
+        .otherwise(F.col("doc_id") % 7 == 0)
+        .alias("international"),
+    )
+    is_open1 = F.col("doc_id") % 5 == 4
+    v1 = F.struct(
+        (F.col("doc_id") * 10).alias("id"),
+        F.element_at(configs, (F.col("doc_id") % 5 + 1).cast("int")).alias(
+            "config"
+        ),
+        F.when(F.col("doc_id") % 2 == 0, "dev").otherwise("test").alias("split"),
+        F.when(is_open1, F.lit(None).cast("array<string>"))
+        .otherwise(F.array(F.lit("A"), F.lit("B"), F.lit("C"), F.lit("D")))
+        .alias("choices"),
+        F.when(is_open1, F.lit(None).cast("int"))
+        .otherwise((F.col("doc_id") % 4).cast("int"))
+        .alias("gold"),
+        F.when(is_open1, F.substring("text", 1, 80)).alias("answer"),
+    )
+    v2 = F.struct(
+        (F.col("doc_id") * 10 + 1).alias("id"),
+        F.lit("open_question").alias("config"),
+        F.lit("test").alias("split"),
+        F.lit(None).cast("array<string>").alias("choices"),
+        F.lit(None).cast("int").alias("gold"),
+        F.concat(F.lit("merge-audit "), F.substring("text", 11, 60)).alias(
+            "answer"
+        ),
+    )
+    variants = docs.select(
+        qid.alias("question_id"),
+        F.explode(
+            F.when(F.col("doc_id") % 3 == 0, F.array(v1, v2)).otherwise(
+                F.array(v1)
+            )
+        ).alias("v"),
+    ).select(
+        "v.id", "question_id", "v.config", "v.split", "v.choices", "v.gold", "v.answer"
+    )
+    return questions, variants
+
+
+def q_questions_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The questions-listing endpoint (ref backend/app/main.py:155-220)
+    driven END-TO-END through serving.questions.questions_page on the
+    fixture projection: IN-list + 3-valued-boolean filters (P2/P3),
+    variant-side semi-join restriction (P7/J6), substring search over
+    question text OR any variant answer (P4 + correlated EXISTS J4),
+    year-desc sort with the stable id tiebreak (O1), offset/limit
+    pagination (O2), and per-question nested variants (J2) — the same
+    code path tests/test_serving.py drives, now with a DuckDB oracle.
+
+    The nested array<struct> is serialized to one deterministic string
+    per question (variants sorted by variant id — array_sort on the
+    id-first struct) so the driver's column-hash can compare it; the
+    page's total count rides along as a literal column.
+
+    Scale: the deep work is the filtered scan; the global sort ships
+    only the page keys (limit ≤ 200 by the endpoint's cap) and variant
+    nesting joins the ≤60-row page broadcast-side (see
+    serving/questions.py scale notes)."""
+    from lexam_data_pipeline_spark.serving.questions import questions_page
+
+    questions, variants = _lexam_projection(spark, sf_dir)
+    page = questions_page(
+        questions,
+        variants,
+        fc={
+            "area": ["Private", "Public"],
+            "config": ["open_question"],
+            "international": False,
+        },
+        search="merge",
+        sort_by="year",
+        sort_dir="desc",
+        offset=7,
+        limit=60,
+    )
+    repr_v = F.array_join(
+        F.transform(
+            "variants",
+            lambda v: F.concat_ws(
+                "~",
+                v["id"].cast("string"),
+                v["config"],
+                v["split"],
+                F.coalesce(v["gold"].cast("string"), F.lit("-")),
+                F.coalesce(v["answer"], F.lit("-")),
+            ),
+        ),
+        "|",
+    )
+    return page.rows.select(
+        F.lit(page.total).cast("bigint").alias("total"),
+        "id",
+        "course",
+        "area",
+        "jurisdiction",
+        "year",
+        "language",
+        F.size("variants").cast("int").alias("n_variants"),
+        repr_v.alias("variants_repr"),
+    )
+
+
+def q_search_top_courses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The search-suggestions endpoint (O3, ref main.py:531-543): top-10
+    courses by match count for a term, searched case-insensitively over
+    question text OR any variant answer, deterministic via the course
+    tiebreak — end-to-end through serving.questions.top_courses_for_search.
+
+    Scale: one filtered scan + a |courses|-row aggregate; the top-10 is
+    a TakeOrdered over group counts, never a full sort."""
+    from lexam_data_pipeline_spark.serving.questions import top_courses_for_search
+
+    questions, variants = _lexam_projection(spark, sf_dir)
+    return top_courses_for_search(questions, variants, "scan", 10).select(
+        "course", F.col("n_matches").cast("bigint").alias("n_matches")
+    )
+
+
+def q_dashboard_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 9-aggregate dashboard endpoint (ref main.py:311-459) driven
+    END-TO-END through serving.dashboard.dashboard with a config
+    restriction active, flattened to ONE long-format DataFrame
+    (section, key, metric, value_num, value_str) so the whole suite is
+    a single driver-oracled result: total, per-course counts with
+    conditional language splits (A10), area/jurisdiction counts, the
+    year×area pivot with row totals (A9), split shares (A4+A15), two
+    more pivots, the fixed-bin answer-length histogram densified to
+    empty bins (A8), and per-area word-count stats with the exact
+    median (A7).
+
+    Every aggregate is a job off ONE persisted filtered base (the
+    reference runs ~9 separate Postgres round-trips); the flatten is a
+    union of constant-width projections, so the long format adds no
+    shuffle beyond each section's own group keys."""
+    from lexam_data_pipeline_spark.serving.dashboard import dashboard
+
+    questions, variants = _lexam_projection(spark, sf_dir)
+    d = dashboard(
+        questions, variants, configs=["mcq_4_choices", "open_question"]
+    )
+
+    def flat(
+        section: str,
+        df: DataFrame,
+        key,
+        nums: tuple[str, ...] = (),
+        strs: tuple[str, ...] = (),
+    ) -> DataFrame:
+        out = None
+        for m in nums:
+            part = df.select(
+                F.lit(section).alias("section"),
+                key.cast("string").alias("key"),
+                F.lit(m).alias("metric"),
+                F.col(m).cast("double").alias("value_num"),
+                F.lit(None).cast("string").alias("value_str"),
+            )
+            out = part if out is None else out.unionByName(part)
+        for m in strs:
+            part = df.select(
+                F.lit(section).alias("section"),
+                key.cast("string").alias("key"),
+                F.lit(m).alias("metric"),
+                F.lit(None).cast("double").alias("value_num"),
+                F.col(m).cast("string").alias("value_str"),
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    from lexam_data_pipeline_spark.serving.dashboard import (
+        AREAS,
+        JURISDICTIONS,
+        LANGUAGES,
+    )
+
+    parts = [
+        flat("total", d["total_questions"], F.lit("all"), ("total_questions",)),
+        flat(
+            "courses",
+            d["courses"],
+            F.col("course"),
+            ("count", "lang_de", "lang_en"),
+            ("area",),
+        ),
+        flat("areas", d["areas"], F.col("name"), ("value",)),
+        flat("jurisdictions", d["jurisdictions"], F.col("name"), ("value",)),
+        flat("years", d["years"], F.col("year"), (*AREAS, "total")),
+        flat("splits", d["splits"], F.col("name"), ("value",), ("pct",)),
+        flat(
+            "area_jurisdiction",
+            d["area_jurisdiction"],
+            F.col("area"),
+            tuple(JURISDICTIONS),
+        ),
+        flat("lang_area", d["lang_area"], F.col("area"), tuple(LANGUAGES)),
+        flat("answer_lengths", d["answer_lengths"], F.col("range"), ("count",)),
+        flat(
+            "answer_stats",
+            d["answer_stats"],
+            F.col("area"),
+            ("avgWords", "medianWords", "minWords", "maxWords"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -3955,6 +3955,17 @@ _LANG_ID_CTE = """
         )
 """
 
+
+def _lang_cte_with_doc_id(cte: str = _LANG_ID_CTE) -> str:
+    """The pred CTE's select list gains ``doc_id`` for per-doc consumers
+    (q_fleiss_kappa, q_cochrans_q).  A loud assertion instead of a silent
+    string-replace no-op: any whitespace or column reordering in
+    _LANG_ID_CTE would otherwise surface only at oracle run time as a
+    missing doc_id column (round-7 advice)."""
+    anchor = "SELECT lang,"
+    assert cte.count(anchor) == 1, "pred select-list anchor drifted in _LANG_ID_CTE"
+    return cte.replace(anchor, "SELECT doc_id, lang,")
+
 CORE_ORACLES["q_confusion_report"] = f"""
     WITH {_LANG_ID_CTE},
     cells AS (
@@ -4095,7 +4106,7 @@ CORE_ORACLES["q_heaps_law"] = """
 """
 
 CORE_ORACLES["q_cochrans_q"] = f"""
-    WITH {_LANG_ID_CTE.replace("SELECT lang,", "SELECT doc_id, lang,")},
+    WITH {_lang_cte_with_doc_id()},
     base AS (
         SELECT p.doc_id, p.lang, p.predicted_lang, d.source
         FROM pred p JOIN documents d ON p.doc_id = d.doc_id
@@ -4322,7 +4333,7 @@ CORE_ORACLES["q_friedman_test"] = """
 """
 
 CORE_ORACLES["q_fleiss_kappa"] = f"""
-    WITH {_LANG_ID_CTE.replace("SELECT lang,", "SELECT doc_id, lang,")},
+    WITH {_lang_cte_with_doc_id()},
     base AS (
         SELECT p.doc_id, p.lang, p.predicted_lang, d.source
         FROM pred p JOIN documents d ON p.doc_id = d.doc_id
@@ -4685,4 +4696,206 @@ CORE_ORACLES["q_cluster_size_dist"] = """
                AS doc_share
     FROM dist d JOIN total t ON d.grain = t.grain
     ORDER BY d.grain, cluster_size
+"""
+
+
+# ─── round 8: serving-endpoint composites (questions page, search
+# suggestions, dashboard suite) on the shared LEXam fixture projection ──────
+
+#: DuckDB twin of plans.fixture_queries._lexam_projection — derivation
+#: rules documented there; any change must land in BOTH texts.
+_LEXAM_Q_V_CTE = """
+    q AS (
+        SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id,
+               text AS question, source AS course, lang AS language,
+               (['Private', 'Public', 'Criminal', 'Interdisciplinary'])
+                   [(length(source) % 4) + 1] AS area,
+               (['Swiss', 'International', 'Generic'])[(doc_id % 3) + 1]
+                   AS jurisdiction,
+               CAST(2000 + doc_id % 24 AS INT) AS year,
+               CASE WHEN doc_id % 11 = 0 THEN NULL
+                    ELSE doc_id % 7 = 0 END AS international
+        FROM documents
+    ),
+    v AS (
+        SELECT doc_id * 10 AS id,
+               lpad(CAST(doc_id AS VARCHAR), 8, '0') AS question_id,
+               (['mcq_4_choices', 'mcq_8_choices', 'mcq_16_choices',
+                 'mcq_32_choices', 'open_question'])[(doc_id % 5) + 1]
+                   AS config,
+               CASE WHEN doc_id % 2 = 0 THEN 'dev' ELSE 'test' END AS split,
+               CASE WHEN doc_id % 5 = 4 THEN NULL
+                    ELSE CAST(doc_id % 4 AS INT) END AS gold,
+               CASE WHEN doc_id % 5 = 4 THEN substr(text, 1, 80) END AS answer
+        FROM documents
+        UNION ALL
+        SELECT doc_id * 10 + 1, lpad(CAST(doc_id AS VARCHAR), 8, '0'),
+               'open_question', 'test', NULL,
+               concat('merge-audit ', substr(text, 11, 60))
+        FROM documents WHERE doc_id % 3 = 0
+    )
+"""
+
+CORE_ORACLES["q_questions_page"] = f"""
+    WITH {_LEXAM_Q_V_CTE},
+    filtered AS (
+        SELECT q.* FROM q
+        WHERE q.area IN ('Private', 'Public')
+          AND q.international = false
+          AND EXISTS (SELECT 1 FROM v WHERE v.question_id = q.id
+                      AND v.config = 'open_question')
+          AND (lower(q.question) LIKE '%merge%'
+               OR EXISTS (SELECT 1 FROM v WHERE v.question_id = q.id
+                          AND lower(v.answer) LIKE '%merge%'))
+    ),
+    page AS (
+        SELECT *, count(*) OVER () AS total
+        FROM filtered
+        ORDER BY year DESC, id ASC
+        LIMIT 60 OFFSET 7
+    ),
+    nested AS (
+        SELECT question_id,
+               count(*) AS n_variants,
+               string_agg(
+                   concat_ws('~', CAST(id AS VARCHAR), config, split,
+                             coalesce(CAST(gold AS VARCHAR), '-'),
+                             coalesce(answer, '-')),
+                   '|' ORDER BY id) AS variants_repr
+        FROM v GROUP BY question_id
+    )
+    SELECT CAST(p.total AS BIGINT) AS total, p.id, p.course, p.area,
+           p.jurisdiction, p.year, p.language,
+           CAST(coalesce(n.n_variants, 0) AS INT) AS n_variants,
+           coalesce(n.variants_repr, '') AS variants_repr
+    FROM page p LEFT JOIN nested n ON n.question_id = p.id
+"""
+
+CORE_ORACLES["q_search_top_courses"] = f"""
+    WITH {_LEXAM_Q_V_CTE},
+    matched AS (
+        SELECT q.course FROM q
+        WHERE lower(q.question) LIKE '%scan%'
+           OR EXISTS (SELECT 1 FROM v WHERE v.question_id = q.id
+                      AND lower(v.answer) LIKE '%scan%')
+    )
+    SELECT course, CAST(count(*) AS BIGINT) AS n_matches
+    FROM matched GROUP BY course
+    ORDER BY n_matches DESC, course ASC
+    LIMIT 10
+"""
+
+CORE_ORACLES["q_dashboard_suite"] = f"""
+    WITH {_LEXAM_Q_V_CTE},
+    qr AS (
+        SELECT q.* FROM q
+        JOIN (SELECT DISTINCT question_id AS id FROM v
+              WHERE config IN ('mcq_4_choices', 'open_question')) s
+        USING (id)
+    ),
+    vr AS (
+        SELECT * FROM v WHERE config IN ('mcq_4_choices', 'open_question')
+    ),
+    c AS (
+        SELECT course, max(area) AS area, count(*) AS cnt,
+               sum(CASE WHEN language = 'de' THEN 1 ELSE 0 END) AS lang_de,
+               sum(CASE WHEN language <> 'de' THEN 1 ELSE 0 END) AS lang_en
+        FROM qr GROUP BY course
+    ),
+    y AS (
+        SELECT year,
+               sum(CASE WHEN area = 'Private' THEN 1 ELSE 0 END) AS a_private,
+               sum(CASE WHEN area = 'Public' THEN 1 ELSE 0 END) AS a_public,
+               sum(CASE WHEN area = 'Criminal' THEN 1 ELSE 0 END) AS a_criminal,
+               sum(CASE WHEN area = 'Interdisciplinary' THEN 1 ELSE 0 END)
+                   AS a_inter,
+               count(*) AS total
+        FROM qr GROUP BY year
+    ),
+    sc AS (
+        SELECT split, count(DISTINCT question_id) AS val FROM vr GROUP BY split
+    ),
+    st AS (SELECT count(DISTINCT question_id) AS tot FROM vr),
+    aj AS (
+        SELECT area,
+               sum(CASE WHEN jurisdiction = 'Swiss' THEN 1 ELSE 0 END) AS j_sw,
+               sum(CASE WHEN jurisdiction = 'International' THEN 1 ELSE 0 END)
+                   AS j_in,
+               sum(CASE WHEN jurisdiction = 'Generic' THEN 1 ELSE 0 END) AS j_ge,
+               sum(CASE WHEN language = 'de' THEN 1 ELSE 0 END) AS l_de,
+               sum(CASE WHEN language = 'en' THEN 1 ELSE 0 END) AS l_en
+        FROM qr GROUP BY area
+    ),
+    oa AS (
+        SELECT len(regexp_extract_all(vv.answer, '\\S+')) AS wc, q2.area
+        FROM vr vv JOIN qr q2 ON vv.question_id = q2.id
+        WHERE vv.config = 'open_question' AND vv.answer IS NOT NULL
+    ),
+    bins AS (
+        SELECT * FROM (VALUES
+            (0, 50, '< 50 words'), (50, 100, '50–100'), (100, 200, '100–200'),
+            (200, 400, '200–400'), (400, 600, '400–600'), (600, NULL, '600+')
+        ) AS t(lo, hi, label)
+    ),
+    counted AS (
+        SELECT b.label, count(*) AS cnt
+        FROM oa JOIN bins b
+          ON oa.wc >= b.lo AND (b.hi IS NULL OR oa.wc < b.hi)
+        GROUP BY b.label
+    ),
+    ast AS (
+        SELECT area,
+               CAST(round(avg(wc)) AS INT) AS avg_w,
+               CAST(round(quantile_cont(wc, 0.5)) AS INT) AS med_w,
+               CAST(min(wc) AS INT) AS min_w, CAST(max(wc) AS INT) AS max_w
+        FROM oa GROUP BY area
+    )
+    SELECT 'total' AS section, 'all' AS "key", 'total_questions' AS metric,
+           CAST(count(*) AS DOUBLE) AS value_num,
+           CAST(NULL AS VARCHAR) AS value_str
+    FROM qr
+    UNION ALL SELECT 'courses', course, 'count', CAST(cnt AS DOUBLE), NULL FROM c
+    UNION ALL SELECT 'courses', course, 'lang_de', CAST(lang_de AS DOUBLE), NULL FROM c
+    UNION ALL SELECT 'courses', course, 'lang_en', CAST(lang_en AS DOUBLE), NULL FROM c
+    UNION ALL SELECT 'courses', course, 'area', NULL, area FROM c
+    UNION ALL SELECT 'areas', area, 'value', CAST(count(*) AS DOUBLE), NULL
+              FROM qr GROUP BY area
+    UNION ALL SELECT 'jurisdictions', jurisdiction, 'value',
+                     CAST(count(*) AS DOUBLE), NULL
+              FROM qr GROUP BY jurisdiction
+    UNION ALL SELECT 'years', CAST(year AS VARCHAR), 'Private',
+                     CAST(a_private AS DOUBLE), NULL FROM y
+    UNION ALL SELECT 'years', CAST(year AS VARCHAR), 'Public',
+                     CAST(a_public AS DOUBLE), NULL FROM y
+    UNION ALL SELECT 'years', CAST(year AS VARCHAR), 'Criminal',
+                     CAST(a_criminal AS DOUBLE), NULL FROM y
+    UNION ALL SELECT 'years', CAST(year AS VARCHAR), 'Interdisciplinary',
+                     CAST(a_inter AS DOUBLE), NULL FROM y
+    UNION ALL SELECT 'years', CAST(year AS VARCHAR), 'total',
+                     CAST(total AS DOUBLE), NULL FROM y
+    UNION ALL SELECT 'splits', split, 'value', CAST(val AS DOUBLE), NULL FROM sc
+    UNION ALL SELECT 'splits', split, 'pct', NULL,
+                     concat(CAST(CAST(round(CAST(val AS DOUBLE)
+                                            / CAST(tot AS DOUBLE) * 100)
+                                      AS INT) AS VARCHAR), '%')
+              FROM sc, st
+    UNION ALL SELECT 'area_jurisdiction', area, 'Swiss', CAST(j_sw AS DOUBLE),
+                     NULL FROM aj
+    UNION ALL SELECT 'area_jurisdiction', area, 'International',
+                     CAST(j_in AS DOUBLE), NULL FROM aj
+    UNION ALL SELECT 'area_jurisdiction', area, 'Generic',
+                     CAST(j_ge AS DOUBLE), NULL FROM aj
+    UNION ALL SELECT 'lang_area', area, 'de', CAST(l_de AS DOUBLE), NULL FROM aj
+    UNION ALL SELECT 'lang_area', area, 'en', CAST(l_en AS DOUBLE), NULL FROM aj
+    UNION ALL SELECT 'answer_lengths', b.label, 'count',
+                     CAST(coalesce(ct.cnt, 0) AS DOUBLE), NULL
+              FROM bins b LEFT JOIN counted ct ON b.label = ct.label
+    UNION ALL SELECT 'answer_stats', area, 'avgWords', CAST(avg_w AS DOUBLE),
+                     NULL FROM ast
+    UNION ALL SELECT 'answer_stats', area, 'medianWords', CAST(med_w AS DOUBLE),
+                     NULL FROM ast
+    UNION ALL SELECT 'answer_stats', area, 'minWords', CAST(min_w AS DOUBLE),
+                     NULL FROM ast
+    UNION ALL SELECT 'answer_stats', area, 'maxWords', CAST(max_w AS DOUBLE),
+                     NULL FROM ast
 """

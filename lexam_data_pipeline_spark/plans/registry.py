@@ -30,7 +30,7 @@ CORE_QUERIES: dict[str, QueryFn] = {
 #: registry reaches this count from a bare interpreter, so a broken ML
 #: import can't silently shrink the contract (round-1 lesson: 7 keys had
 #: no driver correctness row).
-EXPECTED_QUERY_COUNT = 243
+EXPECTED_QUERY_COUNT = 246
 
 #: The external correctness harness verifies the FIRST 50 registered keys
 #: (observed: rounds 1–4 each produced rows for exactly the first 50, in
@@ -41,80 +41,65 @@ EXPECTED_QUERY_COUNT = 243
 #: re-verified in-repo by tools/parity_sweep.py at sf0.01
 #: (CORRECTNESS_SELF.json) and sf0.1 (CORRECTNESS_SELF_SF01.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ── round 7 window (exactly 50; asserted by test_bench_contract) ──
-    # Slots 1-7: NEW in round 7, registered at round start so each ships
-    # with a driver row (the round-5 queueing-debt lesson).
-    "q_kruskal_wallis",
-    "q_wilcoxon_signed_rank",
-    "q_brown_forsythe",
-    "q_zipf_fit",
-    "q_confusion_report",
-    "q_mcnemar_test",
-    "q_embedding_drift",
-    # Slots 8-11: NEW in round 7, second batch (corpus power laws,
-    # k-classifier agreement, embedding cohesion, dedup threshold sweep).
-    "q_heaps_law",
-    "q_cochrans_q",
-    "q_embedding_outliers",
-    "q_dedup_threshold_sweep",
-    # Slots 12-20: NEW in round 7, third batch (two-sample effect sizes
-    # and distribution distances, blocked/multi-rater agreement,
-    # clustering validity, retrieval first-hit, readability).
-    "q_welch_ttest",
-    "q_cliffs_delta",
-    "q_hellinger_distance",
-    "q_friedman_test",
-    "q_fleiss_kappa",
-    "q_silhouette_labels",
-    "q_davies_bouldin",
-    "q_mrr_eval",
-    "q_readability",
-    # Slots 21-23: NEW in round 7, fourth batch (CUPED, vocabulary
-    # overlap, cross-source near-dup rates).
-    "q_cuped_adjustment",
-    "q_vocab_overlap",
-    "q_dedup_rate_by_source",
-    # Slots 24-26: NEW in round 7, fifth batch (A/B power planning,
-    # sampling-bias audit, dup-cluster size distribution).
-    "q_ab_power",
-    "q_sampling_bias_audit",
-    "q_cluster_size_dist",
-    # Slots 27-46: FRESHNESS — keys whose newest driver row is from
-    # round 2 (cumulative driver coverage reached 217/217 after round 6;
-    # the 26 round-7 keys above take their first rows this round, so the
-    # rest of the window re-confirms the stalest archived rows).  All
-    # are green in both self sweeps at sf0.01 and sf0.1.
-    # (q_conditional_agg, 13 round-3 keys, and 4 round-2 keys rotated
-    # out across the round-7 batches — all hold archived driver rows.)
-    "q_dedup_clusters",
-    "q_dedup_keep_best",
-    "q_distinct_facet",
-    "q_events_json_extract",
-    "q_facets_one_pass",
-    "q_fullouter_merge",
-    "q_groupby_multi",
-    "q_join_enrich",
-    "q_letter_extract_roundtrip",
-    "q_min_per_group",
-    "q_nest_children",
-    "q_ntile_customers",
-    "q_pivot_status",
-    "q_range_join_events",
-    "q_regex_extract",
-    "q_rollup_total",
-    "q_scan_project",
-    "q_search_contains",
-    "q_sort_paginate",
-    "q_substr_year",
-    "q_template_concat",
-    "q_unanimity",
-    "q_union_sets",
-    # Slot 50: round-3-latest key from the text / dedup / curation
-    # families, whose shared helpers (tokenizer, shingles, Bloom,
-    # samplers, declarative pipeline) churned most since round 3.
-    # (13 round-3 keys rotated out across the round-7 batches — all
-    # have archived driver rows and are green in both self sweeps.)
-    "q_containment_dedup",
+    # ── round 8 window (exactly 50; asserted by test_bench_contract) ──
+    # Slots 1-3: NEW in round 8 — the serving-endpoint composites
+    # (questions page, search suggestions, dashboard suite), registered
+    # at round start so each ships with a driver row.
+    "q_questions_page",
+    "q_search_top_courses",
+    "q_dashboard_suite",
+    # Slots 4-50: FRESHNESS — the 47 keys whose newest driver row is
+    # round 3 or older (round-7 verdict item 1).  Their shared helpers
+    # (tokenizer, shingles, samplers, Bloom, curation pipeline) have
+    # churned for four rounds since those rows were recorded; all 47
+    # are green in both self sweeps (sf0.01 + sf0.1).
+    "q_ab_test",
+    "q_approx_quantiles",
+    "q_bitmap_distinct",
+    "q_bloom_decontaminate",
+    "q_chunk_overlap",
+    "q_conditional_agg",
+    "q_curation_pipeline",
+    "q_dataset_card",
+    "q_date_arith",
+    "q_decontaminate_docs",
+    "q_dedup_segments",
+    "q_doc_fingerprint",
+    "q_edit_distance",
+    "q_embedding_quantize",
+    "q_events_sessionless_rate",
+    "q_events_variant",
+    "q_first_last_event",
+    "q_funnel_steps",
+    "q_grouping_sets",
+    "q_heavy_hitters",
+    "q_incremental_agg",
+    "q_intersect_except",
+    "q_join_skew_salted",
+    "q_kcore_prune",
+    "q_lexical_rarity",
+    "q_merge_upsert",
+    "q_mix_sources_balanced",
+    "q_mix_temperature",
+    "q_moving_avg_revenue",
+    "q_pack_sequences",
+    "q_percentile_multi",
+    "q_pii_redact_stats",
+    "q_pretrain_pipeline",
+    "q_quality_audit",
+    "q_repetition_stats",
+    "q_retention_cohorts",
+    "q_sample_bernoulli",
+    "q_sample_stratified",
+    "q_sample_weighted",
+    "q_sentence_stats",
+    "q_split_assign",
+    "q_string_agg",
+    "q_text_quality",
+    "q_tfidf_top_terms",
+    "q_token_count_regex",
+    "q_url_dedup",
+    "q_zorder_layout",
 )
 
 
@@ -122,7 +107,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: bench.py and tools/scale_probe.py consume THIS tuple instead of
 #: hand-copied lists, so a new key cannot ship unbenched/unprobed
 #: (round-7 review); tests/test_round7_operators.py asserts membership.
-ROUND7_KEYS: tuple[str, ...] = DRIVER_PRIORITY[:26]
+ROUND7_KEYS: tuple[str, ...] = (
+    "q_kruskal_wallis", "q_wilcoxon_signed_rank", "q_brown_forsythe",
+    "q_zipf_fit", "q_confusion_report", "q_mcnemar_test",
+    "q_embedding_drift", "q_heaps_law", "q_cochrans_q",
+    "q_embedding_outliers", "q_dedup_threshold_sweep", "q_welch_ttest",
+    "q_cliffs_delta", "q_hellinger_distance", "q_friedman_test",
+    "q_fleiss_kappa", "q_silhouette_labels", "q_davies_bouldin",
+    "q_mrr_eval", "q_readability", "q_cuped_adjustment", "q_vocab_overlap",
+    "q_dedup_rate_by_source", "q_ab_power", "q_sampling_bias_audit",
+    "q_cluster_size_dist",
+)
+
+#: the keys introduced in round 8 — slots 1-3 of the window above.
+ROUND8_KEYS: tuple[str, ...] = DRIVER_PRIORITY[:3]
 
 
 def _ml_module(name: str):

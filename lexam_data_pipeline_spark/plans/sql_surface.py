@@ -349,10 +349,14 @@ _SPARK_DIALECT_SUBS: list[tuple[str, object]] = [
     (r"\[((?:\s*'[^']*'\s*,)+\s*'[^']*'\s*)\]", r"array(\1)"),
     # DuckDB's regexp_extract_all returns full matches; Spark needs the
     # explicit group index 0 for the same semantics (default is 1).
-    # Tempered to one nesting level of parens inside the call.
+    # Tempered to one nesting level of parens inside the call; calls that
+    # already pass a numeric group index keep it (round-7 advice: the
+    # unconditional append would silently add a 4th argument).
     (
         r"regexp_extract_all\(((?:[^()']|\([^()]*\)|'[^']*')*?)\)",
-        r"regexp_extract_all(\1, 0)",
+        lambda m: "regexp_extract_all(%s)" % m.group(1)
+        if _re.search(r",\s*\d+\s*$", m.group(1))
+        else "regexp_extract_all(%s, 0)" % m.group(1),
     ),
     # Spark SQL (escapedStringLiterals=false) treats backslash as an
     # escape inside string literals; DuckDB does not.  Double the
@@ -453,11 +457,21 @@ PORTED_WITH_DOUBLE_CASTS: dict[str, tuple[str, ...]] = {
         "CAST(abs_gap AS DOUBLE) AS abs_gap",
     ),
 }
+def _cast_wrap(sql: str, cols: tuple[str, ...]) -> str:
+    """Outer cast projection; a trailing top-level ORDER BY is LIFTED to
+    the outer query — Spark does not guarantee order preservation through
+    a projection over an ordered subquery (round-7 advice), so leaving it
+    inside could flake the row-identity comparison under AQE."""
+    ported = port_oracle(sql).rstrip()
+    m = _re.search(r"(?is)\bORDER\s+BY\b(?:[^()]|\([^()]*\))*$", ported)
+    tail = ""
+    if m:
+        tail, ported = " " + ported[m.start():], ported[: m.start()].rstrip()
+    return "SELECT " + ", ".join(cols) + " FROM (" + ported + ")" + tail
+
+
 SQL_QUERIES.update(
-    {
-        k: "SELECT " + ", ".join(cols) + " FROM (" + port_oracle(_ORACLES[k]) + ")"
-        for k, cols in PORTED_WITH_DOUBLE_CASTS.items()
-    }
+    {k: _cast_wrap(_ORACLES[k], cols) for k, cols in PORTED_WITH_DOUBLE_CASTS.items()}
 )
 
 #: hand-ported texts where the dialect gap is STRUCTURAL but small:
@@ -782,3 +796,282 @@ SQL_QUERIES["q_embedding_norms"] = """
                AS mean_component
     FROM embeddings
 """
+
+
+# ─── round 8: the remaining mechanically-expressible keys (verdict item 2) ──
+# Hand-written Spark SQL where the dialect gap is structural but small:
+# ORDER BY inside an aggregate → array_join(sort_array(collect_list())),
+# generate_series+unnest → explode(sequence()), list_reduce sequential
+# folds → aggregate() with an explicit seed (expressions mirror the
+# DataFrame twins' F.aggregate shapes so the IEEE fold order is
+# identical), recursive CTE → bounded unroll (hop ≤ 3 is part of the
+# query's semantics, so the unroll is exact, not a truncation).
+
+SQL_QUERIES["q_nest_children"] = """
+    SELECT c_custkey, c_name,
+           array_join(sort_array(collect_list(o_orderkey)), ',') AS order_keys,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY c_custkey, c_name
+"""
+
+SQL_QUERIES["q_gap_fill"] = """
+    WITH daily AS (
+        SELECT o_orderpriority AS priority,
+               CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+        FROM orders GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    spine AS (
+        SELECT p.priority,
+               explode(sequence(b.lo, b.hi, interval 1 day)) AS day
+        FROM (SELECT DISTINCT priority FROM daily) p
+        CROSS JOIN bounds b
+    )
+    SELECT s.priority,
+           date_format(s.day, 'yyyy-MM-dd') AS day,
+           round(coalesce(
+               last_value(d.rev_c) IGNORE NULLS OVER
+                   (PARTITION BY s.priority ORDER BY s.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               0) / 100.0D, 2) AS revenue,
+           CASE WHEN d.rev_c IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM spine s
+    LEFT JOIN daily d ON d.priority = s.priority AND d.day = s.day
+"""
+
+SQL_QUERIES["q_events_sliding"] = """
+    SELECT window.start AS win_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY window(ts, '1 hour', '30 minutes'), event_type
+"""
+
+SQL_QUERIES["q_ewma_revenue"] = """
+    WITH monthly AS (
+        SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY yr, mo
+    ),
+    arr AS (
+        SELECT sort_array(collect_list(struct(
+                   yr * 12 + mo AS midx,
+                   CAST(cents AS DOUBLE) / 100.0 AS rev))) AS ms
+        FROM monthly
+    )
+    SELECT yr, mo, revenue,
+           aggregate(
+               slice(pref, 2, greatest(size(pref) - 1, 0)),
+               element_at(pref, 1),
+               (acc, x) -> acc * 0.7D + x * 0.3D) AS ewma
+    FROM (
+        SELECT CAST(m.yr AS BIGINT) AS yr, CAST(m.mo AS BIGINT) AS mo,
+               CAST(m.cents AS DOUBLE) / 100.0 AS revenue,
+               transform(filter(a.ms, s -> s.midx <= m.yr * 12 + m.mo),
+                         s -> s.rev) AS pref
+        FROM monthly m CROSS JOIN arr a
+    )
+"""
+
+SQL_QUERIES["q_survival_km"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               min(unix_micros(ts)) AS first_us,
+               max(unix_micros(ts)) AS last_us
+        FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT max(last_us) AS corpus_max_us FROM per_user),
+    obs AS (
+        SELECT (last_us - first_us) div 3600000000 AS t_hour,
+               CASE WHEN h.corpus_max_us - last_us >= 43200000000
+                    THEN 1 ELSE 0 END AS is_death
+        FROM per_user CROSS JOIN horizon h
+    ),
+    spine AS (
+        SELECT t_hour,
+               CAST(sum(is_death) AS BIGINT) AS n_deaths,
+               CAST(sum(1 - is_death) AS BIGINT) AS n_censored,
+               CAST(count(*) AS BIGINT) AS n_leaving
+        FROM obs GROUP BY t_hour
+    ),
+    tot AS (SELECT sum(n_leaving) AS n_total FROM spine),
+    curve AS (
+        SELECT t_hour, n_deaths, n_censored,
+               t.n_total - coalesce(sum(n_leaving) OVER (
+                   ORDER BY t_hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+        FROM spine CROSS JOIN tot t
+    ),
+    hz AS (
+        SELECT sort_array(collect_list(struct(
+                   t_hour,
+                   CAST(n_deaths AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                       AS hazard))) AS hs
+        FROM curve
+    )
+    SELECT c.t_hour, CAST(c.n_risk AS BIGINT) AS n_risk, c.n_deaths,
+           c.n_censored,
+           aggregate(
+               transform(filter(hz.hs, s -> s.t_hour <= c.t_hour),
+                         s -> s.hazard),
+               CAST(1.0 AS DOUBLE),
+               (acc, x) -> acc * (1 - x)) AS survival
+    FROM curve c CROSS JOIN hz
+"""
+
+SQL_QUERIES["q_holt_forecast"] = """
+    WITH monthly AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY midx
+    ),
+    arr AS (
+        SELECT transform(sort_array(collect_list(struct(
+                   midx, CAST(cents AS DOUBLE) / 100.0 AS rev))),
+                   s -> s.rev) AS revs
+        FROM monthly
+    ),
+    fitted AS (
+        SELECT aggregate(
+            slice(revs, 3, greatest(size(revs) - 2, 0)),
+            array(element_at(revs, 2),
+                  element_at(revs, 2) - element_at(revs, 1)),
+            (acc, x) -> array(
+                0.2D * x + (1.0D - 0.2D)
+                    * (element_at(acc, 1) + element_at(acc, 2)),
+                0.1D * ((0.2D * x + (1.0D - 0.2D)
+                         * (element_at(acc, 1) + element_at(acc, 2)))
+                        - element_at(acc, 1))
+                + (1.0D - 0.1D) * element_at(acc, 2))) AS state
+        FROM arr
+    )
+    SELECT CAST(h AS BIGINT) AS h,
+           element_at(state, 1) + h * element_at(state, 2) AS forecast,
+           element_at(state, 1) AS level,
+           element_at(state, 2) AS trend
+    FROM (SELECT explode(sequence(1, 6)) AS h) CROSS JOIN fitted
+"""
+
+SQL_QUERIES["q_seasonal_decompose"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY day
+    ),
+    tagged AS (
+        SELECT day, cents,
+               datediff(day, DATE '1995-01-01') % 7 AS dow
+        FROM daily
+    ),
+    census AS (
+        SELECT CAST(sum(cents) AS BIGINT) AS tot, count(*) AS n_days
+        FROM tagged
+    ),
+    by_dow AS (
+        SELECT dow, CAST(sum(cents) AS BIGINT) AS dow_tot,
+               count(*) AS dow_n
+        FROM tagged GROUP BY dow
+    )
+    SELECT date_format(t.day, 'yyyy-MM-dd') AS day,
+           CAST(t.dow AS BIGINT) AS dow,
+           CAST(t.cents AS DOUBLE) / 100.0 AS revenue,
+           (CAST(d.dow_tot AS DOUBLE) / CAST(d.dow_n AS DOUBLE)) / 100.0
+               AS expected,
+           (CAST(t.cents AS DOUBLE)
+            - CAST(d.dow_tot AS DOUBLE) / CAST(d.dow_n AS DOUBLE)) / 100.0
+               AS residual,
+           (CAST(d.dow_tot AS DOUBLE) / CAST(d.dow_n AS DOUBLE)
+            - CAST(c.tot AS DOUBLE) / CAST(c.n_days AS DOUBLE)) / 100.0
+               AS dow_effect
+    FROM tagged t JOIN by_dow d USING (dow) CROSS JOIN census c
+    ORDER BY abs(CAST(t.cents AS DOUBLE)
+                 - CAST(d.dow_tot AS DOUBLE) / CAST(d.dow_n AS DOUBLE)) DESC,
+             t.day ASC
+    LIMIT 10
+"""
+
+# Recursive-CTE BFS unrolled: the query's own hop cap is 3 (WHERE
+# r.hop < 3 in the oracle), so four frontier CTEs are EXACT — min(hop)
+# over the unioned frontiers collapses re-visits the recursive UNION
+# would have deduplicated.
+SQL_QUERIES["q_graph_bfs"] = """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    support AS (
+        SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS support
+        FROM li a
+        JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+    ),
+    directed AS (
+        SELECT u, v, support FROM support
+        UNION ALL
+        SELECT v AS u, u AS v, support FROM support
+    ),
+    kept AS (
+        SELECT u, v FROM (
+            SELECT u, v,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY support DESC, v ASC) AS rn
+            FROM directed
+        ) WHERE rn <= 10
+    ),
+    pairs AS (
+        SELECT f.u, f.v
+        FROM kept f JOIN kept r ON f.u = r.v AND f.v = r.u
+        WHERE f.u < f.v
+    ),
+    edges AS (
+        SELECT u AS src, v AS dst FROM pairs
+        UNION ALL
+        SELECT v AS src, u AS dst FROM pairs
+    ),
+    h0 AS (
+        SELECT s_suppkey AS node FROM supplier WHERE s_nationkey = 0
+    ),
+    h1 AS (
+        SELECT DISTINCT e.dst AS node
+        FROM h0 JOIN edges e ON h0.node = e.src
+    ),
+    h2 AS (
+        SELECT DISTINCT e.dst AS node
+        FROM h1 JOIN edges e ON h1.node = e.src
+    ),
+    h3 AS (
+        SELECT DISTINCT e.dst AS node
+        FROM h2 JOIN edges e ON h2.node = e.src
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(min(hop) AS INT) AS hop
+    FROM (
+        SELECT node, 0 AS hop FROM h0
+        UNION ALL SELECT node, 1 FROM h1
+        UNION ALL SELECT node, 2 FROM h2
+        UNION ALL SELECT node, 3 FROM h3
+    )
+    GROUP BY node
+"""
+
+# ML-tier oracles that port mechanically (md5 sampling / folding keys);
+# imported here (not at the top) to keep the core SQL door importable
+# even while an ML extension module is mid-edit.
+from lexam_data_pipeline_spark.ml.registry import ML_ORACLES as _ML_ORACLES
+
+#: ML oracle texts valid in Spark SQL verbatim.
+ML_ANSI_KEYS: tuple[str, ...] = ("q_dedup_exact",)
+#: ML oracle texts that pass through the same dialect map.
+ML_PORTED_KEYS: tuple[str, ...] = (
+    "q_sample_bernoulli",
+    "q_sample_stratified",
+    "q_kfold_assign",
+)
+SQL_QUERIES.update({k: _ML_ORACLES[k] for k in ML_ANSI_KEYS})
+SQL_QUERIES.update({k: port_oracle(_ML_ORACLES[k]) for k in ML_PORTED_KEYS})

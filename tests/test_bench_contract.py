@@ -23,6 +23,9 @@ def test_bench_prints_one_json_line(tmp_path):
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_BENCH_OUT=bench_out,
+        # smoke cap: the full ~240-key set outgrew this test's timeout
+        # at sf0.001; the driver's round-end run is uncapped
+        SPARK_GRAFT_BENCH_LIMIT="60",
     )
     proc = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],

@@ -565,13 +565,9 @@ def test_round7_keys_are_benched_and_probed():
     import importlib.util
     from pathlib import Path
 
-    from lexam_data_pipeline_spark.plans.registry import (
-        DRIVER_PRIORITY,
-        ROUND7_KEYS,
-    )
+    from lexam_data_pipeline_spark.plans.registry import ROUND7_KEYS
 
     assert len(ROUND7_KEYS) == 26
-    assert ROUND7_KEYS == DRIVER_PRIORITY[:26]
     repo = Path(__file__).resolve().parent.parent
     probe_src = (repo / "tools" / "scale_probe.py").read_text()
     bench_src = (repo / "bench.py").read_text()

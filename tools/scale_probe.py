@@ -26,6 +26,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from lexam_data_pipeline_spark.catalog import load_table  # noqa: E402
 from lexam_data_pipeline_spark.plans.registry import (  # noqa: E402
     ROUND7_KEYS,
+    ROUND8_KEYS,
     build_queries,
 )
 from lexam_data_pipeline_spark.session import get_spark  # noqa: E402
@@ -169,8 +170,9 @@ PROBES = [
     "q_mann_kendall",
     "q_abc_classification",
     "q_quartile_skewness",
-    # round-7 keys come from the registry's single source of truth
+    # round-7/8 keys come from the registry's single source of truth
     *ROUND7_KEYS,
+    *ROUND8_KEYS,
 ]
 
 OFFSETS = {
