@@ -233,7 +233,16 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE broadcast at fixture scale and shuffle at corpus scale; the
     # pair table is the already-reduced near-dup set, so the join input
     # is |pairs|, not |docs|².
-    srcmap = docs.select("doc_id", "source")
+    return cross_source_rate_report(pairs, docs.select("doc_id", "source"))
+
+
+def cross_source_rate_report(pairs: DataFrame, srcmap: DataFrame) -> DataFrame:
+    """The |sources|² rollup shared by the batch key above and the
+    streaming maintainer (streaming/dedup_rates.py): tag each near-dup
+    pair with its (least, greatest) source pair, count pairs and
+    distinct implicated docs per cell.  One definition so the closing
+    expressions cannot diverge between the batch key and the served
+    streaming state (the functions/text.readability_counts pattern)."""
     sa = srcmap.select(F.col("doc_id").alias("doc_id_a"), F.col("source").alias("sa"))
     sb = srcmap.select(F.col("doc_id").alias("doc_id_b"), F.col("source").alias("sb"))
     tagged = (

@@ -6085,12 +6085,18 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Estimating Uncertainty for Massive Data Streams", the standard
     industrial reference).
 
-    Determinism: replicate r's weight for a row is a CASE ladder over
-    the first 6 md5 hex digits of ``key|r`` against the shared
-    :data:`POISSON_CDF_HEX` thresholds — a pure function of (key, r), so
-    every engine, run, and cluster size resamples identically.  Each
-    replicate mean is an exact BIGINT ratio; the CI bounds are the exact
-    2.5/97.5 percentiles over the tiny replicate-mean vector.
+    Determinism: replicate r's weight for a row counts the shared
+    :data:`POISSON_CDF_HEX` thresholds at or below the first 6 md5 hex
+    digits of ``key|r`` — a pure function of (key, r), so every engine,
+    run, and cluster size resamples identically.  Spark-side the hex is
+    converted once to an integer (``conv(h6, 16, 10)``) and the weight
+    is a branch-free sum of six integer ``>=`` comparisons — measured
+    1.7× faster at sf0.1 than the equivalent 6-deep string CASE ladder
+    (7.7 → 4.6 s; round-7 advice A/B), value-identical because both
+    orderings compare fixed-width lowercase hex.  The oracle keeps the
+    string ladder — same w by construction.  Each replicate mean is an
+    exact BIGINT ratio; the CI bounds are the exact 2.5/97.5 percentiles
+    over the tiny replicate-mean vector.
 
     Scale: one fact scan fanned out ×B by a broadcast replicate spine,
     partial-aggregated map-side into B groups; the percentile runs over
@@ -6110,9 +6116,10 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         6,
     )
-    w = F.lit(6)
-    for k in range(len(POISSON_CDF_HEX) - 1, -1, -1):
-        w = F.when(h6 < POISSON_CDF_HEX[k], F.lit(k)).otherwise(w)
+    v = F.conv(h6, 16, 10).cast("bigint")
+    w = sum(
+        (v >= F.lit(int(t, 16))).cast("int") for t in POISSON_CDF_HEX
+    )
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
     per_rep = (
         orders.join(F.broadcast(reps))

@@ -9,15 +9,24 @@ SQL door for a representative slice of the operator inventory, and
 rows of its DataFrame twin — both enter the same Catalyst pipeline, so
 this is an API-parity check, not a second engine.
 
-Coverage (round 7): 162 of the 175 core-oracled keys — 93% — via four
-tiers: the hand-written texts below (dialect-specific rewrites), the
-ANSI-core keys whose oracle text runs in Spark SQL VERBATIM, the
-ported keys whose oracle text passes through the small mechanical
-dialect map (``_SPARK_DIALECT_SUBS`` at the bottom of this module),
-and the cast-wrapped / LATERAL-VIEW hand ports after it.  The 13
-remaining DataFrame-only keys each need a construct Spark SQL lacks
-(QUALIFY, ORDER BY inside aggregates, recursive CTE UNION, lambda
-folds, generators inside expressions) — enumerated at PORTED_KEYS.
+Coverage (round 8): 207 of the 223 oracled keys — 92.8% (176/178 of the
+core tier) — via five tiers: the hand-written texts below
+(dialect-specific rewrites), the ANSI keys whose oracle text runs in
+Spark SQL VERBATIM, the ported keys whose oracle text passes through
+the mechanical dialect map (``_SPARK_DIALECT_SUBS`` at the bottom of
+this module), the cast-wrapped / LATERAL-VIEW / fold hand ports after
+it, and targeted pre-port rewrites (``_pre_port``: QUALIFY→subquery,
+ordered-DISTINCT string_agg→sorted collect_set, quoted identifiers)
+feeding the same map.  The 16 remaining DataFrame-only keys each need
+a construct Spark SQL lacks or the map can't safely rewrite: seeded
+``list_reduce`` folds over non-trivial seeds (q_text_quality,
+q_hard_negatives, q_hybrid_rrf, q_knn_batch, q_knn_bruteforce,
+q_boosted_stumps, q_embedding_quantize, q_nb_classifier), recursive
+CTE with UNION dedup (q_dedup_clusters, q_dedup_clusters_two_phase),
+generators nested in expressions (q_ngram_novelty, q_cooccur_lift),
+variable 1-based list indexing (q_chunk_overlap, q_heavy_hitters),
+and the by-design all-pairs oracle twins (q_dedup_embedding,
+q_dedup_embedding_blocked).
 """
 
 from __future__ import annotations
@@ -299,6 +308,20 @@ _SPARK_DIALECT_SUBS: list[tuple[str, object]] = [
     (r"\bquantile_cont\(", "percentile("),
     (r"\blist_transform\(", "transform("),
     (r"\blist_aggregate\(", "aggregate("),
+    (r"\blist_distinct\(", "array_distinct("),
+    (r"\blist_min\(", "array_min("),
+    (r"\blist_max\(", "array_max("),
+    (r"\barray_to_string\(", "array_join("),
+    # DuckDB 1-based INCLUSIVE list slice l[a:b] → slice(l, a, b-a+1)
+    (
+        r"\b(\w+)\[([^\[\]:]+):([^\[\]:]+)\]",
+        r"slice(\1, \2, (\3) - (\2) + 1)",
+    ),
+    # DuckDB regexp_replace global flag: Spark replaces all matches by
+    # default and its 4th argument is a position — drop the flag.
+    # ('g' as a final literal argument appears only in regexp_replace
+    # calls across the oracle corpus — audited in round 8.)
+    (r",\s*'g'\s*\)", ")"),
     (r"\bunnest\(", "explode("),
     (r"\bjson_extract_string\(", "get_json_object("),
     (r"\bjson_extract\(", "get_json_object("),
@@ -347,6 +370,14 @@ _SPARK_DIALECT_SUBS: list[tuple[str, object]] = [
     (r"\bFILTER \((?!WHERE\b)", "FILTER (WHERE "),
     # string list literal → array(...)
     (r"\[((?:\s*'[^']*'\s*,)+\s*'[^']*'\s*)\]", r"array(\1)"),
+    # computed index over a (converted) array literal: DuckDB's 1-based
+    # (array(...))[expr] → element_at(array(...), expr).  Must run after
+    # the list-literal rules above; the index may contain parens but not
+    # brackets.
+    (
+        r"\((array\([^()]*\))\)\s*\[([^\[\]]+)\]",
+        r"element_at(\1, CAST(\2 AS INT))",
+    ),
     # DuckDB's regexp_extract_all returns full matches; Spark needs the
     # explicit group index 0 for the same semantics (default is 1).
     # Tempered to one nesting level of parens inside the call; calls that
@@ -1060,18 +1091,143 @@ SQL_QUERIES["q_graph_bfs"] = """
     GROUP BY node
 """
 
-# ML-tier oracles that port mechanically (md5 sampling / folding keys);
-# imported here (not at the top) to keep the core SQL door importable
-# even while an ML extension module is mid-edit.
+# ML-tier oracles that port mechanically (md5 sampling, shingle/dedup
+# pipelines, curation, mixing); imported here (not at the top) to keep
+# the core SQL door importable even while an ML extension module is
+# mid-edit.
 from lexam_data_pipeline_spark.ml.registry import ML_ORACLES as _ML_ORACLES
 
 #: ML oracle texts valid in Spark SQL verbatim.
 ML_ANSI_KEYS: tuple[str, ...] = ("q_dedup_exact",)
-#: ML oracle texts that pass through the same dialect map.
+#: ML oracle texts that pass through the same dialect map
+#: (row-identity proven per key in tests/test_sql_surface.py).
 ML_PORTED_KEYS: tuple[str, ...] = (
     "q_sample_bernoulli",
     "q_sample_stratified",
     "q_kfold_assign",
+    # round-8 second batch: unlocked by the list_distinct/list_min/
+    # list_max/array_to_string/list-slice/regexp-'g' dialect rules
+    "q_bloom_decontaminate",
+    "q_containment_dedup",
+    "q_curation_pipeline",
+    "q_decontaminate_docs",
+    "q_dedup_keep_best",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_rate_by_source",
+    "q_dedup_segments",
+    "q_doc_fingerprint",
+    "q_dsir_select",
+    "q_label_propagation",
+    "q_lang_id",
+    "q_lexical_rarity",
+    "q_mix_sources_balanced",
+    "q_mix_temperature",
+    "q_pack_sequences",
+    "q_pii_redact_stats",
+    "q_pretrain_pipeline",
+    "q_random_projection",
+    "q_repetition_stats",
+    "q_sample_weighted",
+    "q_split_assign",
+    "q_tfidf_top_terms",
+    "q_token_count_regex",
+    "q_url_dedup",
 )
 SQL_QUERIES.update({k: _ML_ORACLES[k] for k in ML_ANSI_KEYS})
 SQL_QUERIES.update({k: port_oracle(_ML_ORACLES[k]) for k in ML_PORTED_KEYS})
+
+#: ML ported keys whose only remaining gap is DECIMAL-vs-DOUBLE result
+#: type (Spark keeps DECIMAL where DuckDB's division returns DOUBLE).
+ML_PORTED_WITH_DOUBLE_CASTS: dict[str, tuple[str, ...]] = {
+    "q_dedup_threshold_sweep": (
+        "t10", "CAST(threshold AS DOUBLE) AS threshold", "n_pairs", "n_docs",
+    ),
+}
+SQL_QUERIES.update(
+    {
+        k: _cast_wrap(_ML_ORACLES[k], cols)
+        for k, cols in ML_PORTED_WITH_DOUBLE_CASTS.items()
+    }
+)
+
+# q_search_top_courses: the round-8 serving composite's oracle ports
+# mechanically (LIKE search + grouped top-N).
+SQL_QUERIES["q_search_top_courses"] = port_oracle(_ORACLES["q_search_top_courses"])
+
+
+def _pre_port(key: str, old: str, new: str) -> str:
+    """Targeted oracle-text rewrite BEFORE the mechanical port — loud if
+    the anchor text drifted (the oracles._lang_cte_with_doc_id pattern)."""
+    sql = _ORACLES[key]
+    assert old in sql, f"{key}: pre-port anchor drifted"
+    return sql.replace(old, new)
+
+
+# QUALIFY → subquery filter (Spark SQL has no QUALIFY); everything else
+# in these two texts rides the mechanical map.
+SQL_QUERIES["q_zipf_fit"] = port_oracle(_pre_port(
+    "q_zipf_fit",
+    """        SELECT f, row_number() OVER (ORDER BY f DESC, term ASC) AS rn
+        FROM wc QUALIFY rn <= 100""",
+    """        SELECT f, rn FROM (
+            SELECT f, term,
+                   row_number() OVER (ORDER BY f DESC, term ASC) AS rn
+            FROM wc
+        ) WHERE rn <= 100""",
+))
+
+SQL_QUERIES["q_ndcg_eval"] = port_oracle(_pre_port(
+    "q_ndcg_eval",
+    """        SELECT c_nationkey, c_custkey,
+               row_number() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey ASC
+               ) AS rank
+        FROM customer
+        QUALIFY rank <= 10""",
+    """        SELECT c_nationkey, c_custkey, rank FROM (
+            SELECT c_nationkey, c_custkey,
+                   row_number() OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey ASC
+                   ) AS rank
+            FROM customer
+        ) WHERE rank <= 10""",
+).replace(
+    "        FROM generate_series(1, 10) gs(i)",
+    "        FROM (SELECT explode(sequence(1, 10)) AS i)",
+))
+
+# The ordered-DISTINCT string_agg hits a Spark listagg cast bug
+# (DISTINCT + WITHIN GROUP); express it as the DataFrame twin does —
+# sorted collect_set joined.
+SQL_QUERIES["q_course_summary"] = port_oracle(_pre_port(
+    "q_course_summary",
+    "string_agg(DISTINCT jurisdiction, ', ' ORDER BY jurisdiction)",
+    "array_join(sort_array(collect_set(jurisdiction)), ', ')",
+))
+
+# Spark quotes identifiers with backticks, not double quotes.
+SQL_QUERIES["q_dashboard_suite"] = port_oracle(_pre_port(
+    "q_dashboard_suite", 'AS "key"', "AS `key`"
+))
+
+# The ordered string_agg over a comma-bearing expression defeats the
+# mechanical listagg rule; rebuild it as a sorted-struct transform (the
+# DataFrame twin's exact shape: array_sort on the id-first struct).
+SQL_QUERIES["q_questions_page"] = port_oracle(_pre_port(
+    "q_questions_page",
+    """               string_agg(
+                   concat_ws('~', CAST(id AS VARCHAR), config, split,
+                             coalesce(CAST(gold AS VARCHAR), '-'),
+                             coalesce(answer, '-')),
+                   '|' ORDER BY id) AS variants_repr""",
+    """               array_join(transform(
+                   array_sort(collect_list(struct(id, config, split,
+                                                  gold, answer))),
+                   s -> concat_ws('~', CAST(s.id AS VARCHAR), s.config,
+                                  s.split,
+                                  coalesce(CAST(s.gold AS VARCHAR), '-'),
+                                  coalesce(s.answer, '-'))),
+                   '|') AS variants_repr""",
+))

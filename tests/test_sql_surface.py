@@ -43,3 +43,15 @@ def test_surface_covers_80pct_of_core_oracled():
 
     covered = sum(1 for k in SQL_QUERIES if k in CORE_ORACLES)
     assert covered / len(CORE_ORACLES) >= 0.90, (covered, len(CORE_ORACLES))
+
+
+def test_surface_covers_88pct_of_all_oracled():
+    """Round-8 bar: ≥88% of the FULL oracled contract (core + ML tiers)
+    has a spark.sql front door (202/223 at round-8 close; the remainder
+    needs constructs Spark SQL lacks — enumerated in the module
+    docstring)."""
+    from lexam_data_pipeline_spark.plans.registry import build_oracles
+
+    oracles = build_oracles()
+    covered = sum(1 for k in SQL_QUERIES if k in oracles)
+    assert covered / len(oracles) >= 0.88, (covered, len(oracles))
