@@ -9,24 +9,25 @@ SQL door for a representative slice of the operator inventory, and
 rows of its DataFrame twin — both enter the same Catalyst pipeline, so
 this is an API-parity check, not a second engine.
 
-Coverage (round 8): 207 of the 223 oracled keys — 92.8% (176/178 of the
-core tier) — via five tiers: the hand-written texts below
+Coverage (round 8): 218 of the 223 oracled keys — 97.8% (178/178 of
+the core tier) — via five tiers: the hand-written texts below
 (dialect-specific rewrites), the ANSI keys whose oracle text runs in
 Spark SQL VERBATIM, the ported keys whose oracle text passes through
 the mechanical dialect map (``_SPARK_DIALECT_SUBS`` at the bottom of
-this module), the cast-wrapped / LATERAL-VIEW / fold hand ports after
-it, and targeted pre-port rewrites (``_pre_port``: QUALIFY→subquery,
-ordered-DISTINCT string_agg→sorted collect_set, quoted identifiers)
-feeding the same map.  The 16 remaining DataFrame-only keys each need
-a construct Spark SQL lacks or the map can't safely rewrite: seeded
-``list_reduce`` folds over non-trivial seeds (q_text_quality,
-q_hard_negatives, q_hybrid_rrf, q_knn_batch, q_knn_bruteforce,
-q_boosted_stumps, q_embedding_quantize, q_nb_classifier), recursive
-CTE with UNION dedup (q_dedup_clusters, q_dedup_clusters_two_phase),
-generators nested in expressions (q_ngram_novelty, q_cooccur_lift),
-variable 1-based list indexing (q_chunk_overlap, q_heavy_hitters),
-and the by-design all-pairs oracle twins (q_dedup_embedding,
-q_dedup_embedding_blocked).
+this module), the cast-wrapped / LATERAL-VIEW hand ports after it,
+and targeted pre-port rewrites (``_pre_port`` + ``_port_sum_folds`` +
+``_idx_cast_double``: QUALIFY→subquery, ordered-DISTINCT
+string_agg→sorted collect_set, quoted identifiers, string-len vs
+list-len disambiguation, variable 1-based indexes, seedless sum folds
+→ first-element-seeded ``aggregate``) feeding the same map.  The 5
+remaining DataFrame-only keys: recursive CTE with UNION dedup —
+required for termination, so not rewritable as UNION ALL
+(q_dedup_clusters, q_dedup_clusters_two_phase); an argmin whose exact
+tie landing differs between engines under the ported text's float
+binning (q_boosted_stumps — the DuckDB oracle and the DataFrame twin
+agree; the Spark-SQL port ties two features and is excluded rather
+than shipped tie-sensitive); and the by-design all-pairs oracle twins
+(q_dedup_embedding, q_dedup_embedding_blocked).
 """
 
 from __future__ import annotations
@@ -309,6 +310,7 @@ _SPARK_DIALECT_SUBS: list[tuple[str, object]] = [
     (r"\blist_transform\(", "transform("),
     (r"\blist_aggregate\(", "aggregate("),
     (r"\blist_distinct\(", "array_distinct("),
+    (r"\blist_sort\(", "sort_array("),
     (r"\blist_min\(", "array_min("),
     (r"\blist_max\(", "array_max("),
     (r"\barray_to_string\(", "array_join("),
@@ -365,9 +367,17 @@ _SPARK_DIALECT_SUBS: list[tuple[str, object]] = [
     (r"\blist\(", "collect_list("),
     (r"\bregexp_split_to_array\(", "split("),
     (r"\blist_filter\(", "filter("),
+    # TVF spine with a column alias: generate_series(a, b) gs(i) →
+    # an exploded-sequence subquery (must run before the scalar rule below)
+    (
+        r"generate_series\((\d+),\s*(\d+)\)\s+(\w+)\((\w+)\)",
+        r"(SELECT explode(sequence(\1, \2)) AS \4) \3",
+    ),
     (r"\bgenerate_series\(", "sequence("),
     # DuckDB's bare aggregate FILTER (cond) → SQL-standard FILTER (WHERE cond)
-    (r"\bFILTER \((?!WHERE\b)", "FILTER (WHERE "),
+    # whitespace-tolerant: a newline after the paren must not defeat
+    # the WHERE lookahead (round-8 q_boosted_stumps)
+    (r"\bFILTER \((?!\s*WHERE\b)", "FILTER (WHERE "),
     # string list literal → array(...)
     (r"\[((?:\s*'[^']*'\s*,)+\s*'[^']*'\s*)\]", r"array(\1)"),
     # computed index over a (converted) array literal: DuckDB's 1-based
@@ -1157,8 +1167,9 @@ SQL_QUERIES["q_search_top_courses"] = port_oracle(_ORACLES["q_search_top_courses
 
 def _pre_port(key: str, old: str, new: str) -> str:
     """Targeted oracle-text rewrite BEFORE the mechanical port — loud if
-    the anchor text drifted (the oracles._lang_cte_with_doc_id pattern)."""
-    sql = _ORACLES[key]
+    the anchor text drifted (the oracles._lang_cte_with_doc_id pattern).
+    Resolves the key from the core tier first, then the ML tier."""
+    sql = _ORACLES[key] if key in _ORACLES else _ML_ORACLES[key]
     assert old in sql, f"{key}: pre-port anchor drifted"
     return sql.replace(old, new)
 
@@ -1231,3 +1242,101 @@ SQL_QUERIES["q_questions_page"] = port_oracle(_pre_port(
                                   coalesce(s.answer, '-'))),
                    '|') AS variants_repr""",
 ))
+
+# DuckDB's len() works on strings too; the mechanical len→size rule is
+# list-only, so pin the string case to length() before porting.
+SQL_QUERIES["q_heavy_hitters"] = port_oracle(_pre_port(
+    "q_heavy_hitters", "len(token)", "length(token)"
+))
+
+# Variable 1-based list index → element_at with an INT index.
+SQL_QUERIES["q_chunk_overlap"] = port_oracle(_pre_port(
+    "q_chunk_overlap",
+    "toks[start + 1]",
+    "element_at(toks, CAST(start + 1 AS INT))",
+))
+
+
+def _port_sum_folds(sql: str) -> str:
+    """DuckDB seedless sum folds → Spark ``aggregate`` seeded with the
+    FIRST ELEMENT (``list_reduce(L, (x, y) -> x + y)`` and
+    ``list_sum(L)`` both fold left from element 1, so seeding with
+    element_at(L, 1) and folding the slice from 2 reproduces the IEEE
+    operation order bit-for-bit).  Balanced-paren scan because L nests
+    arbitrary calls; only the ``x + y`` body is accepted — any other
+    fold must be hand-ported."""
+    for tok, has_body in (("list_reduce(", True), ("list_sum(", False)):
+        while True:
+            j = sql.find(tok)
+            if j < 0:
+                break
+            depth, k = 1, j + len(tok)
+            start = k
+            while depth:
+                c = sql[k]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                k += 1
+            args = sql[start : k - 1]
+            if has_body:
+                body = "(x, y) -> x + y"
+                assert args.rstrip().endswith(body), (
+                    "non-sum list_reduce body needs a hand port: " + args[-80:]
+                )
+                arr = args[: args.rstrip().rfind(body)].rstrip().rstrip(",").rstrip()
+            else:
+                arr = args
+            rep = (
+                "aggregate(slice(%s, 2, greatest(size(%s) - 1, 0)), "
+                "element_at(%s, 1), (x, y) -> x + y)" % (arr, arr, arr)
+            )
+            sql = sql[:j] + rep + sql[k:]
+    return sql
+
+
+def _idx_cast_double(sql: str) -> str:
+    """DuckDB ``arr[i]::DOUBLE`` (variable 1-based index + cast) →
+    ``CAST(element_at(arr, CAST(i AS INT)) AS DOUBLE)``."""
+    return _re.sub(
+        r"(\w+(?:\.\w+)?)\[(\w+)\]::DOUBLE",
+        r"CAST(element_at(\1, CAST(\2 AS INT)) AS DOUBLE)",
+        sql,
+    )
+
+
+# The embedding cosine tier: per-component products summed by the exact
+# left fold; row-identity proven per key in tests/test_sql_surface.py.
+for _k in ("q_hybrid_rrf", "q_knn_bruteforce", "q_knn_batch", "q_hard_negatives"):
+    SQL_QUERIES[_k] = port_oracle(_port_sum_folds(_idx_cast_double(_ML_ORACLES[_k])))
+SQL_QUERIES["q_embedding_quantize"] = port_oracle(
+    _port_sum_folds(_ML_ORACLES["q_embedding_quantize"])
+)
+SQL_QUERIES["q_text_quality"] = port_oracle(
+    _port_sum_folds(_pre_port("q_text_quality", "t -> len(t)", "t -> length(t)"))
+)
+
+# Final stragglers: a parenthesized-expression slice, a nested
+# generator, and two TVF spines — each a targeted pre-port into the
+# same mechanical map (row-identity proven per key).
+SQL_QUERIES["q_cooccur_lift"] = port_oracle(_pre_port(
+    "q_cooccur_lift",
+    """               (list_sort(list_filter(
+                    list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+                    x -> x <> '')))[1:256] AS ts""",
+    """               slice(list_sort(list_filter(
+                    list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+                    x -> x <> '')), 1, 256) AS ts""",
+))
+
+SQL_QUERIES["q_ngram_novelty"] = port_oracle(_pre_port(
+    "q_ngram_novelty",
+    "md5(unnest(shingles)) AS s_h",
+    "unnest(list_transform(shingles, x -> md5(x))) AS s_h",
+))
+
+# TVF spine + FILTER(WHERE) keys ride the mechanical map after the
+# round-8 rule fixes (exploded-sequence subquery, whitespace-tolerant
+# FILTER lookahead).
+SQL_QUERIES["q_nb_classifier"] = port_oracle(_ML_ORACLES["q_nb_classifier"])

@@ -953,3 +953,31 @@ def test_dedup_threshold_sweep_no_cartesian_no_python(spark, sf_small):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan
+
+
+def test_questions_page_nesting_joins_broadcast(spark, sf_small):
+    """The page is ≤60 rows, so the variant-nesting join and the nested
+    re-attach must broadcast the page side instead of shuffling all
+    variants; no Cartesian stage anywhere in the listing plan."""
+    plan = _plan(QUERIES["q_questions_page"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_search_top_courses_final_is_takeordered(spark, sf_small):
+    """Top-10 courses must be a TakeOrdered over group counts, never a
+    global sort of the match set."""
+    plan = _plan(QUERIES["q_search_top_courses"](spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+
+
+def test_dashboard_suite_reuses_one_persisted_base(spark, sf_small):
+    """All ten dashboard aggregates run off ONE persisted filtered base
+    (InMemoryTableScan appears; the flatten is unions of constant-width
+    projections, no Python stage, no Cartesian except the documented
+    1-row split-total crossJoin)."""
+    plan = _plan(QUERIES["q_dashboard_suite"](spark, sf_small))
+    assert "InMemoryTableScan" in plan
+    assert "Python" not in plan
