@@ -8434,8 +8434,15 @@ def q_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lexam_projection(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Deterministic LEXam-shaped (questions, variants) projection of the
-    ``documents`` fixture — the shared input of the three round-8
+    """Load-and-project wrapper over :func:`_lexam_projection_from`."""
+    return _lexam_projection_from(load_table(spark, sf_dir, "documents"))
+
+
+def _lexam_projection_from(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic LEXam-shaped (questions, variants) projection of a
+    ``documents``-schema frame (batch or micro-batch — the streaming
+    dashboard maintainer derives per-trigger frames through the SAME
+    expressions) — the shared input of the three round-8
     serving-parity keys (q_questions_page, q_search_top_courses,
     q_dashboard_suite), extending q_course_summary's derivation with the
     columns the listing/dashboard endpoints touch.
@@ -8467,7 +8474,6 @@ def _lexam_projection(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
         MCQ_CONFIGS,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
     areas = F.array(*[F.lit(a) for a in AREAS])
     juris = F.array(*[F.lit(j) for j in JURISDICTIONS])
     configs = F.array(*[F.lit(c) for c in (*MCQ_CONFIGS, "open_question")])
@@ -8628,69 +8634,6 @@ def q_dashboard_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         questions, variants, configs=["mcq_4_choices", "open_question"]
     )
 
-    def flat(
-        section: str,
-        df: DataFrame,
-        key,
-        nums: tuple[str, ...] = (),
-        strs: tuple[str, ...] = (),
-    ) -> DataFrame:
-        out = None
-        for m in nums:
-            part = df.select(
-                F.lit(section).alias("section"),
-                key.cast("string").alias("key"),
-                F.lit(m).alias("metric"),
-                F.col(m).cast("double").alias("value_num"),
-                F.lit(None).cast("string").alias("value_str"),
-            )
-            out = part if out is None else out.unionByName(part)
-        for m in strs:
-            part = df.select(
-                F.lit(section).alias("section"),
-                key.cast("string").alias("key"),
-                F.lit(m).alias("metric"),
-                F.lit(None).cast("double").alias("value_num"),
-                F.col(m).cast("string").alias("value_str"),
-            )
-            out = part if out is None else out.unionByName(part)
-        return out
+    from lexam_data_pipeline_spark.serving.dashboard import flatten_dashboard
 
-    from lexam_data_pipeline_spark.serving.dashboard import (
-        AREAS,
-        JURISDICTIONS,
-        LANGUAGES,
-    )
-
-    parts = [
-        flat("total", d["total_questions"], F.lit("all"), ("total_questions",)),
-        flat(
-            "courses",
-            d["courses"],
-            F.col("course"),
-            ("count", "lang_de", "lang_en"),
-            ("area",),
-        ),
-        flat("areas", d["areas"], F.col("name"), ("value",)),
-        flat("jurisdictions", d["jurisdictions"], F.col("name"), ("value",)),
-        flat("years", d["years"], F.col("year"), (*AREAS, "total")),
-        flat("splits", d["splits"], F.col("name"), ("value",), ("pct",)),
-        flat(
-            "area_jurisdiction",
-            d["area_jurisdiction"],
-            F.col("area"),
-            tuple(JURISDICTIONS),
-        ),
-        flat("lang_area", d["lang_area"], F.col("area"), tuple(LANGUAGES)),
-        flat("answer_lengths", d["answer_lengths"], F.col("range"), ("count",)),
-        flat(
-            "answer_stats",
-            d["answer_stats"],
-            F.col("area"),
-            ("avgWords", "medianWords", "minWords", "maxWords"),
-        ),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return flatten_dashboard(d)

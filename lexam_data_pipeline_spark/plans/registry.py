@@ -37,7 +37,7 @@ EXPECTED_QUERY_COUNT = 246
 #: registration order).  With 200+ keys that window is a scarce resource,
 #: so ordering is explicit: keys that have never had a driver row go
 #: first, then this round's new keys.  Keys rotated past position 50 all
-#: have hash-match rows archived in CORRECTNESS_r01–r04 and every key is
+#: have hash-match rows archived in CORRECTNESS_r01–r07 and every key is
 #: re-verified in-repo by tools/parity_sweep.py at sf0.01
 #: (CORRECTNESS_SELF.json) and sf0.1 (CORRECTNESS_SELF_SF01.json).
 DRIVER_PRIORITY: tuple[str, ...] = (

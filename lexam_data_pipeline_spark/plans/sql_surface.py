@@ -9,7 +9,7 @@ SQL door for a representative slice of the operator inventory, and
 rows of its DataFrame twin — both enter the same Catalyst pipeline, so
 this is an API-parity check, not a second engine.
 
-Coverage (round 8): 218 of the 223 oracled keys — 97.8% (178/178 of
+Coverage (round 8): 219 of the 223 oracled keys — 98.2% (178/178 of
 the core tier) — via five tiers: the hand-written texts below
 (dialect-specific rewrites), the ANSI keys whose oracle text runs in
 Spark SQL VERBATIM, the ported keys whose oracle text passes through
@@ -19,15 +19,11 @@ and targeted pre-port rewrites (``_pre_port`` + ``_port_sum_folds`` +
 ``_idx_cast_double``: QUALIFY→subquery, ordered-DISTINCT
 string_agg→sorted collect_set, quoted identifiers, string-len vs
 list-len disambiguation, variable 1-based indexes, seedless sum folds
-→ first-element-seeded ``aggregate``) feeding the same map.  The 5
+→ first-element-seeded ``aggregate``) feeding the same map.  The 4
 remaining DataFrame-only keys: recursive CTE with UNION dedup —
 required for termination, so not rewritable as UNION ALL
-(q_dedup_clusters, q_dedup_clusters_two_phase); an argmin whose exact
-tie landing differs between engines under the ported text's float
-binning (q_boosted_stumps — the DuckDB oracle and the DataFrame twin
-agree; the Spark-SQL port ties two features and is excluded rather
-than shipped tie-sensitive); and the by-design all-pairs oracle twins
-(q_dedup_embedding, q_dedup_embedding_blocked).
+(q_dedup_clusters, q_dedup_clusters_two_phase) — and the by-design
+all-pairs oracle twins (q_dedup_embedding, q_dedup_embedding_blocked).
 """
 
 from __future__ import annotations
@@ -1340,3 +1336,12 @@ SQL_QUERIES["q_ngram_novelty"] = port_oracle(_pre_port(
 # round-8 rule fixes (exploded-sequence subquery, whitespace-tolerant
 # FILTER lookahead).
 SQL_QUERIES["q_nb_classifier"] = port_oracle(_ML_ORACLES["q_nb_classifier"])
+
+# DuckDB's variable 1-based index would silently become Spark's 0-based
+# `[]` — an off-by-one that shifts every feature id (caught in round 8
+# as a phantom argmin "tie"); pin it to element_at.
+SQL_QUERIES["q_boosted_stumps"] = port_oracle(_pre_port(
+    "q_boosted_stumps",
+    "CAST(embedding[gs.f + 1] AS DOUBLE)",
+    "CAST(element_at(embedding, CAST(gs.f + 1 AS INT)) AS DOUBLE)",
+))

@@ -282,3 +282,72 @@ def course_summary(
         )
         .orderBy("area", F.desc("total"), "course")
     )
+
+
+def flatten_dashboard(d: dict[str, DataFrame]) -> DataFrame:
+    """Flatten the :func:`dashboard` dict to ONE long-format frame
+    ``(section, key, metric, value_num, value_str)`` — shared by the
+    q_dashboard_suite contract key and the streaming maintainer's
+    served report (streaming/dashboard.py), so the flatten expressions
+    cannot diverge between the batch and streaming doors."""
+
+    def flat(
+        section: str,
+        df: DataFrame,
+        key,
+        nums: tuple[str, ...] = (),
+        strs: tuple[str, ...] = (),
+    ) -> DataFrame:
+        out = None
+        for m in nums:
+            part = df.select(
+                F.lit(section).alias("section"),
+                key.cast("string").alias("key"),
+                F.lit(m).alias("metric"),
+                F.col(m).cast("double").alias("value_num"),
+                F.lit(None).cast("string").alias("value_str"),
+            )
+            out = part if out is None else out.unionByName(part)
+        for m in strs:
+            part = df.select(
+                F.lit(section).alias("section"),
+                key.cast("string").alias("key"),
+                F.lit(m).alias("metric"),
+                F.lit(None).cast("double").alias("value_num"),
+                F.col(m).cast("string").alias("value_str"),
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    parts = [
+        flat("total", d["total_questions"], F.lit("all"), ("total_questions",)),
+        flat(
+            "courses",
+            d["courses"],
+            F.col("course"),
+            ("count", "lang_de", "lang_en"),
+            ("area",),
+        ),
+        flat("areas", d["areas"], F.col("name"), ("value",)),
+        flat("jurisdictions", d["jurisdictions"], F.col("name"), ("value",)),
+        flat("years", d["years"], F.col("year"), (*AREAS, "total")),
+        flat("splits", d["splits"], F.col("name"), ("value",), ("pct",)),
+        flat(
+            "area_jurisdiction",
+            d["area_jurisdiction"],
+            F.col("area"),
+            tuple(JURISDICTIONS),
+        ),
+        flat("lang_area", d["lang_area"], F.col("area"), tuple(LANGUAGES)),
+        flat("answer_lengths", d["answer_lengths"], F.col("range"), ("count",)),
+        flat(
+            "answer_stats",
+            d["answer_stats"],
+            F.col("area"),
+            ("avgWords", "medianWords", "minWords", "maxWords"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
