@@ -173,6 +173,9 @@ PROBES = [
     # round-7/8 keys come from the registry's single source of truth
     *ROUND7_KEYS,
     *ROUND8_KEYS,
+    # round-8 bench sweep catch: the rewritten SimHash sketch (the old
+    # HOF form was 293 s at sf0.1 — see PLANS.md)
+    "q_simhash_buckets",
 ]
 
 OFFSETS = {
