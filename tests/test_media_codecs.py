@@ -913,3 +913,59 @@ class TestGIF:
         pal = np.arange(256 * 3, dtype=np.uint8).reshape(256, 3)
         arr = pal[np.arange(256).reshape(16, 16) % 256]
         assert np.array_equal(decode_gif(encode_gif(arr)), arr)
+
+
+class TestLzwFinalCodeWidthBump:
+    """Round-8 advice fix: the decoder inserts an implied table entry
+    for the FINAL data code and may bump its read width before EOI; the
+    encoder must mirror that bookkeeping instead of relying on LSB-first
+    zero padding.  Construct streams whose final-code insertion lands
+    exactly ON a width boundary and prove the roundtrip."""
+
+    def _roundtrip(self, indices: bytes, min_code_size: int) -> bytes:
+        from lexam_data_pipeline_spark.ml.media_codecs import (
+            _lzw_decode,
+            _lzw_encode,
+        )
+
+        data = _lzw_encode(indices, min_code_size)
+        return _lzw_decode(data, min_code_size, len(indices))
+
+    def test_boundary_final_codes_all_small_alphabets(self):
+        """Sweep stream lengths across every width boundary for 2-, 4-
+        and 16-symbol alphabets: each length ends its stream at a
+        different distance from a bump, so the exact final-code-on-
+        boundary case is guaranteed to occur in the sweep."""
+        import itertools
+
+        for mcs in (1, 2, 4):
+            n_sym = 1 << mcs
+            # non-repeating-pair stream → one table insert per code
+            base = bytes(
+                a
+                for a, b in itertools.product(range(n_sym), repeat=2)
+                for a in (a, b)
+            )
+            stream = (base * 40)[:600]
+            for ln in range(2, 140):
+                s = stream[:ln]
+                assert self._roundtrip(s, mcs) == s, (mcs, ln)
+
+    def test_endings_swept_across_dictionary_reset(self):
+        """Sweep stream endings across the region where the 4096-entry
+        dictionary CLEAR fires, so endings land both just-before and
+        just-after a reset — including the first-code-after-clear case
+        the encoder's bump bookkeeping must NOT touch
+        (first_since_clear guard)."""
+        import hashlib
+
+        raw = b"".join(
+            hashlib.md5(str(i).encode()).digest() for i in range(700)
+        )
+        stream = bytes(b & 0xF for b in raw)  # 11200 high-entropy nibbles
+        # the 4096th table insert lands near symbol 9271 for this stream
+        # (verified by replaying the insert count); sweep endings across
+        # that region with step 1 right around it
+        for ln in (*range(9000, 9250, 13), *range(9250, 9330), *range(9330, 9800, 13)):
+            s = stream[:ln]
+            assert self._roundtrip(s, 4) == s, ln
