@@ -176,6 +176,12 @@ PROBES = [
     # round-8 bench sweep catch: the rewritten SimHash sketch (the old
     # HOF form was 293 s at sf0.1 — see PLANS.md)
     "q_simhash_buckets",
+    # round-8 gap fill: the remaining top-cost bench keys without a row
+    "q_dedup_clusters",
+    "q_dedup_clusters_two_phase",
+    "q_multimodal_features",
+    "q_bloom_decontaminate",
+    "q_containment_dedup",
 ]
 
 OFFSETS = {
