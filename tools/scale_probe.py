@@ -182,6 +182,7 @@ PROBES = [
     "q_multimodal_features",
     "q_bloom_decontaminate",
     "q_containment_dedup",
+    "q_agg_stats",
 ]
 
 OFFSETS = {
