@@ -26,6 +26,7 @@ if REPO_ROOT not in sys.path:
 from lexam_data_pipeline_spark.plans.registry import (  # noqa: E402
     ROUND7_KEYS,
     ROUND8_KEYS,
+    ROUND9_KEYS,
     build_queries,
 )
 from lexam_data_pipeline_spark.session import get_spark  # noqa: E402
@@ -232,6 +233,7 @@ def main() -> None:
         # round-7/8 keys come from the registry's single source of truth
         *ROUND7_KEYS,
         *ROUND8_KEYS,
+        *ROUND9_KEYS,
         # round-8 sweep: every remaining registry key gains timing
         # visibility (round-7 verdict item 3).  The ONLY documented
         # exclusion stays q_dedup_embedding — the all-pairs exact oracle

@@ -385,14 +385,21 @@ def simhash_sketches(
     j of ``xxhash64(token)``) is positive — equivalently, iff
     2·(#tokens with bit j set) > #tokens.
 
+    Output contract: exactly ONE row per input document.  NULL-text
+    docs carry ``simhash = 0`` (no tokens → every bit-sum is 0 → no bit
+    set) — explode alone would silently DROP them (explode of a null
+    array yields no rows), so they re-enter through a cheap filtered
+    union; downstream joins may rely on the 1:1 cardinality.
+
     Shape note (measured, sf0.1, the minhash lesson writ large): the
     "no-shuffle" form — 64 ``aggregate`` HOF folds over the token-hash
     array — runs INTERPRETED per (bit × token) and took 293 s; this
     explode + 64 codegen'd map-side-combined bit-count sums computes the
     IDENTICAL sketch in ~3 s.  The explode shuffle carries only
     (doc_id, 8-byte hash)."""
+    base = docs.select(F.col(id_col), F.col(text_col).alias("text"))
     ex = (
-        docs.select(F.col(id_col), F.col(text_col).alias("text"))
+        base.filter(F.col("text").isNotNull())
         .select(
             id_col,
             F.explode(F.split(F.trim("text"), r"\s+")).alias("t"),
@@ -415,7 +422,10 @@ def simhash_sketches(
                 F.shiftleft(one, j),
             ).otherwise(F.lit(0).cast("bigint"))
         )
-    return per.select(id_col, sketch.alias("simhash"))
+    nulls = base.filter(F.col("text").isNull()).select(
+        id_col, F.lit(0).cast("bigint").alias("simhash")
+    )
+    return per.select(id_col, sketch.alias("simhash")).unionByName(nulls)
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,11 +779,6 @@ def connected_components(
         labels, _rounds = _two_phase_cc(edges, src, dst)
         return labels
     assert algorithm == "label_propagation", algorithm
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
     # Persist the symmetrized edge list: every round joins against it,
     # and WITHOUT the cut each round would re-execute the full upstream
     # edge pipeline (for dedup clusters: shingling + df-cap windows +
@@ -787,6 +792,11 @@ def connected_components(
         .distinct(),
         "dedup.cc.sym",
     )
+    # node set off the PERSISTED sym (symmetric, so the a-side covers
+    # every endpoint) — deriving it from `edges` would execute the full
+    # upstream pair pipeline a second time (measured ~40% of
+    # q_dedup_clusters wall at sf0.1 before round 9)
+    nodes = sym.select(F.col("a").alias("node")).distinct()
     # Per-round state is EAGERLY localCheckpoint'ed, and convergence is
     # probed by the label-sum scalar, NOT a changed-rows limit(1) count.
     # The earlier persist + limit(1) probe only materialized the
@@ -805,19 +815,19 @@ def connected_components(
     labels = nodes.withColumn("cluster", F.col("node")).localCheckpoint()
     prev_sum = _label_sum(labels)
     while True:
-        neighbor_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("cluster").alias("nmin"))
+        # min(own ∪ neighbors' labels) as ONE aggregate: push each label
+        # across its edges, union the nodes' own labels, take the group
+        # min.  Equivalent to the neighbor-min + left-outer-join-back
+        # form but one shuffle cheaper per round (the 2-col label table
+        # rides the union into the same groupBy exchange instead of
+        # joining back on node).
+        prop = sym.join(labels, sym.b == labels.node).select(
+            F.col("a").alias("node"), "cluster"
         )
         labels = (
-            labels.join(neighbor_min, "node", "left_outer")
-            .select(
-                "node",
-                F.least(F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))).alias(
-                    "cluster"
-                ),
-            )
+            prop.unionByName(labels.select("node", "cluster"))
+            .groupBy("node")
+            .agg(F.min("cluster").alias("cluster"))
             .localCheckpoint()
         )
         new_sum = _label_sum(labels)

@@ -4899,3 +4899,269 @@ CORE_ORACLES["q_dashboard_suite"] = f"""
     UNION ALL SELECT 'answer_stats', area, 'maxWords', CAST(max_w AS DOUBLE),
                      NULL FROM ast
 """
+
+
+# ─── round 9: experiment-stats serving composites on the deterministic
+# answers/judgments projection ───────────────────────────────────────────────
+
+#: DuckDB twin of plans.fixture_queries._lexam_answers_projection —
+#: derivation rules documented there; any change must land in BOTH texts.
+#: (`a` = answers: two runs per variant; `jm` = judgments: two judges per
+#: non-error NULL-letter answer.  Scores are multiples of 1/32 so every
+#: average is an exact-sum IEEE division — engine-identical.)
+_LEXAM_A_J_CTE = f"""{_LEXAM_Q_V_CTE},
+    a AS (
+        SELECT v.id * 10 + r.r AS id,
+               CASE WHEN (v.id // 10) % 7 = 3 THEN 2 ELSE 1 END AS experiment_id,
+               v.id AS variant_id,
+               CASE WHEN r.r = 0 THEN 'model-a' ELSE 'model-b' END AS model_name,
+               CASE WHEN (v.id // 10) % 13 = 5 AND r.r = 1
+                    THEN 'timeout' END AS error,
+               CASE WHEN v.gold IS NOT NULL
+                         AND ((v.id // 10) + 2 * r.r) % 5 <> 4
+                    THEN chr(CAST(65 + ((v.id // 10) + 2 * r.r) % 5 AS INT))
+                    END AS extracted_letter,
+               CASE WHEN v.gold IS NOT NULL
+                         AND ((v.id // 10) + 2 * r.r) % 5 <> 4
+                    THEN ((v.id // 10) + 2 * r.r) % 5 = v.gold
+                    END AS mcq_correct,
+               CASE WHEN (v.id // 10) % 19 = 4 THEN NULL
+                    ELSE 100 + (v.id // 10) % 37 + 11 * r.r END AS input_tokens,
+               20 + (v.id // 10) % 23 + 7 * r.r AS output_tokens
+        FROM v CROSS JOIN (SELECT 0 AS r UNION ALL SELECT 1) r
+    ),
+    jm AS (
+        SELECT a.id AS answer_id,
+               CASE WHEN g.g = 0 THEN 'judge-x' ELSE 'judge-y' END
+                   AS judge_model,
+               CASE WHEN (a.id + g.g) % 23 = 7 THEN NULL
+                    ELSE ((a.id * 7 + 13 * g.g) % 33) / 32.0 END AS score,
+               50 + a.id % 29 + 5 * g.g AS input_tokens,
+               10 + a.id % 17 + 3 * g.g AS output_tokens
+        FROM a CROSS JOIN (SELECT 0 AS g UNION ALL SELECT 1) g
+        WHERE a.extracted_letter IS NULL AND a.error IS NULL
+    )
+"""
+
+CORE_ORACLES["q_experiment_stats"] = f"""
+    WITH {_LEXAM_A_J_CTE},
+    fa AS (
+        SELECT * FROM a WHERE experiment_id = 1 AND error IS NULL
+    ),
+    open_j AS (
+        SELECT jm.* FROM jm
+        WHERE jm.answer_id IN (SELECT id FROM fa WHERE extracted_letter IS NULL)
+    ),
+    sc AS (SELECT score FROM open_j WHERE score IS NOT NULL),
+    overall AS (
+        SELECT count(*) AS total_answers,
+               sum(CASE WHEN extracted_letter IS NOT NULL THEN 1 ELSE 0 END)
+                   AS mcq_total,
+               sum(CASE WHEN extracted_letter IS NOT NULL
+                             AND coalesce(mcq_correct, false)
+                        THEN 1 ELSE 0 END) AS mcq_correct,
+               sum(CASE WHEN extracted_letter IS NULL THEN 1 ELSE 0 END)
+                   AS open_total,
+               sum(coalesce(input_tokens, 0)) AS generation_input,
+               sum(coalesce(output_tokens, 0)) AS generation_output
+        FROM fa
+    ),
+    openstats AS (
+        SELECT count(*) AS judged,
+               coalesce(round(avg(score), 4), 0.0) AS avg_score,
+               coalesce(round(quantile_cont(score, 0.5), 4), 0.0)
+                   AS median_score
+        FROM sc
+    ),
+    jtok AS (
+        SELECT coalesce(sum(input_tokens), 0) AS judge_input,
+               coalesce(sum(output_tokens), 0) AS judge_output
+        FROM open_j
+    ),
+    buckets AS (
+        SELECT * FROM (VALUES
+            (0, '0.0-0.1'), (1, '0.1-0.2'), (2, '0.2-0.3'), (3, '0.3-0.4'),
+            (4, '0.4-0.5'), (5, '0.5-0.6'), (6, '0.6-0.7'), (7, '0.7-0.8'),
+            (8, '0.8-0.9'), (9, '0.9-1.0'), (10, '1.0-1.1')
+        ) b(i, range)
+    ),
+    counted AS (
+        SELECT least(CAST(floor(score * 10) AS INT), 10) AS i,
+               count(*) AS cnt
+        FROM sc GROUP BY 1
+    ),
+    enr AS (
+        SELECT fa.*, q.course, q.area
+        FROM fa LEFT JOIN v ON fa.variant_id = v.id
+        LEFT JOIN q ON v.question_id = q.id
+    ),
+    names AS (
+        SELECT 'by_area' AS section, coalesce(area, 'unknown') AS name,
+               id, extracted_letter, mcq_correct
+        FROM enr
+        UNION ALL
+        SELECT 'by_course', coalesce(course, 'unknown'), id,
+               extracted_letter, mcq_correct
+        FROM enr
+    ),
+    mcq_side AS (
+        SELECT section, name,
+               sum(CASE WHEN extracted_letter IS NOT NULL THEN 1 ELSE 0 END)
+                   AS mcq_total,
+               sum(CASE WHEN extracted_letter IS NOT NULL
+                             AND coalesce(mcq_correct, false)
+                        THEN 1 ELSE 0 END) AS correct
+        FROM names GROUP BY section, name
+    ),
+    open_side AS (
+        SELECT n.section, n.name,
+               round(avg(jm.score), 4) AS open_avg_score,
+               count(*) AS open_total
+        FROM names n
+        JOIN jm ON jm.answer_id = n.id AND jm.score IS NOT NULL
+        WHERE n.extracted_letter IS NULL
+        GROUP BY n.section, n.name
+    ),
+    breakdown AS (
+        SELECT m.section, m.name,
+               CASE WHEN m.mcq_total > 0
+                    THEN round(m.correct / CAST(m.mcq_total AS DOUBLE), 4)
+                    END AS mcq_accuracy,
+               m.mcq_total,
+               o.open_avg_score,
+               coalesce(o.open_total, 0) AS open_total
+        FROM mcq_side m
+        LEFT JOIN open_side o ON m.section = o.section AND m.name = o.name
+    ),
+    pv AS (
+        SELECT variant_id,
+               CASE WHEN count(DISTINCT extracted_letter) = 1
+                    THEN 1 ELSE 0 END AS u
+        FROM fa WHERE extracted_letter IS NOT NULL
+        GROUP BY variant_id
+    ),
+    consistency AS (
+        SELECT count(*) AS total_variants,
+               coalesce(sum(u), 0) AS unanimous,
+               coalesce(round(avg(u), 4), 0.0) AS unanimous_rate
+        FROM pv
+    )
+    SELECT 'overall' AS section, 'all' AS "key",
+           'total_answers' AS metric,
+           CAST(total_answers AS DOUBLE) AS value_num,
+           CAST(NULL AS VARCHAR) AS value_str
+    FROM overall
+    UNION ALL SELECT 'overall', 'all', 'mcq_total',
+                     CAST(mcq_total AS DOUBLE), NULL FROM overall
+    UNION ALL SELECT 'overall', 'all', 'mcq_correct',
+                     CAST(mcq_correct AS DOUBLE), NULL FROM overall
+    UNION ALL SELECT 'overall', 'all', 'mcq_accuracy',
+                     CASE WHEN mcq_total > 0
+                          THEN round(mcq_correct / CAST(mcq_total AS DOUBLE), 4)
+                          ELSE 0.0 END, NULL
+              FROM overall
+    UNION ALL SELECT 'overall', 'all', 'open_total',
+                     CAST(open_total AS DOUBLE), NULL FROM overall
+    UNION ALL SELECT 'open', 'all', 'judged', CAST(judged AS DOUBLE), NULL
+              FROM openstats
+    UNION ALL SELECT 'open', 'all', 'avg_score', avg_score, NULL
+              FROM openstats
+    UNION ALL SELECT 'open', 'all', 'median_score', median_score, NULL
+              FROM openstats
+    UNION ALL SELECT 'score_distribution', b.range, 'count',
+                     CAST(coalesce(c.cnt, 0) AS DOUBLE), NULL
+              FROM buckets b LEFT JOIN counted c ON b.i = c.i
+    UNION ALL SELECT section, name, 'mcq_accuracy', mcq_accuracy, NULL
+              FROM breakdown
+    UNION ALL SELECT section, name, 'mcq_total',
+                     CAST(mcq_total AS DOUBLE), NULL FROM breakdown
+    UNION ALL SELECT section, name, 'open_avg_score', open_avg_score, NULL
+              FROM breakdown
+    UNION ALL SELECT section, name, 'open_total',
+                     CAST(open_total AS DOUBLE), NULL FROM breakdown
+    UNION ALL SELECT 'tokens', 'all', 'generation_input',
+                     CAST(generation_input AS DOUBLE), NULL FROM overall
+    UNION ALL SELECT 'tokens', 'all', 'generation_output',
+                     CAST(generation_output AS DOUBLE), NULL FROM overall
+    UNION ALL SELECT 'tokens', 'all', 'judge_input',
+                     CAST(judge_input AS DOUBLE), NULL FROM jtok
+    UNION ALL SELECT 'tokens', 'all', 'judge_output',
+                     CAST(judge_output AS DOUBLE), NULL FROM jtok
+    UNION ALL SELECT 'tokens', 'all', 'total',
+                     CAST(generation_input + generation_output
+                          + judge_input + judge_output AS DOUBLE), NULL
+              FROM overall, jtok
+    UNION ALL SELECT 'self_consistency', 'all', 'total_variants',
+                     CAST(total_variants AS DOUBLE), NULL FROM consistency
+    UNION ALL SELECT 'self_consistency', 'all', 'unanimous',
+                     CAST(unanimous AS DOUBLE), NULL FROM consistency
+    UNION ALL SELECT 'self_consistency', 'all', 'unanimous_rate',
+                     unanimous_rate, NULL FROM consistency
+"""
+
+CORE_ORACLES["q_compare_judges"] = f"""
+    WITH {_LEXAM_A_J_CTE},
+    ea AS (SELECT id FROM a WHERE experiment_id = 1),
+    judges AS (
+        SELECT judge_model, count(*) AS judged,
+               round(avg(score), 4) AS avg_score,
+               round(quantile_cont(score, 0.5), 4) AS median_score
+        FROM jm
+        WHERE score IS NOT NULL AND answer_id IN (SELECT id FROM ea)
+        GROUP BY judge_model
+    ),
+    fa AS (
+        SELECT * FROM a
+        WHERE experiment_id = 1 AND error IS NULL AND model_name = 'model-a'
+    ),
+    enr AS (
+        SELECT fa.*, coalesce(v.question_id, 'unknown') AS qid,
+               v.config, q.course, q.area
+        FROM fa LEFT JOIN v ON fa.variant_id = v.id
+        LEFT JOIN q ON v.question_id = q.id
+    ),
+    sagg AS (
+        SELECT e.qid, round(avg(jm.score), 4) AS avg_score,
+               count(*) AS judgment_count
+        FROM enr e JOIN jm ON jm.answer_id = e.id AND jm.score IS NOT NULL
+        GROUP BY e.qid
+    ),
+    bagg AS (
+        SELECT qid,
+               min_by(course, id) AS course,
+               min_by(area, id) AS area,
+               min_by(config, id) AS config,
+               max_by(mcq_correct,
+                      CASE WHEN mcq_correct IS NOT NULL THEN id END)
+                   AS mcq_correct,
+               count(*) AS answer_count
+        FROM enr GROUP BY qid
+    ),
+    byq AS (
+        SELECT b.qid, b.course, b.area, b.config,
+               CAST(CAST(b.mcq_correct AS INT) AS DOUBLE) AS mcq_correct,
+               s.avg_score,
+               coalesce(s.judgment_count, 0) AS judgment_count,
+               b.answer_count
+        FROM bagg b LEFT JOIN sagg s ON b.qid = s.qid
+    )
+    SELECT 'judges' AS section, judge_model AS "key", 'judged' AS metric,
+           CAST(judged AS DOUBLE) AS value_num,
+           CAST(NULL AS VARCHAR) AS value_str
+    FROM judges
+    UNION ALL SELECT 'judges', judge_model, 'avg_score', avg_score, NULL
+              FROM judges
+    UNION ALL SELECT 'judges', judge_model, 'median_score', median_score,
+                     NULL FROM judges
+    UNION ALL SELECT 'by_question', qid, 'avg_score', avg_score, NULL
+              FROM byq
+    UNION ALL SELECT 'by_question', qid, 'judgment_count',
+                     CAST(judgment_count AS DOUBLE), NULL FROM byq
+    UNION ALL SELECT 'by_question', qid, 'answer_count',
+                     CAST(answer_count AS DOUBLE), NULL FROM byq
+    UNION ALL SELECT 'by_question', qid, 'mcq_correct', mcq_correct, NULL
+              FROM byq
+    UNION ALL SELECT 'by_question', qid, 'course', NULL, course FROM byq
+    UNION ALL SELECT 'by_question', qid, 'area', NULL, area FROM byq
+    UNION ALL SELECT 'by_question', qid, 'config', NULL, config FROM byq
+"""

@@ -30,7 +30,7 @@ CORE_QUERIES: dict[str, QueryFn] = {
 #: registry reaches this count from a bare interpreter, so a broken ML
 #: import can't silently shrink the contract (round-1 lesson: 7 keys had
 #: no driver correctness row).
-EXPECTED_QUERY_COUNT = 246
+EXPECTED_QUERY_COUNT = 248
 
 #: The external correctness harness verifies the FIRST 50 registered keys
 #: (observed: rounds 1–4 each produced rows for exactly the first 50, in
@@ -41,65 +41,65 @@ EXPECTED_QUERY_COUNT = 246
 #: re-verified in-repo by tools/parity_sweep.py at sf0.01
 #: (CORRECTNESS_SELF.json) and sf0.1 (CORRECTNESS_SELF_SF01.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ── round 8 window (exactly 50; asserted by test_bench_contract) ──
-    # Slots 1-3: NEW in round 8 — the serving-endpoint composites
-    # (questions page, search suggestions, dashboard suite), registered
-    # at round start so each ships with a driver row.
-    "q_questions_page",
-    "q_search_top_courses",
-    "q_dashboard_suite",
-    # Slots 4-50: FRESHNESS — the 47 keys whose newest driver row is
-    # round 3 or older (round-7 verdict item 1).  Their shared helpers
-    # (tokenizer, shingles, samplers, Bloom, curation pipeline) have
-    # churned for four rounds since those rows were recorded; all 47
-    # are green in both self sweeps (sf0.01 + sf0.1).
-    "q_ab_test",
-    "q_approx_quantiles",
-    "q_bitmap_distinct",
-    "q_bloom_decontaminate",
-    "q_chunk_overlap",
-    "q_conditional_agg",
-    "q_curation_pipeline",
-    "q_dataset_card",
-    "q_date_arith",
-    "q_decontaminate_docs",
-    "q_dedup_segments",
-    "q_doc_fingerprint",
-    "q_edit_distance",
-    "q_embedding_quantize",
-    "q_events_sessionless_rate",
-    "q_events_variant",
-    "q_first_last_event",
-    "q_funnel_steps",
-    "q_grouping_sets",
-    "q_heavy_hitters",
-    "q_incremental_agg",
-    "q_intersect_except",
-    "q_join_skew_salted",
-    "q_kcore_prune",
-    "q_lexical_rarity",
-    "q_merge_upsert",
-    "q_mix_sources_balanced",
-    "q_mix_temperature",
-    "q_moving_avg_revenue",
-    "q_pack_sequences",
-    "q_percentile_multi",
-    "q_pii_redact_stats",
-    "q_pretrain_pipeline",
-    "q_quality_audit",
-    "q_repetition_stats",
-    "q_retention_cohorts",
-    "q_sample_bernoulli",
-    "q_sample_stratified",
-    "q_sample_weighted",
-    "q_sentence_stats",
-    "q_split_assign",
-    "q_string_agg",
-    "q_text_quality",
-    "q_tfidf_top_terms",
-    "q_token_count_regex",
-    "q_url_dedup",
-    "q_zorder_layout",
+    # ── round 9 window (exactly 50; asserted by test_bench_contract) ──
+    # Slots 1-2: NEW in round 9 — the experiment-stats serving
+    # composites (/stats payload; /stats/compare-judges +
+    # /stats/by-question), the last reference endpoint family to gain a
+    # driver-oracled end-to-end key (round-8 verdict item 1).
+    "q_experiment_stats",
+    "q_compare_judges",
+    # Slots 3-50: FRESHNESS — the 48 keys whose newest driver row is
+    # round 4 (round-8 verdict item 2).  All 48 are green in both self
+    # sweeps (sf0.01 + sf0.1); this rotation refreshes their external
+    # evidence.
+    "q_abandoned_carts",
+    "q_bm25_topk",
+    "q_bpe_tokenize",
+    "q_calibration_bins",
+    "q_char_class_stats",
+    "q_cooccur_lift",
+    "q_customer_ltv_cohort",
+    "q_dau_wau_stickiness",
+    "q_doc_rolling_hash",
+    "q_embedding_norms",
+    "q_event_pattern",
+    "q_event_transitions",
+    "q_gap_fill",
+    "q_gini_revenue",
+    "q_graph_bfs",
+    "q_hard_negatives",
+    "q_hll_merge_windows",
+    "q_hourly_anomalies",
+    "q_hybrid_rrf",
+    "q_judge_agreement",
+    "q_kfold_assign",
+    "q_knn_batch",
+    "q_knn_ivfpq",
+    "q_label_propagation",
+    "q_length_buckets",
+    "q_linear_attribution",
+    "q_majority_vote",
+    "q_mom_growth",
+    "q_multimodal_features",
+    "q_new_vs_returning",
+    "q_outlier_mad",
+    "q_outlier_mad_approx",
+    "q_pagerank",
+    "q_peak_concurrency",
+    "q_pr_curve",
+    "q_rfm_segments",
+    "q_running_distinct",
+    "q_scd2_intervals",
+    "q_score_normalize",
+    "q_skyline_pareto",
+    "q_snapshot_diff",
+    "q_table_profile",
+    "q_theil_sen",
+    "q_time_decay",
+    "q_top_paths",
+    "q_user_streaks",
+    "q_window_funnel",
+    "q_winsorized_stats",
 )
 
 
@@ -119,8 +119,16 @@ ROUND7_KEYS: tuple[str, ...] = (
     "q_cluster_size_dist",
 )
 
-#: the keys introduced in round 8 — slots 1-3 of the window above.
-ROUND8_KEYS: tuple[str, ...] = DRIVER_PRIORITY[:3]
+#: the keys introduced in round 8 (the round-8 window's slots 1-3 —
+#: now literal, since the round-9 window rotated them out).
+ROUND8_KEYS: tuple[str, ...] = (
+    "q_questions_page",
+    "q_search_top_courses",
+    "q_dashboard_suite",
+)
+
+#: the keys introduced in round 9 — slots 1-2 of the window above.
+ROUND9_KEYS: tuple[str, ...] = DRIVER_PRIORITY[:2]
 
 
 def _ml_module(name: str):

@@ -256,12 +256,21 @@ def stats_by_question(
         F.round(F.avg("score"), 4).alias("avg_score"),
         F.count(F.lit(1)).alias("judgment_count"),
     )
+    # The reference folds answers in query order (answer-id order in
+    # practice): course/area/config come from the FIRST answer seen for
+    # the question, and the LAST non-NULL mcq_correct wins
+    # (experiment_stats.py:179-196).  ``first(ignorenulls)`` over a
+    # shuffled group is nondeterministic in Spark, so the twin is made
+    # explicit: min_by/max_by over the answer id — identical results,
+    # stable under any partitioning.
     base_agg = enriched.groupBy("question_id").agg(
-        F.first("course", ignorenulls=True).alias("course"),
-        F.first("area", ignorenulls=True).alias("area"),
-        F.first("config", ignorenulls=True).alias("config"),
-        # ref: last non-NULL mcq_correct wins; any true ≡ bool_or for 0/1-run data
-        F.bool_or(F.col("mcq_correct")).alias("mcq_correct"),
+        F.min_by("course", "id").alias("course"),
+        F.min_by("area", "id").alias("area"),
+        F.min_by("config", "id").alias("config"),
+        F.max_by(
+            "mcq_correct",
+            F.when(F.col("mcq_correct").isNotNull(), F.col("id")),
+        ).alias("mcq_correct"),
         F.count(F.lit(1)).alias("answer_count"),
     )
     return (

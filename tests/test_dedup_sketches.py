@@ -49,6 +49,20 @@ def test_simhash_hamming_orders_by_similarity(spark, docs):
     assert ham_near <= 8
 
 
+def test_simhash_keeps_null_text_docs(spark):
+    """Output contract (round-8 advice): exactly one row per input doc;
+    NULL-text docs carry simhash = 0 instead of being dropped by the
+    explode (explode of a null split yields no rows)."""
+    docs = spark.createDataFrame(
+        [(1, "some text here"), (2, None), (3, "other words")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r.simhash for r in simhash_sketches(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2] == 0
+    assert rows[1] != 0 and rows[3] != 0
+
+
 def test_exact_dedup_groups_identical_texts(spark, docs):
     surv = (
         docs.groupBy(F.md5("text").alias("h"))

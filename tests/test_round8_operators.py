@@ -23,17 +23,16 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def test_round8_window_layout():
-    """Slots 1-3 are the new round-8 keys; slots 4-50 are exactly the 47
-    keys whose newest driver row was round 3 or older (verdict item 1)."""
+    """The round-8 keys remain registered and oracled after the round-9
+    window rotated them out (their driver rows are archived in
+    CORRECTNESS_r08.json; slot assertions live in test_round9_operators
+    now)."""
     assert ROUND8_KEYS == (
         "q_questions_page",
         "q_search_top_courses",
         "q_dashboard_suite",
     )
-    assert DRIVER_PRIORITY[:3] == ROUND8_KEYS
     assert len(DRIVER_PRIORITY) == 50
-    stale = DRIVER_PRIORITY[3:]
-    assert len(stale) == len(set(stale)) == 47
 
 
 def test_round8_keys_registered_with_oracles():
@@ -41,8 +40,8 @@ def test_round8_keys_registered_with_oracles():
     for k in ROUND8_KEYS:
         assert k in q, k
         assert k in o, f"{k} must be oracle-hash-checked, not rows-only"
-    # the new keys sit inside the verified window
-    assert list(q)[:3] == list(ROUND8_KEYS)
+    # registration order still leads with the current driver window
+    assert list(q)[:50] == list(DRIVER_PRIORITY)
 
 
 def test_round8_keys_are_benched_and_probed():
@@ -57,10 +56,15 @@ def test_bench_covers_every_key_but_the_declared_exclusion():
     the one documented exclusion is the all-pairs oracle twin."""
     import re
 
-    from lexam_data_pipeline_spark.plans.registry import ROUND7_KEYS
+    from lexam_data_pipeline_spark.plans.registry import ROUND7_KEYS, ROUND9_KEYS
 
     src = (REPO / "bench.py").read_text()
-    benched = set(re.findall(r'"(q_\w+)"', src)) | set(ROUND7_KEYS) | set(ROUND8_KEYS)
+    benched = (
+        set(re.findall(r'"(q_\w+)"', src))
+        | set(ROUND7_KEYS)
+        | set(ROUND8_KEYS)
+        | set(ROUND9_KEYS)
+    )
     missing = sorted(set(build_queries()) - benched)
     assert missing == ["q_dedup_embedding"], missing
 

@@ -241,7 +241,10 @@ def test_stats_by_question(spark, t):
     assert [r["question_id"] for r in rows] == ["q4", "q1", "q3", "q2"]
     by = {r["question_id"]: r for r in rows}
     assert (by["q1"]["answer_count"], by["q1"]["judgment_count"]) == (3, 2)
-    assert by["q1"]["avg_score"] == 0.7 and by["q1"]["mcq_correct"] is True
+    # q1's runs disagree (101 True, 102 False): the reference folds in
+    # answer-id order and the LAST non-NULL mcq_correct wins
+    # (experiment_stats.py:194-196) → False, not bool_or's True
+    assert by["q1"]["avg_score"] == 0.7 and by["q1"]["mcq_correct"] is False
     assert by["q2"]["avg_score"] is None and by["q2"]["judgment_count"] == 0
     assert by["q4"]["avg_score"] == 0.95
     assert by["q3"]["mcq_correct"] is None

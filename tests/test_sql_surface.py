@@ -45,13 +45,14 @@ def test_surface_covers_all_core_oracled():
     assert covered == len(CORE_ORACLES), (covered, len(CORE_ORACLES))
 
 
-def test_surface_covers_97pct_of_all_oracled():
-    """Round-8 bar: ≥97% of the FULL oracled contract (core + ML tiers)
-    has a spark.sql front door (218/223 at round-8 close; the 5
-    remaining keys need constructs Spark SQL lacks or are by-design
-    twins — enumerated in the module docstring)."""
+def test_surface_covers_every_oracled_key():
+    """Round-9 bar (raised from round-8's ≥97%): EVERY oracled key —
+    core and ML tiers — has a spark.sql front door.  The last four
+    DataFrame-only keys closed this round: the cluster pair via the
+    linear-reference unrolled min-label text, the embedding pair via
+    hand-written 0-based balanced-tree texts."""
     from lexam_data_pipeline_spark.plans.registry import build_oracles
 
     oracles = build_oracles()
-    covered = sum(1 for k in SQL_QUERIES if k in oracles)
-    assert covered / len(oracles) >= 0.97, (covered, len(oracles))
+    missing = sorted(set(oracles) - set(SQL_QUERIES))
+    assert missing == [], missing

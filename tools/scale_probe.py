@@ -27,6 +27,7 @@ from lexam_data_pipeline_spark.catalog import load_table  # noqa: E402
 from lexam_data_pipeline_spark.plans.registry import (  # noqa: E402
     ROUND7_KEYS,
     ROUND8_KEYS,
+    ROUND9_KEYS,
     build_queries,
 )
 from lexam_data_pipeline_spark.session import get_spark  # noqa: E402
@@ -173,6 +174,7 @@ PROBES = [
     # round-7/8 keys come from the registry's single source of truth
     *ROUND7_KEYS,
     *ROUND8_KEYS,
+    *ROUND9_KEYS,
     # round-8 bench sweep catch: the rewritten SimHash sketch (the old
     # HOF form was 293 s at sf0.1 — see PLANS.md)
     "q_simhash_buckets",
