@@ -8725,47 +8725,16 @@ def _lexam_answers_projection(
         .select(F.explode(F.array(judgment_struct(0), judgment_struct(1))).alias("j"))
         .select("j.*")
     )
+    # The stats composites flatten ~10 sections, each its own job off
+    # these two frames — persist the derived tables ONCE (slot-bounded;
+    # ~2 kB/row × |variants|·2) instead of re-deriving documents →
+    # variants → answers → judgments per section (measured 4.4 s →
+    # ~2 s for q_experiment_stats at sf0.1).
+    from lexam_data_pipeline_spark.operators.caching import persist_slot
+
+    answers = persist_slot(answers, "lexam.answers")
+    judgments = persist_slot(judgments, "lexam.judgments")
     return questions, variants, answers, judgments
-
-
-def _flat_sections(*parts: DataFrame) -> DataFrame:
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
-
-
-def _flat(
-    section: str,
-    df: DataFrame,
-    key,
-    nums: tuple[str, ...] = (),
-    strs: tuple[str, ...] = (),
-) -> DataFrame:
-    """Long-format flatten (section, key, metric, value_num, value_str)
-    shared by the round-9 stats composites — same shape as
-    serving.dashboard.flatten_dashboard so the driver hash covers every
-    cell of a multi-frame endpoint payload in one result."""
-    out = None
-    for m in nums:
-        part = df.select(
-            F.lit(section).alias("section"),
-            key.cast("string").alias("key"),
-            F.lit(m).alias("metric"),
-            F.col(m).cast("double").alias("value_num"),
-            F.lit(None).cast("string").alias("value_str"),
-        )
-        out = part if out is None else out.unionByName(part)
-    for m in strs:
-        part = df.select(
-            F.lit(section).alias("section"),
-            key.cast("string").alias("key"),
-            F.lit(m).alias("metric"),
-            F.lit(None).cast("double").alias("value_num"),
-            F.col(m).cast("string").alias("value_str"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
 
 
 def q_experiment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8783,76 +8752,20 @@ def q_experiment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     judgment lookups); the score semi-join ships only answer ids; no
     section's group count exceeds |courses|."""
     from lexam_data_pipeline_spark.serving.stats import (
-        breakdown_by_field,
+        breakdown_by_fields,
         experiment_stats,
+        flatten_experiment_stats,
     )
 
     questions, variants, answers, judgments = _lexam_answers_projection(spark, sf_dir)
     s = experiment_stats(
         answers, judgments, experiment_id=1, n_answers=2
     )
-    tokens_total = (
-        s["overall"]
-        .select("generation_input", "generation_output")
-        .crossJoin(s["judge_tokens"])
-        .select(
-            (
-                F.col("generation_input")
-                + F.col("generation_output")
-                + F.col("judge_input")
-                + F.col("judge_output")
-            ).alias("total")
-        )
+    breakdown = breakdown_by_fields(
+        answers, judgments, variants, questions,
+        experiment_id=1, fields=("area", "course"),
     )
-    parts = [
-        _flat(
-            "overall",
-            s["overall"],
-            F.lit("all"),
-            (
-                "total_answers",
-                "mcq_total",
-                "mcq_correct",
-                "mcq_accuracy",
-                "open_total",
-            ),
-        ),
-        _flat("open", s["open"], F.lit("all"), ("judged", "avg_score", "median_score")),
-        _flat("score_distribution", s["score_distribution"], F.col("range"), ("count",)),
-        _flat(
-            "by_area",
-            breakdown_by_field(
-                answers, judgments, variants, questions,
-                experiment_id=1, field="area",
-            ),
-            F.col("name"),
-            ("mcq_accuracy", "mcq_total", "open_avg_score", "open_total"),
-        ),
-        _flat(
-            "by_course",
-            breakdown_by_field(
-                answers, judgments, variants, questions,
-                experiment_id=1, field="course",
-            ),
-            F.col("name"),
-            ("mcq_accuracy", "mcq_total", "open_avg_score", "open_total"),
-        ),
-        _flat(
-            "tokens",
-            s["overall"],
-            F.lit("all"),
-            ("generation_input", "generation_output"),
-        ),
-        _flat("tokens", s["judge_tokens"], F.lit("all"), ("judge_input", "judge_output")),
-        _flat("tokens", tokens_total, F.lit("all"), ("total",)),
-        _flat(
-            "self_consistency",
-            s["self_consistency"],
-            F.lit("all"),
-            ("total_variants", "unanimous", "unanimous_rate"),
-        ),
-    ]
-    return _flat_sections(*parts)
+    return flatten_experiment_stats(s, breakdown)
 
 
 def q_compare_judges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8870,6 +8783,7 @@ def q_compare_judges(spark: SparkSession, sf_dir: str) -> DataFrame:
     avoid the second shuffle) and output is O(|questions|)."""
     from lexam_data_pipeline_spark.serving.stats import (
         compare_judges,
+        flatten_compare_judges,
         stats_by_question,
     )
 
@@ -8878,19 +8792,5 @@ def q_compare_judges(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_q = stats_by_question(
         answers, judgments, variants, questions,
         experiment_id=1, model_name="model-a",
-    ).withColumn("mcq_correct", F.col("mcq_correct").cast("double"))
-    return _flat_sections(
-        _flat(
-            "judges",
-            judges,
-            F.col("judge_model"),
-            ("judged", "avg_score", "median_score"),
-        ),
-        _flat(
-            "by_question",
-            by_q,
-            F.col("question_id"),
-            ("avg_score", "judgment_count", "answer_count", "mcq_correct"),
-            ("course", "area", "config"),
-        ),
     )
+    return flatten_compare_judges(judges, by_q)

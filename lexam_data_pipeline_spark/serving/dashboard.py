@@ -298,26 +298,23 @@ def flatten_dashboard(d: dict[str, DataFrame]) -> DataFrame:
         nums: tuple[str, ...] = (),
         strs: tuple[str, ...] = (),
     ) -> DataFrame:
-        out = None
+        # one stack generator per section, not one union branch per
+        # metric: the per-metric union re-plans (and can re-execute)
+        # the section's aggregate once per metric (round-9 measurement
+        # on the stats composites; identical cells either way)
+        cells: list[str] = []
         for m in nums:
-            part = df.select(
-                F.lit(section).alias("section"),
-                key.cast("string").alias("key"),
-                F.lit(m).alias("metric"),
-                F.col(m).cast("double").alias("value_num"),
-                F.lit(None).cast("string").alias("value_str"),
-            )
-            out = part if out is None else out.unionByName(part)
+            cells += [f"'{m}'", f"CAST(`{m}` AS DOUBLE)", "CAST(NULL AS STRING)"]
         for m in strs:
-            part = df.select(
-                F.lit(section).alias("section"),
-                key.cast("string").alias("key"),
-                F.lit(m).alias("metric"),
-                F.lit(None).cast("double").alias("value_num"),
-                F.col(m).cast("string").alias("value_str"),
-            )
-            out = part if out is None else out.unionByName(part)
-        return out
+            cells += [f"'{m}'", "CAST(NULL AS DOUBLE)", f"CAST(`{m}` AS STRING)"]
+        n = len(nums) + len(strs)
+        return df.select(
+            F.lit(section).alias("section"),
+            key.cast("string").alias("key"),
+            F.expr(f"stack({n}, {', '.join(cells)})").alias(
+                "metric", "value_num", "value_str"
+            ),
+        )
 
     parts = [
         flat("total", d["total_questions"], F.lit("all"), ("total_questions",)),

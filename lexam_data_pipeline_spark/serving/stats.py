@@ -74,6 +74,9 @@ def experiment_stats(
     open_judgments = judgments.join(open_ids, "answer_id", "left_semi")
     if judge_model:
         open_judgments = open_judgments.filter(F.col("judge_model") == judge_model)
+    # three returned frames (score stats, token sums, histogram) fold
+    # over this semi-join — persist it once, slot-bounded like ans
+    open_judgments = persist_slot(open_judgments, "stats.open_judgments")
     scores = open_judgments.filter(F.col("score").isNotNull())
 
     overall = ans.agg(
@@ -204,6 +207,78 @@ def breakdown_by_field(
     )
 
 
+def breakdown_by_fields(
+    answers: DataFrame,
+    judgments: DataFrame,
+    variants: DataFrame,
+    questions: DataFrame,
+    *,
+    experiment_id: int,
+    fields: tuple[str, ...],
+    model_name: str | None = None,
+    judge_model: str | None = None,
+) -> DataFrame:
+    """All requested per-field breakdowns in ONE pass: the reference's
+    /stats payload embeds BOTH the area and course breakdowns
+    (experiment_stats.py:64-65), i.e. two full walks over the answers —
+    here a ``stack`` generator tags each answer row once per field and
+    one grouped aggregate per side serves every field.  Output adds a
+    leading ``field`` column; each field's slice equals
+    :func:`breakdown_by_field` for that field exactly."""
+    ans = _filtered_answers(answers, experiment_id, model_name)
+    dims = variants.select(F.col("id").alias("variant_id"), "question_id").join(
+        F.broadcast(questions.select(F.col("id").alias("question_id"), *fields)),
+        "question_id",
+        "left_outer",
+    )
+    cells = ", ".join(
+        f"'{f}', coalesce(CAST(`{f}` AS STRING), 'unknown')" for f in fields
+    )
+    enriched = (
+        ans.join(F.broadcast(dims), "variant_id", "left_outer")
+        .select(
+            "id",
+            "extracted_letter",
+            "mcq_correct",
+            F.expr(f"stack({len(fields)}, {cells})").alias("field", "name"),
+        )
+    )
+    is_mcq = F.col("extracted_letter").isNotNull()
+    jscore = _valid_judgments(judgments, judge_model).select(
+        F.col("answer_id"), F.col("score")
+    )
+    open_scored = (
+        enriched.filter(~is_mcq)
+        .select(F.col("id").alias("answer_id"), "field", "name")
+        .join(jscore, "answer_id", "inner")
+        .groupBy("field", "name")
+        .agg(
+            F.round(F.avg("score"), 4).alias("open_avg_score"),
+            F.count(F.lit(1)).alias("open_total"),
+        )
+    )
+    mcq_side = enriched.groupBy("field", "name").agg(
+        F.sum(is_mcq.cast("int")).alias("mcq_total"),
+        F.sum((is_mcq & F.coalesce(F.col("mcq_correct"), F.lit(False))).cast("int")).alias(
+            "__correct"
+        ),
+    )
+    return (
+        mcq_side.join(open_scored, ["field", "name"], "full_outer")
+        .select(
+            "field",
+            "name",
+            F.when(
+                F.col("mcq_total") > 0, F.round(F.col("__correct") / F.col("mcq_total"), 4)
+            ).alias("mcq_accuracy"),
+            F.coalesce("mcq_total", F.lit(0)).alias("mcq_total"),
+            "open_avg_score",
+            F.coalesce("open_total", F.lit(0)).alias("open_total"),
+        )
+        .orderBy("field", "name")
+    )
+
+
 def compare_judges(
     answers: DataFrame, judgments: DataFrame, *, experiment_id: int
 ) -> DataFrame:
@@ -277,4 +352,119 @@ def stats_by_question(
         base_agg.join(score_agg, "question_id", "left_outer")
         .withColumn("judgment_count", F.coalesce("judgment_count", F.lit(0)))
         .orderBy(F.desc(F.coalesce(F.col("avg_score"), F.lit(0.0))), F.asc("question_id"))
+    )
+
+
+def flat_section(
+    section,
+    df: DataFrame,
+    key,
+    nums: tuple[str, ...] = (),
+    strs: tuple[str, ...] = (),
+) -> DataFrame:
+    """Long-format flatten (section, key, metric, value_num, value_str)
+    — one ``stack`` generator per section (a per-metric union re-plans
+    the section's aggregate once per metric).  ``section`` is a literal
+    or a Column."""
+    cells: list[str] = []
+    for m in nums:
+        cells += [f"'{m}'", f"CAST(`{m}` AS DOUBLE)", "CAST(NULL AS STRING)"]
+    for m in strs:
+        cells += [f"'{m}'", "CAST(NULL AS DOUBLE)", f"CAST(`{m}` AS STRING)"]
+    n = len(nums) + len(strs)
+    return df.select(
+        (F.lit(section) if isinstance(section, str) else section).alias("section"),
+        key.cast("string").alias("key"),
+        F.expr(f"stack({n}, {', '.join(cells)})").alias(
+            "metric", "value_num", "value_str"
+        ),
+    )
+
+
+def flatten_experiment_stats(
+    s: dict[str, DataFrame], breakdown: DataFrame
+) -> DataFrame:
+    """Flatten the /stats payload — the :func:`experiment_stats` frame
+    dict plus the :func:`breakdown_by_fields` frame — to ONE long-format
+    result.  Shared by the q_experiment_stats contract key and the
+    streaming maintainer's served report (streaming/experiment_stats.py)
+    so the flatten expressions cannot diverge between the batch and
+    streaming doors (the serving.dashboard.flatten_dashboard pattern)."""
+    tokens_total = (
+        s["overall"]
+        .select("generation_input", "generation_output")
+        .crossJoin(s["judge_tokens"])
+        .select(
+            (
+                F.col("generation_input")
+                + F.col("generation_output")
+                + F.col("judge_input")
+                + F.col("judge_output")
+            ).alias("total")
+        )
+    )
+    parts = [
+        flat_section(
+            "overall",
+            s["overall"],
+            F.lit("all"),
+            ("total_answers", "mcq_total", "mcq_correct", "mcq_accuracy", "open_total"),
+        ),
+        flat_section(
+            "open", s["open"], F.lit("all"), ("judged", "avg_score", "median_score")
+        ),
+        flat_section(
+            "score_distribution", s["score_distribution"], F.col("range"), ("count",)
+        ),
+        flat_section(
+            F.concat(F.lit("by_"), F.col("field")),
+            breakdown,
+            F.col("name"),
+            ("mcq_accuracy", "mcq_total", "open_avg_score", "open_total"),
+        ),
+        flat_section(
+            "tokens",
+            s["overall"],
+            F.lit("all"),
+            ("generation_input", "generation_output"),
+        ),
+        flat_section(
+            "tokens", s["judge_tokens"], F.lit("all"), ("judge_input", "judge_output")
+        ),
+        flat_section("tokens", tokens_total, F.lit("all"), ("total",)),
+        flat_section(
+            "self_consistency",
+            s["self_consistency"],
+            F.lit("all"),
+            ("total_variants", "unanimous", "unanimous_rate"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def flatten_compare_judges(judges: DataFrame, by_question: DataFrame) -> DataFrame:
+    """Flatten the compare-judges + by-question payload to ONE
+    long-format result — shared by the q_compare_judges contract key
+    and the streaming maintainer's served report
+    (streaming/judge_stats.py), so the flatten expressions cannot
+    diverge between the batch and streaming doors."""
+    by_q = by_question.withColumn(
+        "mcq_correct", F.col("mcq_correct").cast("double")
+    )
+    return flat_section(
+        "judges",
+        judges,
+        F.col("judge_model"),
+        ("judged", "avg_score", "median_score"),
+    ).unionByName(
+        flat_section(
+            "by_question",
+            by_q,
+            F.col("question_id"),
+            ("avg_score", "judgment_count", "answer_count", "mcq_correct"),
+            ("course", "area", "config"),
+        )
     )

@@ -234,3 +234,31 @@ def test_compare_judges_composite_counts(spark, sf_small, proj):
     }
     assert judged == {k: float(v) for k, v in expected.items()}
     assert set(judged) == {"judge-x", "judge-y"}
+
+
+def test_breakdown_by_fields_matches_single_field(spark, sf_small, proj):
+    """The one-pass stack-tagged multi-field breakdown must equal the
+    per-field API slice-for-slice (it feeds q_experiment_stats; the
+    single-field form stays for endpoint parity)."""
+    from lexam_data_pipeline_spark.serving.stats import (
+        breakdown_by_field,
+        breakdown_by_fields,
+    )
+
+    questions, variants, answers, judgments = proj
+    fused = breakdown_by_fields(
+        answers, judgments, variants, questions,
+        experiment_id=1, fields=("area", "course"),
+    ).collect()
+    for field in ("area", "course"):
+        got = sorted(
+            tuple(r)[1:] for r in fused if r["field"] == field
+        )
+        want = sorted(
+            tuple(r)
+            for r in breakdown_by_field(
+                answers, judgments, variants, questions,
+                experiment_id=1, field=field,
+            ).collect()
+        )
+        assert got == want, field
