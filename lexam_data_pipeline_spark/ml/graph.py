@@ -19,9 +19,12 @@ moves) then ``groupBy(dst)`` with map-side partial sums.  Rank state is
 the cluster.  Iteration count is fixed (power iteration converges
 geometrically; 3 rounds is plenty for top-k ordering here).
 
-Float summation order across partitions is nondeterministic, so this is
-declared **rows-only** for the driver; ``tests/test_graph.py`` is the
-real oracle — an independent numpy power iteration must agree to 1e-9.
+Two forms: the float :func:`pagerank` is the production operator
+(tol-based early stop; pinned by an independent numpy power iteration
+to 1e-9 in ``tests/test_graph.py``), and :func:`pagerank_fixed` is the
+integer twin whose determinism lets ``q_pagerank`` carry a full
+hash-match DuckDB oracle (unrolled-iteration SQL, the
+q_label_propagation pattern).
 """
 
 from __future__ import annotations
@@ -37,6 +40,14 @@ N_ITER = 3
 #: this the plan tree grows linearly with n_iter (fine at 3, a
 #: Catalyst-analysis blowup by ~20); same pattern as ml/dedup._two_phase_cc
 CHECKPOINT_EVERY = 5
+
+#: fixed-point PageRank scale: ranks are BIGINTs in units of 1e-12.
+#: 85·Σcontribs ≤ 85·SCALE ≈ 8.5e13 ≪ 2^63, so no intermediate overflows.
+PR_SCALE = 10**12
+#: q_pagerank's driver-checked iteration count (the float production
+#: form keeps N_ITER=3; one extra round costs one shuffle and buys a
+#: fixed-point result deep enough that top-20 order is stable).
+PR_N_ITER = 4
 
 
 def pagerank(
@@ -136,6 +147,64 @@ def pagerank(
     return ranks
 
 
+def pagerank_fixed(
+    edges: DataFrame,
+    n_iter: int = PR_N_ITER,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Fixed-point PageRank over SYMMETRIC distinct ``(src, dst)`` edges;
+    returns ``node, rank_scaled`` (BIGINT, units of ``1/scale``).
+
+    Every arithmetic step is integer — per-edge contribution
+    ``rank_scaled div out_deg``, update ``teleport + (85·Σc) div 100``
+    — so the result is a pure function of the edge set: integer sums
+    are associative/commutative, which makes the iterate independent of
+    partitioning AND engine.  That is what upgrades ``q_pagerank`` from
+    the float form's rows-only driver check to a full hash-match DuckDB
+    oracle (the unrolled-iteration twin, the q_label_propagation
+    pattern).  Truncation error vs the float iterate is ≤ n_iter·d/scale
+    per node — 3.4e-12 at the defaults, far below any ranking decision.
+
+    The float :func:`pagerank` stays the production form (no div
+    truncation bias, tol-based early stop, dangling handling); this is
+    the verification twin with the same one-shuffle-per-iteration shape.
+
+    Caller contract (as in :func:`q_pagerank`): ``edges`` is distinct
+    and symmetrized, so every node has out-degree ≥ 1 and appears in
+    every contribution aggregate (teleport fuses into the groupBy).
+    """
+    from lexam_data_pipeline_spark.operators.caching import persist_slot
+
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges_w = persist_slot(edges.join(out_deg, "src"), "graph.edges_fx")
+    nodes = edges_w.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()  # O(1) driver scalar (oracle: a 1-row CTE)
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_scaled"))
+    teleport = ((damping_den - damping_num) * scale) // (damping_den * n_nodes)
+    ranks = nodes.select(
+        "node", F.lit(scale // n_nodes).cast("long").alias("rank_scaled")
+    )
+    for i in range(n_iter):
+        contribs = edges_w.join(ranks, edges_w.src == ranks.node).select(
+            F.col("dst").alias("node"),
+            F.expr("rank_scaled div out_deg").alias("c"),
+        )
+        ranks = contribs.groupBy("node").agg(
+            (
+                F.lit(teleport)
+                + F.expr(f"({damping_num} * sum(c)) div {damping_den}")
+            )
+            .cast("long")
+            .alias("rank_scaled")
+        )
+        if (i + 1) % CHECKPOINT_EVERY == 0 and (i + 1) < n_iter:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
 def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
     """Minimum-hop BFS from ``seeds`` over directed ``(src, dst)`` edges.
 
@@ -199,9 +268,13 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 nodes by PageRank on the symmetrized customer↔supplier
-    graph.  Rows-only for the driver (cross-partition float summation);
-    pytest verifies values against an independent numpy power iteration.
+    """Top-20 nodes by 4-round FIXED-POINT PageRank on the symmetrized
+    customer↔supplier graph — deterministic BIGINT ranks (units of
+    1e-12), fully hash-match-oracled against the unrolled-iteration
+    DuckDB twin (round-9 verdict item 6; previously the float form's
+    rows-only row).  The float :func:`pagerank` remains the production
+    operator, pinned by the independent numpy power iteration in
+    tests/test_graph.py.
     """
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -219,16 +292,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).union(pairs.select(F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")))
     # the two directions live in disjoint even/odd namespaces, so the
     # union of the distinct pair set is distinct by construction
-    ranks = pagerank(edges, symmetric=True, assume_distinct=True)
+    ranks = pagerank_fixed(edges, PR_N_ITER)
     return (
-        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        ranks.orderBy(F.desc("rank_scaled"), F.asc("node"))
         .limit(20)
         .select(
             F.when(F.col("node") % 2 == 0, F.lit("customer"))
             .otherwise(F.lit("supplier"))
             .alias("node_type"),
-            F.floor(F.col("node") / 2).cast("bigint").alias("key"),
-            F.round("rank", 8).alias("rank"),
+            F.expr("node div 2").cast("bigint").alias("key"),
+            F.col("rank_scaled").cast("long").alias("rank_scaled"),
         )
     )
 

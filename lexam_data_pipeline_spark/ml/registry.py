@@ -1210,6 +1210,61 @@ def _lpa_oracle_sql(n_iter: int) -> str:
 ML_ORACLES["q_label_propagation"] = _lpa_oracle_sql(4)
 
 
+def _pagerank_oracle_sql(n_iter: int) -> str:
+    """Unrolled fixed-point PageRank over the symmetrized
+    customer↔supplier graph — integer arithmetic only (`` // `` ports to
+    Spark's ``div`` mechanically), so every engine replays the EXACT
+    iterate: init ``scale // n``, per-edge contribution
+    ``r // out_deg``, update ``teleport + (85·Σc) // 100``.  One CTE per
+    iteration (single reference each — linear under CTE inlining, the
+    q_label_propagation lesson)."""
+    sql = """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    prs AS (
+        SELECT DISTINCT o.o_custkey * 2 AS cust_node,
+               l.l_suppkey * 2 + 1 AS supp_node
+        FROM li l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT cust_node AS src, supp_node AS dst FROM prs
+        UNION ALL
+        SELECT supp_node AS src, cust_node AS dst FROM prs
+    ),
+    deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+    ew AS (
+        SELECT e.src, e.dst, d.out_deg FROM edges e JOIN deg d ON e.src = d.src
+    ),
+    cnt AS (SELECT count(*) AS n FROM deg),
+    r0 AS (
+        SELECT d.src AS node, 1000000000000 // c.n AS r
+        FROM deg d CROSS JOIN cnt c
+    )"""
+    for i in range(1, n_iter + 1):
+        sql += f""",
+    r{i} AS (
+        SELECT e.dst AS node,
+               (15 * 1000000000000) // (100 * c.n)
+                   + (85 * sum(r.r // e.out_deg)) // 100 AS r
+        FROM ew e JOIN r{i - 1} r ON e.src = r.node CROSS JOIN cnt c
+        GROUP BY e.dst, c.n
+    )"""
+    sql += f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           CAST(node // 2 AS BIGINT) AS key,
+           CAST(r AS BIGINT) AS rank_scaled
+    FROM r{n_iter}
+    ORDER BY r DESC, node ASC
+    LIMIT 20
+"""
+    return sql
+
+
+ML_ORACLES["q_pagerank"] = _pagerank_oracle_sql(4)
+
+
 # DSIR importance selection: md5 bucketing, integer counts, and the
 # identically associated IEEE division chain — mirrors ml/dsir.py
 # expression for expression (round(1e6 · ((n_t/t_t) / (n_r/t_r)))).

@@ -1,9 +1,9 @@
 """PageRank (ml/graph.py) — numpy power iteration is the oracle.
 
-The driver records only a rows-only check for q_pagerank (cross-partition
-float summation order is nondeterministic), so this test is the real
-correctness gate: an independent dense numpy implementation must agree to
-1e-9 on every node.
+The float production `pagerank` is pinned by an independent dense numpy
+power iteration to 1e-9 on every node; the fixed-point `pagerank_fixed`
+behind the (hash-match-oracled) q_pagerank key is pinned EXACTLY by a
+pure-Python arbitrary-precision integer simulation.
 """
 
 from __future__ import annotations
@@ -31,6 +31,29 @@ def _numpy_pagerank(edges: list[tuple[int, int]], n_iter: int, d: float) -> dict
     return {node: rank[i] for node, i in idx.items()}
 
 
+def _python_pagerank_fixed(
+    edges: list[tuple[int, int]], n_iter: int, scale: int
+) -> dict[int, int]:
+    """Independent pure-Python integer PageRank — exact arbitrary-
+    precision ints, so agreement with Spark/DuckDB is equality, not
+    approximation."""
+    from collections import defaultdict
+
+    out_deg: dict[int, int] = defaultdict(int)
+    for s, _ in edges:
+        out_deg[s] += 1
+    nodes = sorted(out_deg)
+    n = len(nodes)
+    tele = (15 * scale) // (100 * n)
+    rank = {node: scale // n for node in nodes}
+    for _ in range(n_iter):
+        mass: dict[int, int] = defaultdict(int)
+        for s, t in edges:
+            mass[t] += rank[s] // out_deg[s]
+        rank = {node: tele + (85 * mass[node]) // 100 for node in nodes}
+    return rank
+
+
 class TestPageRank:
     def test_matches_numpy_on_toy_graph(self, spark):
         edges = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 3), (1, 4)]
@@ -56,8 +79,13 @@ class TestPageRank:
         ranks = {r["node"]: r["rank"] for r in pagerank(df).collect()}
         assert ranks[0] > max(v for k, v in ranks.items() if k != 0) * 2
 
-    def test_fixture_query_matches_numpy(self, spark, sf_small):
+    def test_fixture_query_matches_python_fixed_point(self, spark, sf_small):
+        """q_pagerank is the 4-round FIXED-POINT iterate: an independent
+        pure-Python integer simulation must agree EXACTLY (the driver's
+        DuckDB hash-match oracle is the unrolled SQL twin; this is the
+        engine-independent third opinion)."""
         from lexam_data_pipeline_spark.catalog import load_table
+        from lexam_data_pipeline_spark.ml.graph import PR_N_ITER, PR_SCALE
 
         orders = load_table(spark, sf_small, "orders").select("o_orderkey", "o_custkey")
         li = load_table(spark, sf_small, "lineitem").select("l_orderkey", "l_suppkey")
@@ -71,14 +99,34 @@ class TestPageRank:
             .collect()
         )
         edges = [(r["a"], r["b"]) for r in pairs] + [(r["b"], r["a"]) for r in pairs]
-        want = _numpy_pagerank(edges, N_ITER, DAMPING)
+        want = _python_pagerank_fixed(edges, PR_N_ITER, PR_SCALE)
         top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
         got = q_pagerank(spark, sf_small).collect()
         assert len(got) == 20
-        for row, (node, rank) in zip(got, top):
+        for row, (node, rank_scaled) in zip(got, top):
             assert row["key"] == node // 2
             assert row["node_type"] == ("customer" if node % 2 == 0 else "supplier")
-            assert row["rank"] == pytest.approx(rank, abs=1e-8)
+            assert row["rank_scaled"] == rank_scaled
+
+    def test_fixed_point_tracks_float_iterate(self, spark):
+        """pagerank_fixed's truncation drift vs the float iterate is
+        bounded by n_iter·d/scale per node — the scaled error bound that
+        justifies calling it a verification TWIN, not an approximation."""
+        from lexam_data_pipeline_spark.ml.graph import PR_SCALE, pagerank_fixed
+
+        pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (2, 5), (5, 4)]
+        edges = pairs + [(b, a) for a, b in pairs]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        fx = {
+            r["node"]: r["rank_scaled"] / PR_SCALE
+            for r in pagerank_fixed(df, n_iter=4).collect()
+        }
+        want = _numpy_pagerank(edges, 4, DAMPING)
+        assert set(fx) == set(want)
+        # each round floors once per in-edge and once per node, so drift
+        # ≤ n_iter·(max_in_deg+1)/scale ≈ 2e-11 here; 1e-9 is 50× slack
+        for node in want:
+            assert abs(fx[node] - want[node]) < 1e-9
 
     def test_symmetric_fast_path_equals_general(self, spark):
         pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (2, 5)]
