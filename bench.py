@@ -27,6 +27,7 @@ from lexam_data_pipeline_spark.plans.registry import (  # noqa: E402
     ROUND7_KEYS,
     ROUND8_KEYS,
     ROUND9_KEYS,
+    ROUND10_KEYS,
     build_queries,
 )
 from lexam_data_pipeline_spark.session import get_spark  # noqa: E402
@@ -234,6 +235,7 @@ def main() -> None:
         *ROUND7_KEYS,
         *ROUND8_KEYS,
         *ROUND9_KEYS,
+        *ROUND10_KEYS,
         # round-8 sweep: every remaining registry key gains timing
         # visibility (round-7 verdict item 3).  The ONLY documented
         # exclusion stays q_dedup_embedding — the all-pairs exact oracle

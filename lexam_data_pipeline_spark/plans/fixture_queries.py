@@ -8798,3 +8798,36 @@ def q_compare_judges(spark: SparkSession, sf_dir: str) -> DataFrame:
         experiment_id=1, model_name="model-a",
     )
     return flatten_compare_judges(judges, by_q)
+
+
+def q_experiment_stats_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The /stats zero-scores edge (round-9 verdict item 2), driver-
+    oracled end-to-end: experiment 2 filtered to a judge that has not
+    run yet (``judge_model='judge-z'``) with ``n_answers=1``.  The
+    reference then serves ``score_distribution`` as an EMPTY list (it
+    builds the buckets under ``if scores:``, ref
+    experiment_stats.py:55-61), ``avg/median = 0`` via the ``if
+    scores`` ternaries (:51-52), zero judge-token sums through the
+    ``or 0`` coalesces (:80-83), per-name breakdowns with NULL
+    open_avg_score, and ``self_consistency: None`` because
+    ``n_answers ≤ 1`` (:87-89) — so the flattened payload must contain
+    NO score_distribution and NO self_consistency rows while every
+    other section stays fully populated.
+
+    Scale: identical plan shape to q_experiment_stats minus the judged
+    branches; the histogram gate is a broadcast 0-row aggregate."""
+    from lexam_data_pipeline_spark.serving.stats import (
+        breakdown_by_fields,
+        experiment_stats,
+        flatten_experiment_stats,
+    )
+
+    questions, variants, answers, judgments = _lexam_answers_projection(spark, sf_dir)
+    s = experiment_stats(
+        answers, judgments, experiment_id=2, judge_model="judge-z", n_answers=1
+    )
+    breakdown = breakdown_by_fields(
+        answers, judgments, variants, questions,
+        experiment_id=2, fields=("area", "course"), judge_model="judge-z",
+    )
+    return flatten_experiment_stats(s, breakdown)

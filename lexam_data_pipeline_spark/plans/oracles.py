@@ -5165,3 +5165,133 @@ CORE_ORACLES["q_compare_judges"] = f"""
     UNION ALL SELECT 'by_question', qid, 'area', NULL, area FROM byq
     UNION ALL SELECT 'by_question', qid, 'config', NULL, config FROM byq
 """
+
+
+# Round 10: the /stats zero-scores edge — experiment 2 under a judge
+# that has not run yet.  The reference's `if scores:` gate
+# (experiment_stats.py:55-61) drops the score_distribution section
+# entirely, `n_answers=1` drops self_consistency (:87-89); every other
+# section serves its coalesced zero/NULL forms.
+CORE_ORACLES["q_experiment_stats_empty"] = f"""
+    WITH {_LEXAM_A_J_CTE},
+    fa AS (
+        SELECT * FROM a WHERE experiment_id = 2 AND error IS NULL
+    ),
+    open_j AS (
+        SELECT jm.* FROM jm
+        WHERE jm.answer_id IN (SELECT id FROM fa WHERE extracted_letter IS NULL)
+          AND jm.judge_model = 'judge-z'
+    ),
+    sc AS (SELECT score FROM open_j WHERE score IS NOT NULL),
+    overall AS (
+        SELECT count(*) AS total_answers,
+               sum(CASE WHEN extracted_letter IS NOT NULL THEN 1 ELSE 0 END)
+                   AS mcq_total,
+               sum(CASE WHEN extracted_letter IS NOT NULL
+                             AND coalesce(mcq_correct, false)
+                        THEN 1 ELSE 0 END) AS mcq_correct,
+               sum(CASE WHEN extracted_letter IS NULL THEN 1 ELSE 0 END)
+                   AS open_total,
+               sum(coalesce(input_tokens, 0)) AS generation_input,
+               sum(coalesce(output_tokens, 0)) AS generation_output
+        FROM fa
+    ),
+    openstats AS (
+        SELECT count(*) AS judged,
+               coalesce(round(avg(score), 4), 0.0) AS avg_score,
+               coalesce(round(quantile_cont(score, 0.5), 4), 0.0)
+                   AS median_score
+        FROM sc
+    ),
+    jtok AS (
+        SELECT coalesce(sum(input_tokens), 0) AS judge_input,
+               coalesce(sum(output_tokens), 0) AS judge_output
+        FROM open_j
+    ),
+    enr AS (
+        SELECT fa.*, q.course, q.area
+        FROM fa LEFT JOIN v ON fa.variant_id = v.id
+        LEFT JOIN q ON v.question_id = q.id
+    ),
+    names AS (
+        SELECT 'by_area' AS section, coalesce(area, 'unknown') AS name,
+               id, extracted_letter, mcq_correct
+        FROM enr
+        UNION ALL
+        SELECT 'by_course', coalesce(course, 'unknown'), id,
+               extracted_letter, mcq_correct
+        FROM enr
+    ),
+    mcq_side AS (
+        SELECT section, name,
+               sum(CASE WHEN extracted_letter IS NOT NULL THEN 1 ELSE 0 END)
+                   AS mcq_total,
+               sum(CASE WHEN extracted_letter IS NOT NULL
+                             AND coalesce(mcq_correct, false)
+                        THEN 1 ELSE 0 END) AS correct
+        FROM names GROUP BY section, name
+    ),
+    open_side AS (
+        SELECT n.section, n.name,
+               round(avg(jm.score), 4) AS open_avg_score,
+               count(*) AS open_total
+        FROM names n
+        JOIN jm ON jm.answer_id = n.id AND jm.score IS NOT NULL
+               AND jm.judge_model = 'judge-z'
+        WHERE n.extracted_letter IS NULL
+        GROUP BY n.section, n.name
+    ),
+    breakdown AS (
+        SELECT m.section, m.name,
+               CASE WHEN m.mcq_total > 0
+                    THEN round(m.correct / CAST(m.mcq_total AS DOUBLE), 4)
+                    END AS mcq_accuracy,
+               m.mcq_total,
+               o.open_avg_score,
+               coalesce(o.open_total, 0) AS open_total
+        FROM mcq_side m
+        LEFT JOIN open_side o ON m.section = o.section AND m.name = o.name
+    )
+    SELECT 'overall' AS section, 'all' AS "key",
+           'total_answers' AS metric,
+           CAST(total_answers AS DOUBLE) AS value_num,
+           CAST(NULL AS VARCHAR) AS value_str
+    FROM overall
+    UNION ALL SELECT 'overall', 'all', 'mcq_total',
+                     CAST(mcq_total AS DOUBLE), NULL FROM overall
+    UNION ALL SELECT 'overall', 'all', 'mcq_correct',
+                     CAST(mcq_correct AS DOUBLE), NULL FROM overall
+    UNION ALL SELECT 'overall', 'all', 'mcq_accuracy',
+                     CASE WHEN mcq_total > 0
+                          THEN round(mcq_correct / CAST(mcq_total AS DOUBLE), 4)
+                          ELSE 0.0 END, NULL
+              FROM overall
+    UNION ALL SELECT 'overall', 'all', 'open_total',
+                     CAST(open_total AS DOUBLE), NULL FROM overall
+    UNION ALL SELECT 'open', 'all', 'judged', CAST(judged AS DOUBLE), NULL
+              FROM openstats
+    UNION ALL SELECT 'open', 'all', 'avg_score', avg_score, NULL
+              FROM openstats
+    UNION ALL SELECT 'open', 'all', 'median_score', median_score, NULL
+              FROM openstats
+    UNION ALL SELECT section, name, 'mcq_accuracy', mcq_accuracy, NULL
+              FROM breakdown
+    UNION ALL SELECT section, name, 'mcq_total',
+                     CAST(mcq_total AS DOUBLE), NULL FROM breakdown
+    UNION ALL SELECT section, name, 'open_avg_score', open_avg_score, NULL
+              FROM breakdown
+    UNION ALL SELECT section, name, 'open_total',
+                     CAST(open_total AS DOUBLE), NULL FROM breakdown
+    UNION ALL SELECT 'tokens', 'all', 'generation_input',
+                     CAST(generation_input AS DOUBLE), NULL FROM overall
+    UNION ALL SELECT 'tokens', 'all', 'generation_output',
+                     CAST(generation_output AS DOUBLE), NULL FROM overall
+    UNION ALL SELECT 'tokens', 'all', 'judge_input',
+                     CAST(judge_input AS DOUBLE), NULL FROM jtok
+    UNION ALL SELECT 'tokens', 'all', 'judge_output',
+                     CAST(judge_output AS DOUBLE), NULL FROM jtok
+    UNION ALL SELECT 'tokens', 'all', 'total',
+                     CAST(generation_input + generation_output
+                          + judge_input + judge_output AS DOUBLE), NULL
+              FROM overall, jtok
+"""

@@ -1171,6 +1171,9 @@ ML_PORTED_KEYS: tuple[str, ...] = (
     "q_mix_sources_balanced",
     "q_mix_temperature",
     "q_pack_sequences",
+    # round 10: the fixed-point PageRank twin ( // → div is the only
+    # dialect delta in the unrolled-iteration text)
+    "q_pagerank",
     "q_pii_redact_stats",
     "q_pretrain_pipeline",
     "q_random_projection",
@@ -1270,6 +1273,10 @@ SQL_QUERIES["q_experiment_stats"] = port_oracle(_pre_port(
 ))
 SQL_QUERIES["q_compare_judges"] = port_oracle(_pre_port(
     "q_compare_judges", 'AS "key"', "AS `key`"
+))
+# Round 10: the zero-scores /stats edge ports the same way.
+SQL_QUERIES["q_experiment_stats_empty"] = port_oracle(_pre_port(
+    "q_experiment_stats_empty", 'AS "key"', "AS `key`"
 ))
 
 # The ordered string_agg over a comma-bearing expression defeats the

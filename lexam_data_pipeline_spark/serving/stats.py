@@ -108,12 +108,22 @@ def experiment_stats(
         F.coalesce(F.sum("output_tokens"), F.lit(0)).alias("judge_output"),
     )
 
-    # score histogram: bucket index min(floor(s*10), 10), densified
+    # score histogram: bucket index min(floor(s*10), 10), densified —
+    # but ONLY when scores exist: the reference builds the bucket list
+    # under ``if scores:`` (experiment_stats.py:55-61), so an unjudged
+    # experiment serves an EMPTY distribution, not 11 zero buckets
+    # (round-9 verdict item 2).  The gate is a broadcast 0-or-1-row
+    # aggregate, same shape as the tokens-total crossJoin below.
     bucket_spec = ans.sparkSession.createDataFrame(
         [(label,) for _, _, label in SCORE_BUCKETS], "range string"
     )
     bucket = F.least(F.floor(F.col("score") * 10), F.lit(10)).cast("int")
     labels = F.array(*[F.lit(label) for _, _, label in SCORE_BUCKETS])
+    any_scores = (
+        scores.agg(F.count(F.lit(1)).alias("__judged"))
+        .where(F.col("__judged") > 0)
+        .select(F.lit(1).alias("__has_scores"))
+    )
     score_distribution = (
         bucket_spec.join(
             scores.select(F.element_at(labels, bucket + 1).alias("range"))
@@ -123,6 +133,8 @@ def experiment_stats(
             "left_outer",
         )
         .withColumn("count", F.coalesce(F.col("count"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(any_scores))
+        .drop("__has_scores")
     )
 
     # A13: unanimity across runs per variant, over letter-bearing answers
@@ -432,13 +444,19 @@ def flatten_experiment_stats(
             "tokens", s["judge_tokens"], F.lit("all"), ("judge_input", "judge_output")
         ),
         flat_section("tokens", tokens_total, F.lit("all"), ("total",)),
-        flat_section(
-            "self_consistency",
-            s["self_consistency"],
-            F.lit("all"),
-            ("total_variants", "unanimous", "unanimous_rate"),
-        ),
     ]
+    # n_answers ≤ 1 → the reference serves ``self_consistency: None``
+    # (experiment_stats.py:87-89) and experiment_stats() omits the key —
+    # the flatten then emits NO self_consistency rows
+    if "self_consistency" in s:
+        parts.append(
+            flat_section(
+                "self_consistency",
+                s["self_consistency"],
+                F.lit("all"),
+                ("total_variants", "unanimous", "unanimous_rate"),
+            )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

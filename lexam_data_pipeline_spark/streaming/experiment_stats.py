@@ -15,11 +15,13 @@ from which the FULL flattened payload is served:
   target for judgment folds
 * ``variant_letters (variant_id, letter)`` — distinct pairs feeding
   self-consistency (≤ |variants| × |letters|)
-* ``jscore_cells (score, n)`` — judged-score histogram at full value
-  resolution (judge outputs are quantized in practice; the fixture's
-  scores are multiples of 1/32, so every serve-time sum is binary-exact
-  and order-independent — the same exactness contract as the dashboard
-  maintainer's integer word counts)
+* ``jscore_cells (score, n)`` — judged-score histogram keyed on
+  ROUND(score, 5) (:data:`SCORE_CELL_PRECISION`): identity for every
+  in-contract score — the clamp emits [0,1] values with ≤1 decimal, the
+  fixture's 1/32 grid has exactly 5 — so serve-time sums stay
+  binary-exact and order-independent (the dashboard maintainer's
+  exactness contract), while adversarial float streams are hard-bounded
+  at 10^5+1 cells instead of unbounded
 * ``jtokens (1 row)`` — judge token sums over ALL semi-joined
   judgments (score-less included, ref experiment_stats.py:74-83)
 * ``mcq_cells (field, name, mcq_total, mcq_correct)`` — breakdown MCQ
@@ -65,6 +67,23 @@ STATE_TABLES = (
     "mcq_cells",
     "open_cells",
 )
+
+#: Score-keyed state cells quantize their key to ROUND(score, 5) at fold
+#: time (round-9 verdict item 5).  Why 5: the engine's judge-score
+#: extraction clamps to [0,1] and the reference's ``[[x.x]]`` format
+#: carries ONE decimal, so every in-contract score satisfies
+#: ``round(s, 5) == s`` (so does the oracle fixture's 1/32 grid —
+#: k/32 = k·3125/100000, exactly 5 decimal digits) and quantization is
+#: the IDENTITY: fold-equality with the batch keys is preserved exactly.
+#: Against an adversarial stream of arbitrary floats in [0,1] the cell
+#: count is now HARD-BOUNDED at 10^5+1 per group key instead of
+#: unbounded; out-of-range scores still hit the collect_bounded guard,
+#: which raises rather than OOMs.
+SCORE_CELL_PRECISION = 5
+
+#: serve-time collect ceiling for score-cell tables: the quantization
+#: bound (100_001 in-range cells) plus headroom for a few group keys.
+SCORE_CELL_GUARD = 8 * 100_001
 
 _SCHEMAS = {
     "overall": (
@@ -227,7 +246,11 @@ def experiment_stats_fold_judgments(
         F.sum("judge_input").cast("long").alias("judge_input"),
         F.sum("judge_output").cast("long").alias("judge_output"),
     )
-    scored = sem.filter(F.col("score").isNotNull())
+    # quantized cell key: identity for in-contract scores, a hard state
+    # bound against adversarial ones (see SCORE_CELL_PRECISION)
+    scored = sem.filter(F.col("score").isNotNull()).withColumn(
+        "score", F.round("score", SCORE_CELL_PRECISION)
+    )
     jscore_cells1 = (
         st["jscore_cells"]
         .unionByName(scored.groupBy("score").agg(F.count(F.lit(1)).alias("n")))
@@ -301,7 +324,7 @@ def experiment_stats_report(
     # exact median via the bounded cell collect (≤ |distinct scores|)
     cell_rows = [
         (r["score"], r["n"])
-        for r in collect_bounded(st["jscore_cells"], 100_000, "jscore_cells")
+        for r in collect_bounded(st["jscore_cells"], SCORE_CELL_GUARD, "jscore_cells")
     ]
     # raw interpolated value; the 4-decimal rounding happens in Spark so
     # the HALF_UP tie behavior matches the batch key's F.round exactly
@@ -319,14 +342,25 @@ def experiment_stats_report(
     )
     bucket = F.least(F.floor(F.col("score") * 10), F.lit(10)).cast("int")
     labels = F.array(*[F.lit(label) for _, _, label in SCORE_BUCKETS])
-    score_distribution = bucket_spec.join(
-        st["jscore_cells"]
-        .select(F.element_at(labels, bucket + 1).alias("range"), "n")
-        .groupBy("range")
-        .agg(F.sum("n").alias("count")),
-        "range",
-        "left_outer",
-    ).withColumn("count", F.coalesce(F.col("count"), F.lit(0)).cast("long"))
+    # emitted only when judged scores exist — the batch twin's
+    # ``if scores:`` gate (ref experiment_stats.py:55-61); here the gate
+    # reads the already-collected cells, no extra job
+    any_scores = spark.createDataFrame(
+        [(1,)] if cell_rows else [], "__has_scores int"
+    )
+    score_distribution = (
+        bucket_spec.join(
+            st["jscore_cells"]
+            .select(F.element_at(labels, bucket + 1).alias("range"), "n")
+            .groupBy("range")
+            .agg(F.sum("n").alias("count")),
+            "range",
+            "left_outer",
+        )
+        .withColumn("count", F.coalesce(F.col("count"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(any_scores))
+        .drop("__has_scores")
+    )
 
     per_variant = st["variant_letters"].groupBy("variant_id").agg(
         (F.countDistinct("letter") == 1).cast("int").alias("unanimous")
@@ -362,9 +396,11 @@ def experiment_stats_report(
         "open": open_stats,
         "judge_tokens": st["jtokens"],
         "score_distribution": score_distribution,
-        "self_consistency": consistency,
     }
-    assert n_answers > 1  # the batch key serves the consistency block
+    # n_answers ≤ 1 → no self_consistency section, matching the batch
+    # twin and ref experiment_stats.py:87-89
+    if n_answers and n_answers > 1:
+        s["self_consistency"] = consistency
     return flatten_experiment_stats(s, breakdown)
 
 

@@ -10,9 +10,12 @@ State cells (all additive or order-fold-mergeable):
   model filter — compare-judges' semi-join is experiment-only, ref
   experiment_stats.py:117-136)
 * ``judge_cells (judge_model, score, n)`` — non-NULL-score judgments of
-  experiment answers at full value resolution → judged/avg and the
-  exact per-judge median (the reference re-fetches every judge's scores
-  per median; here the cells ARE that multiset, compressed)
+  experiment answers, keyed on ROUND(score, 5)
+  (``experiment_stats.SCORE_CELL_PRECISION`` — identity for every
+  in-contract score, a 10^5+1-per-judge hard bound against adversarial
+  float streams) → judged/avg and the exact per-judge median (the
+  reference re-fetches every judge's scores per median; here the cells
+  ARE that multiset, compressed)
 * ``q_map (answer_id, question_id)`` — the model-filtered answers'
   question routing for judgment folds
 * ``byq_cells (question_id, …)`` — the by-question fold state: course/
@@ -151,11 +154,21 @@ def judge_stats_fold_judgments(
     scored = persist_slot(
         batch.filter(F.col("score").isNotNull()), "jstats.scored"
     )
+    from lexam_data_pipeline_spark.streaming.experiment_stats import (
+        SCORE_CELL_PRECISION,
+    )
+
+    # cell KEY quantization only (identity in-contract, state bound
+    # against adversarial floats); the by-question score_sum below stays
+    # raw — it is one row per question, never a cell-count concern
     judge_cells1 = (
         st["judge_cells"]
         .unionByName(
             scored.join(st["exp_ids"], "answer_id", "left_semi")
-            .groupBy("judge_model", "score")
+            .groupBy(
+                "judge_model",
+                F.round("score", SCORE_CELL_PRECISION).alias("score"),
+            )
             .agg(F.count(F.lit(1)).alias("n"))
         )
         .groupBy("judge_model", "score")
@@ -200,9 +213,14 @@ def judge_stats_report(state: dict[str, DataFrame | None]) -> DataFrame:
         raise ValueError("no judge-stats state yet")
     spark = st["judge_cells"].sparkSession
 
-    # per-judge medians: cells are ≤ |judges| × |distinct scores| —
-    # driver-side interpolation with percentile(0.5)'s exact formula
-    rows = collect_bounded(st["judge_cells"], 100_000, "judge_cells")
+    from lexam_data_pipeline_spark.streaming.experiment_stats import (
+        SCORE_CELL_GUARD,
+    )
+
+    # per-judge medians: cells are ≤ |judges| × 100_001 (the quantized
+    # key's hard bound) — driver-side interpolation with
+    # percentile(0.5)'s exact formula
+    rows = collect_bounded(st["judge_cells"], SCORE_CELL_GUARD, "judge_cells")
     per_judge: dict[str, list[tuple[float, int]]] = {}
     for r in rows:
         per_judge.setdefault(r["judge_model"], []).append((r["score"], r["n"]))

@@ -56,7 +56,11 @@ def test_bench_covers_every_key_but_the_declared_exclusion():
     the one documented exclusion is the all-pairs oracle twin."""
     import re
 
-    from lexam_data_pipeline_spark.plans.registry import ROUND7_KEYS, ROUND9_KEYS
+    from lexam_data_pipeline_spark.plans.registry import (
+        ROUND7_KEYS,
+        ROUND9_KEYS,
+        ROUND10_KEYS,
+    )
 
     src = (REPO / "bench.py").read_text()
     benched = (
@@ -64,6 +68,7 @@ def test_bench_covers_every_key_but_the_declared_exclusion():
         | set(ROUND7_KEYS)
         | set(ROUND8_KEYS)
         | set(ROUND9_KEYS)
+        | set(ROUND10_KEYS)
     )
     missing = sorted(set(build_queries()) - benched)
     assert missing == ["q_dedup_embedding"], missing

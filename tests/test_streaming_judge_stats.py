@@ -136,6 +136,66 @@ def test_cross_batch_first_last_fold(spark):
     assert cells[("by_question", "q1", "answer_count")][0] == 2.0
 
 
+def test_adversarial_scores_judge_cells_hard_bounded(spark):
+    """Round-9 verdict item 5 (judge side): arbitrary-precision float
+    scores snap onto the 1e-5 cell grid — per-judge cell count is
+    hard-bounded, and the served per-judge avg/median stay within the
+    quantization bound."""
+    n = 10_000
+    answers = spark.range(n).select(
+        F.col("id"),
+        F.lit(1).alias("experiment_id"),
+        (F.col("id") % 31).alias("variant_id"),
+        F.lit("m").alias("model_name"),
+        F.lit(None).cast("string").alias("error"),
+        F.lit(None).cast("string").alias("extracted_letter"),
+        F.lit(None).cast("boolean").alias("mcq_correct"),
+        F.lit(1).cast("long").alias("input_tokens"),
+        F.lit(1).cast("long").alias("output_tokens"),
+    )
+    judgments = spark.range(n).select(
+        F.col("id").alias("answer_id"),
+        F.lit("j").alias("judge_model"),
+        (F.col("id") * F.lit(1e-7)).alias("score"),  # 10k distinct raws
+        F.lit(1).cast("long").alias("input_tokens"),
+        F.lit(1).cast("long").alias("output_tokens"),
+    )
+    variants = spark.createDataFrame(
+        [(i, "q", "cfg") for i in range(31)],
+        "id long, question_id string, config string",
+    )
+    questions = spark.createDataFrame(
+        [("q", "law", "A")], "id string, course string, area string"
+    )
+    holder = _Holder(spark)
+    for i in range(2):
+        a_chunk = answers.filter(F.pmod(F.col("id"), F.lit(2)) == i)
+        st = judge_stats_fold_answers(
+            holder.state(), a_chunk, variants, questions, experiment_id=1
+        )
+        j_chunk = judgments.join(
+            a_chunk.select(F.col("id").alias("answer_id")), "answer_id", "left_semi"
+        )
+        st = judge_stats_fold_judgments(st, j_chunk)
+        for t in STATE_TABLES:
+            holder.write(t, st[t])
+    n_cells = len(holder.rows["judge_cells"])
+    assert n_cells <= 101, n_cells  # 1e-5 grid over [0, 0.001]
+    assert sum(r["n"] for r in holder.rows["judge_cells"]) == n
+    flat = judge_stats_report(holder.state()).collect()
+    judged = next(
+        r["value_num"] for r in flat
+        if r["section"] == "judges" and r["metric"] == "judged"
+    )
+    assert judged == float(n)
+    avg = next(
+        r["value_num"] for r in flat
+        if r["section"] == "judges" and r["metric"] == "avg_score"
+    )
+    true_avg = sum(i * 1e-7 for i in range(n)) / n
+    assert abs(avg - round(true_avg, 4)) <= 1e-4
+
+
 def test_streaming_drain_equals_batch(spark, sf_small, proj, tmp_path):
     """End-to-end through foreachBatch with maxFilesPerTrigger=1."""
     questions, variants, answers, judgments = proj

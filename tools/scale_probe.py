@@ -28,6 +28,7 @@ from lexam_data_pipeline_spark.plans.registry import (  # noqa: E402
     ROUND7_KEYS,
     ROUND8_KEYS,
     ROUND9_KEYS,
+    ROUND10_KEYS,
     build_queries,
 )
 from lexam_data_pipeline_spark.session import get_spark  # noqa: E402
@@ -175,6 +176,7 @@ PROBES = [
     *ROUND7_KEYS,
     *ROUND8_KEYS,
     *ROUND9_KEYS,
+    *ROUND10_KEYS,
     # round-8 bench sweep catch: the rewritten SimHash sketch (the old
     # HOF form was 293 s at sf0.1 — see PLANS.md)
     "q_simhash_buckets",
@@ -186,6 +188,9 @@ PROBES = [
     "q_containment_dedup",
     "q_agg_stats",
 ]
+# ROUND*_KEYS splices can repeat hand-listed keys (e.g. q_pagerank,
+# probed since round 3, is also a round-10 window key) — probe each once
+PROBES = list(dict.fromkeys(PROBES))
 
 OFFSETS = {
     "documents": ("doc_id", 1_000_000),
