@@ -57,6 +57,7 @@ def pagerank(
     symmetric: bool = False,
     assume_distinct: bool = False,
     tol: float | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over directed ``(src, dst)`` edges; returns ``node, rank``.
 
@@ -86,6 +87,13 @@ def pagerank(
     narrow join per boundary, not per iteration) and stops early once
     ``sum(|r_t - r_{t-k}|) < tol`` — geometric convergence makes the
     k-step delta a sound stand-in for the 1-step one.
+
+    ``init_ranks`` (``node, rank``) WARM-STARTS the iteration: the map
+    ``x ↦ t·1 + d·Pᵀx`` is an affine L1-contraction with factor
+    ``damping < 1``, so it has a UNIQUE fixed point and converges from
+    ANY seed — a warm seed near the fixed point just needs fewer rounds
+    (the incremental maintainer's lever, streaming/graph.py).  Nodes
+    absent from the seed (new arrivals) start at the uniform 1/n.
     """
     from lexam_data_pipeline_spark.operators.caching import persist_slot
 
@@ -110,7 +118,17 @@ def pagerank(
         return nodes.select("node", F.lit(0.0).alias("rank"))
     teleport = (1.0 - damping) / n_nodes
 
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    if init_ranks is not None:
+        ranks = nodes.join(
+            init_ranks.select("node", F.col("rank").alias("__seed")),
+            "node",
+            "left_outer",
+        ).select(
+            "node",
+            F.coalesce("__seed", F.lit(1.0 / n_nodes)).alias("rank"),
+        )
+    else:
+        ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     prev_ranks = None  # ranks at the last checkpoint boundary
     for i in range(n_iter):
         contribs = edges_w.join(ranks, edges_w.src == ranks.node).select(

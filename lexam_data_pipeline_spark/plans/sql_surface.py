@@ -9,7 +9,7 @@ SQL door for a representative slice of the operator inventory, and
 rows of its DataFrame twin — both enter the same Catalyst pipeline, so
 this is an API-parity check, not a second engine.
 
-Coverage (round 9): **ALL 225 oracled keys — 100%** — via six tiers:
+Coverage (round 10): **ALL 227 oracled keys — 100%** — via six tiers:
 the hand-written texts below (dialect-specific rewrites), the ANSI
 keys whose oracle text runs in Spark SQL VERBATIM, the ported keys
 whose oracle text passes through the mechanical dialect map
