@@ -2222,7 +2222,9 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRIANGLE_TOP_K = 10
 
 
-def copurchase_mutual_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+def copurchase_mutual_topk(
+    spark: SparkSession, sf_dir: str, k: int, materialize: bool = True
+) -> DataFrame:
     """Mutual-top-K supplier co-purchase pairs ``(u, v)`` with ``u < v``.
 
     Support = number of distinct orders both suppliers appear in; each
@@ -2237,9 +2239,20 @@ def copurchase_mutual_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFram
     co-occurrence), then a map-side double explode.  A/B-measured 2×
     faster than the equivalent self-join at sf0.1 (1.1 s vs 2.1 s warm:
     the join pays two SMJ sorts; this shape pays one narrow shuffle).
-    NOT persisted anywhere: measured 4.4 s unpersisted vs 7-24 s with
-    any persist_slot combination — AQE ReusedExchange already dedupes
-    the repeated subplans, caches only add a materialization barrier.
+
+    ``materialize=True`` (default) ``localCheckpoint``s the FINAL pair
+    set — ≤ K·|V| rows, ~2.7k at sf0.1 — so multi-consumer plans
+    (BFS's three hop joins, the triangle's three pair references, LPA's
+    symmetrize+iterate) read a tiny materialized table instead of
+    re-expanding the pipeline per reference.  Round-10 bisect of the
+    q_graph_bfs regression: the round-9 count-2 rewrite made the output
+    tiny and join-free, flipping the round-4 verdict against caching —
+    measured at sf0.1 (3 quiet runs): BFS 4.3 → 3.6 s, triangle
+    3.0 → 2.0 s, LPA 3.1 → 2.4 s.  (The round-4 "persists harmful"
+    result persisted UPSTREAM stages of the then-self-join pipeline;
+    checkpointing the post-aggregate output is the opposite trade.)
+    Pass ``materialize=False`` to inspect the logical pipeline
+    (tests/test_plans.py does, to assert the no-self-join shape).
 
     Shared by :func:`q_triangle_count` and :func:`q_graph_bfs`."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -2266,7 +2279,7 @@ def copurchase_mutual_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFram
     # one shuffle, replacing the two-sided self-join (A/B round 9:
     # identical 2753-pair output, ~8% faster at sf0.1, and at scale one
     # hash exchange instead of a join's two sorted/shuffled sides).
-    return (
+    pairs = (
         kept.groupBy(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
@@ -2274,6 +2287,7 @@ def copurchase_mutual_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFram
         .filter(F.col("c") == 2)
         .select("u", "v")
     )
+    return pairs.localCheckpoint() if materialize else pairs
 
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1011,6 +1011,11 @@ def test_mutual_topk_pairs_have_no_self_join(spark, sf_small):
         copurchase_mutual_topk,
     )
 
-    plan = _plan(copurchase_mutual_topk(spark, sf_small, TRIANGLE_TOP_K))
+    # materialize=False: assert on the logical pipeline, not the
+    # checkpointed table the consumers read (round-10 bisect)
+    plan = _plan(
+        copurchase_mutual_topk(spark, sf_small, TRIANGLE_TOP_K, materialize=False)
+    )
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan  # guard against a vacuous pass
