@@ -432,6 +432,21 @@ ML_ORACLES: dict[str, str] = {
                list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
         FROM ({_SHINGLES}) sh
     """,
+    # Rabin–Karp fold with the md5-prefix token seed — the 0-seeded
+    # Spark aggregate() becomes a 0-prepended list_reduce (DuckDB's
+    # reduce seeds from the first element).
+    "q_doc_rolling_hash": """
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                                % 2147483647)),
+                   (acc, h) -> (acc * 131 + h) % 2147483647
+               ) AS rhash
+        FROM documents
+    """,
     "q_lang_id": """
         WITH toks AS (
             SELECT doc_id, lang,

@@ -112,15 +112,37 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def rolling_hash(toks: F.Column, base: int = 131, mod: int = (1 << 31) - 1) -> F.Column:
+def rolling_hash(
+    toks: F.Column,
+    base: int = 131,
+    mod: int = (1 << 31) - 1,
+    portable: bool = True,
+) -> F.Column:
     """Rabin–Karp polynomial rolling hash over a token array:
     ``h = fold(acc * B + hash(tok) mod M)`` — one codegen'd pass, order-
     sensitive (unlike the min-fingerprint, token order changes the value).
 
     ANSI-overflow-safe: acc < 2^31 and B = 131 keep ``acc*B + h`` under
-    2^39 in int64.  xxhash64-seeded → not ANSI-SQL-reproducible, so the
-    query is rows-only checked and behavior-tested instead.
+    2^39 in int64.  ``portable=True`` (default) seeds each token with
+    the first 8 md5 hex digits as an integer — reproducible on ANY
+    engine with md5, which is what upgraded ``q_doc_rolling_hash`` from
+    rows-only to a full DuckDB hash-match oracle in round 10.
+    ``portable=False`` keeps the xxhash64 seed (one JVM hash instead of
+    md5+conv — the marginally cheaper, Spark-only production variant).
     """
+    if portable:
+        return F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: F.pmod(
+                acc * base
+                + F.pmod(
+                    F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+                    F.lit(mod),
+                ),
+                F.lit(mod),
+            ),
+        )
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
@@ -130,7 +152,9 @@ def rolling_hash(toks: F.Column, base: int = 131, mod: int = (1 << 31) - 1) -> F
 
 def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive document fingerprint (north star: fast
-    change-detection / exact-dedup key that streams in one pass)."""
+    change-detection / exact-dedup key that streams in one pass) —
+    md5-seeded portable form, hash-match-oracled against the DuckDB
+    ``list_reduce`` twin (round 10; previously rows-only via xxhash64)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id", rolling_hash(F.col("toks")).alias("rhash")

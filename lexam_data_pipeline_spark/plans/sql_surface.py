@@ -1205,6 +1205,23 @@ SQL_QUERIES.update(
 # mechanically (LIKE search + grouped top-N).
 SQL_QUERIES["q_search_top_courses"] = port_oracle(_ORACLES["q_search_top_courses"])
 
+# Round 10: the portable Rabin–Karp fold — hand text (the oracle's
+# 0-prepended list_reduce is DuckDB's seedless-reduce idiom; Spark's
+# aggregate() takes the 0 seed directly).
+SQL_QUERIES["q_doc_rolling_hash"] = r"""
+    SELECT doc_id,
+           aggregate(
+               split(trim(text), '\\s+'),
+               CAST(0 AS BIGINT),
+               (acc, t) -> pmod(
+                   acc * 131
+                   + pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT),
+                          2147483647),
+                   2147483647)
+           ) AS rhash
+    FROM documents
+"""
+
 
 def _pre_port(key: str, old: str, new: str) -> str:
     """Targeted oracle-text rewrite BEFORE the mechanical port — loud if
