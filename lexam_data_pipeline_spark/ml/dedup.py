@@ -335,7 +335,27 @@ def minhash_lsh_candidate_pairs(
     # slot-bounded (released when the next call replaces it): sig feeds
     # both the band explode and the two verify-join sides
     sig = persist_slot(minhash_signatures(docs, k=k), slot)
-    band_rows = sig.select(
+    band_rows = lsh_band_rows(sig, bands=bands, r=r)
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    return attach_est_jaccard(cand, sig, k=k)
+
+
+def lsh_band_rows(sig: DataFrame, bands: int = 4, r: int = 4) -> DataFrame:
+    """``(doc_id, band, bucket)`` LSH postings of a signature frame —
+    shared by the batch candidate join above and the incremental
+    maintainer (streaming/minhash.py), so the banding cannot diverge
+    between the two doors."""
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -349,17 +369,11 @@ def minhash_lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a, b = band_rows.alias("a"), band_rows.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .distinct()
-    )
+
+
+def attach_est_jaccard(cand: DataFrame, sig: DataFrame, k: int = 16) -> DataFrame:
+    """Attach the exact-signature similarity estimate to candidate pairs
+    — the agreeing-permutation fraction, shared between both doors."""
     sa = sig.alias("sa")
     sb = sig.alias("sb")
     agree = sum(

@@ -112,6 +112,9 @@ def pagerank_merge(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    if b.isEmpty() and ranks0 is not None:
+        # empty trigger: nothing moved, skip the re-converge entirely
+        return {"edges": edges0, "ranks": ranks0}
     edges1 = persist_slot(edges0.unionByName(b).distinct(), "prm.edges")
     ranks1 = pagerank(
         edges1.select(F.col("u").alias("src"), F.col("v").alias("dst")),
@@ -215,6 +218,13 @@ def lpa_merge(
     )
     edges0 = _get(spark, state, "edges")
     labels0 = _get(spark, state, "labels")
+    if b.isEmpty() and state.get("labels") is not None:
+        # empty trigger: no component touched, every table carries over
+        return {
+            "edges": edges0,
+            "labels": labels0,
+            "comps": _get(spark, state, "comps"),
+        }
     edges1 = persist_slot(edges0.unionByName(b).distinct(), "lpam.edges")
     # (1) incremental CC — O(batch) contracted graph, round-9 operator
     comps1 = persist_slot(

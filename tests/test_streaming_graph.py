@@ -126,6 +126,31 @@ def test_lpa_report_equals_batch_key(spark, sf_small):
     assert got == want
 
 
+def test_empty_batches_are_noops(spark):
+    """foreachBatch can deliver empty triggers; both folds must carry
+    state over untouched (PageRank must NOT pay a re-converge)."""
+    import time
+
+    holder = _drain_lpa(spark, [CLIQ_A])
+    before = {t: sorted(map(tuple, holder.rows[t])) for t in LPA_STATE_TABLES}
+    st = lpa_merge(holder.state(), _pairs_df(spark, []).limit(0))
+    for t in LPA_STATE_TABLES:
+        holder.write(t, st[t])
+    assert {t: sorted(map(tuple, holder.rows[t])) for t in LPA_STATE_TABLES} == before
+
+    pr = _Holder(spark, PR_STATE_TABLES)
+    st = pagerank_merge(pr.state(), _pairs_df(spark, _sym([(1, 2), (2, 3)])), damping=0.5)
+    for t in PR_STATE_TABLES:
+        pr.write(t, st[t])
+    before_pr = {t: sorted(map(tuple, pr.rows[t])) for t in PR_STATE_TABLES}
+    t0 = time.perf_counter()
+    st = pagerank_merge(pr.state(), _pairs_df(spark, []).limit(0), damping=0.5)
+    for t in PR_STATE_TABLES:
+        pr.write(t, st[t])
+    assert {t: sorted(map(tuple, pr.rows[t])) for t in PR_STATE_TABLES} == before_pr
+    assert time.perf_counter() - t0 < 5  # skip path, not a re-converge
+
+
 def test_lpa_streaming_drain(spark, tmp_path):
     """End-to-end through foreachBatch with maxFilesPerTrigger=1."""
     chunk_dir = str(tmp_path / "pair_chunks")

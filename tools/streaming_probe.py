@@ -206,6 +206,42 @@ def _star_edges(spark, n: int, a: str = "doc_id_a", b: str = "doc_id_b") -> Data
     )
 
 
+def probe_minhash(spark, sf_dir: str, copies: int) -> dict:
+    """Fold the documents table in 3 batches.  Under ×copies the corpus
+    is DUPLICATED (ids shifted, text identical), so every copy group is
+    a near-dup clique — pair-state growth there is OUTPUT, not waste
+    (a duplicated corpus genuinely has those pairs); the per-trigger
+    claim is that the batch×state probe joins only the batch's postings
+    into the bucket index."""
+    from lexam_data_pipeline_spark.catalog import load_table
+    from lexam_data_pipeline_spark.streaming.minhash import (
+        STATE_TABLES as MH_TABLES,
+        minhash_merge,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _inflate(docs, ("doc_id",), copies).persist()
+    n_docs = docs.count()
+    state = DFState()
+    walls = []
+    for i in range(3):
+        chunk = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        t0 = time.perf_counter()
+        st = minhash_merge({t: state.read(t) for t in MH_TABLES}, chunk)
+        for t in MH_TABLES:
+            state.write(t, st[t])
+        walls.append(round(time.perf_counter() - t0, 2))
+    out = {
+        "maintainer": "minhash",
+        "copies": copies,
+        "n_docs": n_docs,
+        "trigger_walls": walls,
+        "state_rows": state.sizes(),
+    }
+    docs.unpersist()
+    return out
+
+
 def probe_clusters(spark, n_base: int, copies: int) -> dict:
     """Fold `copies`-scaled corpus edges, then time a FIXED-size final
     batch — the O(batch) claim: that trigger's wall must not scale with
@@ -345,6 +381,7 @@ def main() -> None:
         for fn, args in (
             (probe_experiment_stats, (spark, sf_dir, copies)),
             (probe_judge_stats, (spark, sf_dir, copies)),
+            (probe_minhash, (spark, sf_dir, copies)),
             (probe_clusters, (spark, 100_000, copies)),
             (probe_lpa, (spark, 100_000, copies)),
             (probe_pagerank, (spark, 20_000, copies)),
