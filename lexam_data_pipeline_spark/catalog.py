@@ -32,6 +32,28 @@ FIXTURE_TABLES = (
 #: Small dimension tables that should always be broadcast in joins.
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
+#: Scan fan-out keys (guide §2 stragglers): the fixture tables are
+#: single-row-group parquet files, so every scan is exactly ONE task no
+#: matter what ``maxPartitionBytes`` says — and every narrow stage
+#: chained onto the scan (md5 fan-outs, decimal moment products, Arrow
+#: codec kernels, shingle explodes, partial aggregation) runs on one
+#: core while the other 31 idle.  ``fan_out`` (operators/partitioning)
+#: hash-repartitions such a scan up to the session's default
+#: parallelism, keyed on the table's stable unique id so the exchange
+#: is deterministic under task retries.  It is a NO-OP whenever the
+#: scan already has >= defaultParallelism partitions — i.e. on any
+#: production table with real row groups — so this is a local-layout
+#: fix that costs production plans nothing.  Only fact-sized tables
+#: fan out; the dimension tables ride broadcast joins where an extra
+#: exchange under the BroadcastExchange would be pure overhead.
+FANOUT_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: Resolved-DataFrame cache keyed by (application id, sf_dir, table).
@@ -75,6 +97,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    if name in FANOUT_KEYS and os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "1") != "0":
+        from lexam_data_pipeline_spark.operators.partitioning import fan_out
+
+        df = fan_out(df, FANOUT_KEYS[name])
     _TABLE_CACHE[cache_key] = df
     return df
 

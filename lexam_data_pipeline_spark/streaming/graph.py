@@ -36,8 +36,13 @@ fold therefore (1) folds the batch into incremental CC state
 (2) finds the components TOUCHED by batch endpoints, (3) re-runs the
 batch-proven :func:`ml.graph.label_propagation` on ONLY those
 components' edges, and (4) splices the fresh labels over the untouched
-ones.  Per-trigger cost is O(edges of touched components) — untouched
-communities are never rescanned — and the drained labels are EXACTLY
+ones.  Per-trigger RECOMPUTE cost (the LPA iteration shuffles) is
+O(edges of touched components); the candidate SCAN in
+:func:`lpa_affected_edges` still joins the full edge table against the
+component map once per trigger — O(corpus) read, O(touched) shuffle.
+The production win of pruning that scan too needs the cluster-
+partitioned edge layout, so the left-semi on touched clusters prunes
+partitions at the source.  The drained labels are EXACTLY
 the batch LPA over the union of all edge batches, for ANY micro-batch
 split (the decomposition lemma; proven including cross-batch component
 merges in tests/test_streaming_graph.py).

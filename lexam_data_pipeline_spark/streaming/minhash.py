@@ -79,12 +79,27 @@ def minhash_merge(
     )
 
     spark = batch_docs.sparkSession
+    initialized = state.get("signatures") is not None
     sig0 = state.get("signatures")
     sig0 = sig0 if sig0 is not None else _empty(spark, "signatures", k)
     post0 = state.get("postings")
     post0 = post0 if post0 is not None else _empty(spark, "postings", k)
     pairs0 = state.get("pairs")
     pairs0 = pairs0 if pairs0 is not None else _empty(spark, "pairs", k)
+
+    # Empty-trigger short-circuit (mirrors pagerank_merge/lpa_merge): an
+    # empty batch against initialized state must not rewrite the three
+    # state tables through write_state.
+    if initialized and batch_docs.isEmpty():
+        return {"signatures": sig0, "postings": post0, "pairs": pairs0}
+
+    # Replay safety: foreachBatch is at-least-once, so a re-delivered
+    # micro-batch (or a duplicate doc_id within one) would otherwise
+    # duplicate signature rows and multiply join rows in
+    # attach_est_jaccard for every later pair.  Already-seen doc_ids are
+    # exact duplicates by the append-only unique-doc_id contract, so
+    # dropping them is the identity fold.
+    batch_docs = batch_docs.join(sig0.select("doc_id"), "doc_id", "left_anti")
 
     new_sig = persist_slot(minhash_signatures(batch_docs, k=k), "mhm.sig")
     new_post = persist_slot(lsh_band_rows(new_sig, bands=bands, r=r), "mhm.post")

@@ -95,6 +95,24 @@ def test_empty_batch_is_noop(spark, sf_small):
     assert before == after
 
 
+def test_replayed_batch_is_idempotent(spark, sf_small):
+    """foreachBatch is at-least-once: re-delivering the SAME micro-batch
+    must leave all three state tables unchanged (no duplicated signature
+    rows skewing later est_jaccard joins)."""
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    batch = docs.limit(50)
+    holder = _Holder(spark)
+    st = minhash_merge(holder.state(), batch)
+    for t in STATE_TABLES:
+        holder.write(t, st[t])
+    before = {t: sorted(map(tuple, holder.rows[t])) for t in STATE_TABLES}
+    st = minhash_merge(holder.state(), batch)  # replay, verbatim
+    for t in STATE_TABLES:
+        holder.write(t, st[t])
+    after = {t: sorted(map(tuple, holder.rows[t])) for t in STATE_TABLES}
+    assert before == after
+
+
 def test_streaming_drain_equals_batch(spark, sf_small, tmp_path):
     docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
     chunk_dir = str(tmp_path / "doc_chunks")

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Interleaved A/B of SPARK_GRAFT_SCAN_FANOUT for named bench keys.
+
+The host shows roving multi-second stalls, so back-to-back sessions
+cannot be compared: this runs OFF/ON alternately in ONE session
+(busting the catalog table cache when the flag flips) and reports the
+per-variant min — drift hits both variants equally.
+
+    python tools/ab_fanout.py q_bootstrap_ci q_spearman_corr [--rounds 3]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent.parent)
+sys.path.insert(0, REPO)
+
+from lexam_data_pipeline_spark import catalog  # noqa: E402
+from lexam_data_pipeline_spark.operators.caching import release_all  # noqa: E402
+from lexam_data_pipeline_spark.plans.registry import build_queries  # noqa: E402
+from lexam_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    keys = [a for a in sys.argv[1:] if not a.startswith("--")]
+    rounds = 3
+    for i, a in enumerate(sys.argv):
+        if a == "--rounds":
+            rounds = int(sys.argv[i + 1])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="ab-fanout")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = build_queries()
+
+    def run(name: str, fanout: bool) -> float:
+        os.environ["SPARK_GRAFT_SCAN_FANOUT"] = "1" if fanout else "0"
+        catalog._TABLE_CACHE.clear()
+        spark.sparkContext.setJobDescription(f"{name} fanout={fanout}")
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - t0
+        spark.sparkContext.setJobDescription(None)
+        release_all()
+        spark.sparkContext._jvm.System.gc()
+        return elapsed
+
+    spark.range(10).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    out = {}
+    for name in keys:
+        if name not in queries:
+            out[name] = "unknown key"
+            continue
+        run(name, False)  # codegen warmup for both shapes
+        run(name, True)
+        offs, ons = [], []
+        for _ in range(rounds):
+            offs.append(round(run(name, False), 3))
+            ons.append(round(run(name, True), 3))
+        out[name] = {"off_min": min(offs), "on_min": min(ons), "off": offs, "on": ons}
+        print(json.dumps({name: out[name]}), flush=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
