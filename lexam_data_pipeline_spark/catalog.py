@@ -63,18 +63,38 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: Without it each of the ~76 contract queries re-lists the directory and
 #: re-reads parquet footers on every call (~0.1 s of driver latency per
 #: table per query, pure overhead at any scale).
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[str, str, str, bool], DataFrame] = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table, normalizing types where needed."""
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, fan: bool = False
+) -> DataFrame:
+    """Load one fixture table, normalizing types where needed.
+
+    ``fan=True`` applies the scan fan-out (see :data:`FANOUT_KEYS`) —
+    an OPT-IN per call site, because the extra exchange + AQE stage is
+    only worth it where heavy narrow work rides the scan: the measured
+    break-even on this fixture is roughly >1 s of post-scan map/partial
+    aggregation work (full interleaved A/B table in
+    OPTIMIZATION_r11.md; e.g. Arrow codec decode 3.8→1.3 s ON, but
+    multi-scan HLL profiling 2.0→3.2 s ON).  Env override
+    ``SPARK_GRAFT_SCAN_FANOUT``: ``1`` forces fan-out for every
+    FANOUT_KEYS table (A/B tooling), ``0`` forces it off everywhere
+    (production kill-switch); unset honors the call site."""
     # Engine-wide UTC semantics: fixture timestamps are TZ-naive and every
     # consumer (including the DuckDB oracle) treats them as wall-clock.  A
     # caller-provided session in a non-UTC zone would otherwise shift
     # year()/date_trunc() results.
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    mode = os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "")
+    do_fan = name in FANOUT_KEYS and (mode == "1" or (mode != "0" and fan))
+    cache_key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        name,
+        do_fan,
+    )
     cached = _TABLE_CACHE.get(cache_key)
     if cached is not None:
         return cached
@@ -97,7 +117,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
-    if name in FANOUT_KEYS and os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "1") != "0":
+    if do_fan:
         from lexam_data_pipeline_spark.operators.partitioning import fan_out
 
         df = fan_out(df, FANOUT_KEYS[name])

@@ -215,7 +215,7 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered decontamination sweep: every 7th doc is the
     held-out set, 5-gram overlap.  Oracle = plain exact decontamination
     SQL — a hash-match PROVES the sketch path changes nothing."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan=True)
     bench = docs.where(F.col("doc_id") % 7 == 0)
     corpus = docs.where(F.col("doc_id") % 7 != 0)
     return bloom_prefilter_decontaminate(corpus, bench, n=5)

@@ -164,7 +164,7 @@ def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle applies the identical GROUP BY collapse in its ``binned``
     CTE, so an all-duplicates corpus trains on each vector counted once
     on BOTH engines rather than silently diverging (round-6 advice)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fan=True)
     bv = _binned_vectors(emb).persist()
     try:
         stumps: list[tuple[int, int, int]] = []

@@ -525,7 +525,7 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     through all four stages."""
     from lexam_data_pipeline_spark.ml.decontam import decontaminate
 
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = load_table(spark, sf_dir, "documents", fan=True).withColumn(
         "n_tok", word_count(F.col("text")).cast("bigint")
     )
     # 1. quality gate (map-side)

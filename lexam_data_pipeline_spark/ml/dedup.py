@@ -318,7 +318,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutations.  Rows-only check (the affine-hash pipeline is not
     reproducible in ANSI SQL).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan=True)
     return minhash_lsh_candidate_pairs(docs, slot=f"dedup.minhash_sig.{sf_dir}")
 
 
@@ -445,7 +445,7 @@ def simhash_sketches(
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 4×16-bit band buckets, then exact
     Hamming distance ≤ 8 via ``bit_count(xor)``.  Rows-only check."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan=True)
     sk = persist_slot(simhash_sketches(docs), f"dedup.simhash.{sf_dir}")
     bands = sk.select(
         "doc_id",

@@ -249,7 +249,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesize REAL payloads (PNG/JPEG/WAV/PPM, media_table_real) → Arrow
     decode through the actual codecs (``deterministic_fake=False`` — no
     fake path anywhere) → typed features → per-media-type aggregate."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan=True)
     media = media_table_real(docs)
     feats = extract_features(media, deterministic_fake=False)
     return feats.groupBy("media_type").agg(

@@ -113,7 +113,7 @@ def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle-checked end to end (see module docstring for why the log
     table is engine-portable)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan=True)
     priors, weights = train_nb(docs)
     wdf = spark.createDataFrame(weights, "cand string, b string, w long")
     pdf = spark.createDataFrame(priors, "cand string, prior long")

@@ -47,7 +47,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer squared norm, and the quantized range.  Every output after
     ``scale`` is integer-exact, so the oracle (DuckDB list ops over the
     identical floor-quantization) hash-matches bit-for-bit."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fan=True)
     qd = quantize_embeddings(emb)
     return qd.select(
         "vec_id",

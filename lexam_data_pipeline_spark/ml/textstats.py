@@ -36,7 +36,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features: word count, mean word length,
     stopword ratio.  All ratios divide exact integers → engine-exact."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan=True)
     # materialize tokens once: inline token exprs re-evaluate per lambda
     # element inside higher-order functions (see functions.text.shingles)
     toks = F.col("toks")
@@ -62,7 +62,7 @@ def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shingle fingerprint per document (1-perm MinHash over
     md5 — portable to any engine with md5)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan=True)
     return docs.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id", min_fingerprint(F.col("toks")).alias("fingerprint")
     )
@@ -209,7 +209,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable, no float summation anywhere."""
     from lexam_data_pipeline_spark.functions.text import shingles
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan=True)
     base = (
         docs.select("doc_id", tokens("text").alias("toks"))
         .withColumn("n_words", F.size("toks"))

@@ -206,7 +206,7 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver (iterative greedy merges aren't ANSI SQL);
     tests/test_tokenizer.py is the oracle via an independent pure-Python
     reference."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan=True)
     merges = train_bpe(docs, n_merges=30)
     counts = apply_bpe(docs, merges)
     joined = counts.join(docs.select("doc_id", "lang"), "doc_id")

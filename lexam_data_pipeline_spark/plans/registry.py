@@ -41,67 +41,70 @@ EXPECTED_QUERY_COUNT = 249
 #: re-verified in-repo by tools/parity_sweep.py at sf0.01
 #: (CORRECTNESS_SELF.json) and sf0.1 (CORRECTNESS_SELF_SF01.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ── round 10 window (exactly 50; asserted by test_bench_contract) ──
-    # Slots 1-2: NEW EVIDENCE in round 10 — the /stats zero-scores edge
-    # (round-9 verdict item 2: the one untested reference divergence,
-    # now a driver-oracled key) and q_pagerank's upgrade from rows-only
-    # to a fixed-point hash-match oracle (round-9 verdict item 6; its
-    # r9 row was the weaker rows-only check, so the oracled form needs a
-    # fresh driver row).
-    "q_experiment_stats_empty",
-    "q_pagerank",
-    # Slots 3-50: FRESHNESS — the 48 keys whose newest driver row is
-    # round 5 (round-9 verdict item 1).  All 48 are green in both self
-    # sweeps (sf0.01 + sf0.1); this rotation makes the whole 249-key
-    # fleet's external evidence at most one 5-round rotation old.
-    "q_anova_f",
-    "q_autocorr_revenue",
+    # ── round 11 window (exactly 50; asserted by test_bench_contract) ──
+    # Slots 1-25: the 25 keys whose PHYSICAL PLAN changed in the round-11
+    # scan fan-out (per-site opt-in repartition of single-row-group
+    # fixture scans — OPTIMIZATION_r11.md).  A repartition moves rows,
+    # not values, and both full self sweeps re-proved parity at
+    # sf0.01 + sf0.1 — but the changed plans should carry fresh
+    # EXTERNAL driver rows too, so they lead the window.
+    "q_agg_stats",
     "q_basket_pairs",
-    "q_benford_digits",
-    "q_column_entropy",
-    "q_compression_ratio",
-    "q_crosscorr_lagged",
-    "q_cusum_changepoint",
-    "q_decile_lift",
-    "q_dsir_select",
-    "q_entity_resolution",
-    "q_ewma_revenue",
-    "q_expectations_report",
-    "q_fk_discovery",
-    "q_hll_distinct",
-    "q_hll_intersection",
-    "q_holt_forecast",
-    "q_isotonic_calibration",
+    "q_bloom_decontaminate",
+    "q_boosted_stumps",
+    "q_bootstrap_ci",
+    "q_bpe_tokenize",
+    "q_corr_stats",
+    "q_doc_fingerprint",
+    "q_embedding_quantize",
+    "q_graph_bfs",
     "q_item_similarity",
-    "q_js_divergence",
-    "q_kendall_tau",
-    "q_kmeans_clusters",
-    "q_ks_test",
-    "q_lm_surprisal",
-    "q_logreg_quality",
-    "q_lorenz_deciles",
-    "q_mannwhitney",
-    "q_mutual_information",
+    "q_join_3way_agg",
+    "q_join_5way_region",
+    "q_label_propagation",
+    "q_minhash_lsh_pairs",
+    "q_multimodal_features",
     "q_nb_classifier",
-    "q_ndcg_eval",
-    "q_ngram_novelty",
     "q_ols_regression",
-    "q_order_gap_stats",
-    "q_pca_variance",
-    "q_percent_rank_spend",
-    "q_random_projection",
-    "q_seasonal_decompose",
-    "q_semantic_dedup",
-    "q_session_stats",
-    "q_shannon_diversity",
-    "q_skew_diagnostics",
-    "q_spearman_corr",
-    "q_split_audit",
-    "q_stratified_sample",
-    "q_survival_km",
-    "q_table_profile_approx",
-    "q_trimmed_mean",
-    "q_weighted_median",
+    "q_pagerank",
+    "q_pretrain_pipeline",
+    "q_repetition_stats",
+    "q_silhouette_labels",
+    "q_simhash_buckets",
+    "q_text_quality",
+    "q_triangle_count",
+    # Slot 26: q_doc_rolling_hash's md5-seed oracle upgrade (r10 commit
+    # 0e3d59e) has no driver row yet — its newest row (r9) predates the
+    # upgrade and was rows-only (round-10 verdict item 1 lead).
+    "q_doc_rolling_hash",
+    # Slots 27-50: FRESHNESS — 24 of the 41 remaining keys whose newest
+    # driver row is round 6 (round-10 verdict item 1; 9 of the r6
+    # cohort are already in slots 1-25).  All green in both self
+    # sweeps; the other 17 r6 keys rotate in round 12.
+    "q_ab_sequential",
+    "q_abc_classification",
+    "q_anti_dedup",
+    "q_asof_join_orders",
+    "q_burstiness",
+    "q_chi_square",
+    "q_cohort_retention",
+    "q_count_distinct",
+    "q_course_summary",
+    "q_cramers_v",
+    "q_cube_orders",
+    "q_dedup_clusters_two_phase",
+    "q_dedup_embedding",
+    "q_dedup_embedding_blocked",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_events_sliding",
+    "q_events_tumbling",
+    "q_filter_in",
+    "q_groupby_count",
+    "q_groupby_salted",
+    "q_hhi_concentration",
+    "q_histogram_bins",
+    "q_knn_bruteforce",
 )
 
 
@@ -136,10 +139,14 @@ ROUND9_KEYS: tuple[str, ...] = (
     "q_compare_judges",
 )
 
-#: the keys with NEW driver evidence in round 10 — slots 1-2 of the
-#: window above (q_experiment_stats_empty is genuinely new;
+#: the keys with NEW driver evidence in round 10 (the round-10 window's
+#: slots 1-2 — now literal, since the round-11 window rotated onto the
+#: fan-out-touched keys; q_experiment_stats_empty was genuinely new,
 #: q_pagerank's hash-match oracle replaced its rows-only row).
-ROUND10_KEYS: tuple[str, ...] = DRIVER_PRIORITY[:2]
+ROUND10_KEYS: tuple[str, ...] = (
+    "q_experiment_stats_empty",
+    "q_pagerank",
+)
 
 
 def _ml_module(name: str):

@@ -36,20 +36,23 @@ def test_fanout_preserves_rows_exactly(spark, sf_small):
     assert sorted(map(tuple, raw.collect())) == sorted(map(tuple, wide.collect()))
 
 
-def test_catalog_fact_tables_fan_out(spark, sf_small):
+def test_catalog_fan_is_per_call_opt_in(spark, sf_small):
     for name, key in FANOUT_KEYS.items():
-        df = load_table(spark, sf_small, name)
+        df = load_table(spark, sf_small, name, fan=True)
         assert key in df.columns
         assert (
             df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
         ), name
+        # default stays the raw scan (single partition on the fixture)
+        raw = load_table(spark, sf_small, name)
+        assert raw.rdd.getNumPartitions() == 1, name
 
 
 def test_pushdown_survives_fanout(spark, sf_small):
     """Filter pushdown and column pruning must reach the parquet scan
     THROUGH the repartition (guide §6: PushedFilters / ReadSchema)."""
     df = (
-        load_table(spark, sf_small, "lineitem")
+        load_table(spark, sf_small, "lineitem", fan=True)
         .where(F.col("l_shipdate") >= "1995-01-01")
         .select("l_orderkey", "l_quantity")
     )

@@ -1,0 +1,97 @@
+"""Round-11 driver-window rotation (OPTIMIZATION_r11.md).
+
+Round 11 changed the physical plan of 25 bench keys (per-site scan
+fan-out); the driver verifies the FIRST 50 registered keys, so those
+25 lead the window to earn fresh external oracle rows on the changed
+plans, followed by q_doc_rolling_hash (its upgraded md5-seed oracle
+has no driver row yet) and 24 of the r6-stale freshness cohort."""
+
+from __future__ import annotations
+
+from lexam_data_pipeline_spark.plans.registry import (
+    DRIVER_PRIORITY,
+    build_queries,
+)
+
+#: every key whose plan gained the opt-in scan fan-out in round 11
+#: (24 `fan=True` call sites; the copurchase_mutual_topk site feeds
+#: four graph keys).
+FAN_TOUCHED_KEYS: tuple[str, ...] = (
+    "q_agg_stats",
+    "q_basket_pairs",
+    "q_bloom_decontaminate",
+    "q_boosted_stumps",
+    "q_bootstrap_ci",
+    "q_bpe_tokenize",
+    "q_corr_stats",
+    "q_doc_fingerprint",
+    "q_embedding_quantize",
+    "q_graph_bfs",
+    "q_item_similarity",
+    "q_join_3way_agg",
+    "q_join_5way_region",
+    "q_label_propagation",
+    "q_minhash_lsh_pairs",
+    "q_multimodal_features",
+    "q_nb_classifier",
+    "q_ols_regression",
+    "q_pagerank",
+    "q_pretrain_pipeline",
+    "q_repetition_stats",
+    "q_silhouette_labels",
+    "q_simhash_buckets",
+    "q_text_quality",
+    "q_triangle_count",
+)
+
+
+def test_round11_window_layout():
+    assert len(DRIVER_PRIORITY) == 50
+    assert DRIVER_PRIORITY[:25] == FAN_TOUCHED_KEYS
+    assert DRIVER_PRIORITY[25] == "q_doc_rolling_hash"
+    rest = DRIVER_PRIORITY[26:]
+    assert len(rest) == len(set(rest)) == 24
+    assert not set(rest) & set(FAN_TOUCHED_KEYS)
+
+
+def test_round11_window_registered_first():
+    q = build_queries()
+    assert list(q)[:50] == list(DRIVER_PRIORITY)
+    missing = [k for k in DRIVER_PRIORITY if k not in q]
+    assert not missing, missing
+
+
+def test_fan_sites_match_touched_keys():
+    """Every module-level `fan=True` call site lives in a function whose
+    bench key is in FAN_TOUCHED_KEYS (via copurchase_mutual_topk for
+    the four graph keys) — no silent fan-out creep."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "lexam_data_pipeline_spark"
+    owners: set[str] = set()
+    for path in pkg.rglob("*.py"):
+        src = path.read_text()
+        defs = [
+            (m.start(), m.group(1))
+            for m in re.finditer(r"^def (\w+)\(", src, re.M)
+        ]
+        for m in re.finditer(r"load_table\([^)]*fan=True\)", src):
+            fn = None
+            for start, name in defs:
+                if start <= m.start():
+                    fn = name
+                else:
+                    break
+            assert fn is not None, f"orphan fan=True in {path.name}"
+            owners.add(fn)
+    graph_via_sparsifier = {
+        "q_triangle_count",
+        "q_graph_bfs",
+        "q_pagerank",
+        "q_label_propagation",
+    }
+    expected = (set(FAN_TOUCHED_KEYS) - graph_via_sparsifier) | {
+        "copurchase_mutual_topk"
+    }
+    assert owners == expected, owners ^ expected

@@ -38,7 +38,12 @@ def main() -> int:
     queries = build_queries()
 
     def run(name: str, fanout: bool) -> float:
-        os.environ["SPARK_GRAFT_SCAN_FANOUT"] = "1" if fanout else "0"
+        # ON = site-level opt-ins (the shipped default, env unset);
+        # OFF = forced off everywhere.
+        if fanout:
+            os.environ.pop("SPARK_GRAFT_SCAN_FANOUT", None)
+        else:
+            os.environ["SPARK_GRAFT_SCAN_FANOUT"] = "0"
         catalog._TABLE_CACHE.clear()
         spark.sparkContext.setJobDescription(f"{name} fanout={fanout}")
         t0 = time.perf_counter()
