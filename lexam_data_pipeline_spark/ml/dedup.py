@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lexam_data_pipeline_spark.catalog import load_table
 from lexam_data_pipeline_spark.functions.text import shingle_set, tokens
-from lexam_data_pipeline_spark.operators.caching import persist_slot
+from lexam_data_pipeline_spark.operators.caching import persist_slot, qopt_enabled
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
@@ -35,6 +35,43 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
         docs.select("doc_id", tokens("text").alias("toks"))
         .select("doc_id", F.explode(shingle_set(F.col("toks"))).alias("s"))
     )
+
+
+#: df ceiling of the shingle inverted index (shared by every n-gram
+#: near-dup key and mirrored by their oracles).
+_NGRAM_MAX_DF = 50
+
+
+def _rare_shingle_index(
+    docs: DataFrame, slot: str = "dedup.shingle_index", persist: bool = True
+) -> DataFrame:
+    """(doc_id, s, n_sh) over df≤:data:`_NGRAM_MAX_DF` shingles — the
+    candidate inverted index shared by the n-gram Jaccard / containment
+    family.  Every consumer SELF-JOINS this frame; the df-cap and n_sh
+    WINDOWS re-run per join side without a persist (AQE's runtime
+    exchange reuse shares the exchange output, but the post-exchange
+    window work is per-branch), so by default the index is persisted
+    slot-bounded: one materialization, both join sides read the cache.
+
+    ``persist=False`` keeps the recompute plan — the threshold-sweep and
+    rate-by-source keys measured the persist as a loss (their extra
+    downstream consumers already ride AQE reuse; the materialization
+    pass only added cost), while the plain Jaccard / containment /
+    clusters keys measured it as a win (r11 interleaved A/Bs in
+    OPTIMIZATION_r11.md).  Kill-switch: ``SPARK_GRAFT_QOPT=0`` restores
+    the r10 recompute-per-side plan everywhere."""
+    from pyspark.sql import Window
+
+    ex = (
+        _doc_shingles(docs)
+        .withColumn("df", F.count("*").over(Window.partitionBy("s")))
+        .filter(F.col("df") <= _NGRAM_MAX_DF)
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+        .select("doc_id", "s", "n_sh")
+    )
+    if persist and qopt_enabled():
+        ex = persist_slot(ex, slot)
+    return ex
 
 # Mersenne prime 2^31-1 as MinHash modulus: coefficients and hashes stay
 # below 2^31, so the affine multiply fits int64 under ANSI arithmetic
@@ -81,17 +118,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     each document exactly once instead of twice (5.6 s → 2.4 s at sf0.1;
     at corpus scale the saved shuffles dominate).
     """
-    from pyspark.sql import Window
-
-    max_df = 50
     docs = load_table(spark, sf_dir, "documents")
-    ex = (
-        _doc_shingles(docs)
-        .withColumn("df", F.count("*").over(Window.partitionBy("s")))
-        .filter(F.col("df") <= max_df)
-        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
-        .select("doc_id", "s", "n_sh")
-    )
+    ex = _rare_shingle_index(docs)
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
@@ -128,17 +156,9 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle budget as q_dedup_ngram_jaccard; the sweep adds one ≤9×
     fan-out of the (already reduced) pair table, then two bounded
     (≤9-row) aggregates."""
-    from pyspark.sql import Window
-
-    max_df = 50
     docs = load_table(spark, sf_dir, "documents")
-    ex = (
-        _doc_shingles(docs)
-        .withColumn("df", F.count("*").over(Window.partitionBy("s")))
-        .filter(F.col("df") <= max_df)
-        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
-        .select("doc_id", "s", "n_sh")
-    )
+    # persist=False: measured a loss for this key (see helper docstring)
+    ex = _rare_shingle_index(docs, persist=False)
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
@@ -199,17 +219,9 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: adds two doc_id equi-joins against the reduced pair table
     and one cell-bounded aggregate — no new shuffle class."""
-    from pyspark.sql import Window
-
-    max_df = 50
     docs = load_table(spark, sf_dir, "documents")
-    ex = (
-        _doc_shingles(docs)
-        .withColumn("df", F.count("*").over(Window.partitionBy("s")))
-        .filter(F.col("df") <= max_df)
-        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
-        .select("doc_id", "s", "n_sh")
-    )
+    # persist=False: measured a loss for this key (see helper docstring)
+    ex = _rare_shingle_index(docs, persist=False)
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
@@ -972,17 +984,8 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator (window counts, 2 shuffles); the threshold compares exact
     integers (``5*common >= 4*|A|``) so the score is engine-portable.
     The oracle applies the identical cap and threshold."""
-    from pyspark.sql import Window
-
-    max_df = 50
     docs = load_table(spark, sf_dir, "documents")
-    ex = (
-        _doc_shingles(docs)
-        .withColumn("df", F.count("*").over(Window.partitionBy("s")))
-        .filter(F.col("df") <= max_df)
-        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
-        .select("doc_id", "s", "n_sh")
-    )
+    ex = _rare_shingle_index(docs)
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (

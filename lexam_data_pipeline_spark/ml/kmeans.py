@@ -150,6 +150,10 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd's with the identical seed/update/tiebreak rules."""
     from lexam_data_pipeline_spark.operators.caching import persist_slot
 
+    # fan measured and rejected in BOTH r11 windows (interleaved A/B
+    # 2.79 → 5.66 min): 2000 rows / 32 partitions starves each Arrow
+    # kernel task, and the 6 iterative passes pay 32 Python task
+    # launches each instead of one
     emb = load_table(spark, sf_dir, "embeddings")
     base = persist_slot(
         emb.select(

@@ -60,7 +60,6 @@ def train_nb(docs: DataFrame) -> tuple[list[tuple[str, int]], list[tuple[str, st
 
     The collect is bounded: |classes| class rows + |classes| × 256
     count rows."""
-    toks = _bucketed_tokens(docs)
     class_rows = collect_bounded(
         docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")),
         MAX_NB_CLASSES,
@@ -79,6 +78,7 @@ def train_nb(docs: DataFrame) -> tuple[list[tuple[str, int]], list[tuple[str, st
         )
         for r in class_rows
     ]
+    toks = _bucketed_tokens(docs)
     cnt_rows = collect_bounded(
         toks.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("n")),
         MAX_NB_CLASSES * NB_BUCKETS,
@@ -113,6 +113,12 @@ def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle-checked end to end (see module docstring for why the log
     table is engine-portable)."""
+    # r11 A/B note: a persisted per-doc bucket-count fold (one tokenize
+    # pass shared by train + score, c·w scoring) was measured
+    # interleaved and LOST on the clean window (2.50 → 2.67 min,
+    # 2.59 → 3.05 median) — the (doc, lang, bucket) aggregate +
+    # materialization costs more than the second tokenize pass it
+    # saves, so the per-token shape stays.
     docs = load_table(spark, sf_dir, "documents", fan=True)
     priors, weights = train_nb(docs)
     wdf = spark.createDataFrame(weights, "cand string, b string, w long")

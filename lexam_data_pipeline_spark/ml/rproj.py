@@ -85,6 +85,15 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign coefficients on both engines (module docstring)."""
     emb = load_table(spark, sf_dir, "embeddings")
     proj = _projected(emb)
+    # Deliberately left on the r10 shape after two negative A/Bs (r11):
+    # this key's measured cost is DRIVER-side Catalyst work on the
+    # ~4.6k-term literal projection (probe: fresh-plan run 4.5 s vs
+    # 0.65 s re-executing the same DataFrame), and neither a slot
+    # persist (6.04/6.13 min — cuts no analysis) nor a localCheckpoint
+    # of the projection (5.08/5.01 min, wash — the analysis cost lives
+    # in the projection subtree itself, which the checkpoint still
+    # plans once per construction) moved it.  A smaller tree would
+    # change the balanced-sum parenthesization the oracle mirrors.
     a = proj.alias("a")
     b = proj.alias("b")
     pairs = a.join(

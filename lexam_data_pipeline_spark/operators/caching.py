@@ -16,9 +16,21 @@ its own reuse-keyed slot for exactly that reason).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 _SLOTS: dict[str, DataFrame] = {}
+
+
+def qopt_enabled() -> bool:
+    """Round-11 query-shape optimizations (action fusion via slot
+    persists — see OPTIMIZATION_r11.md).  ``SPARK_GRAFT_QOPT=0`` forces
+    the pre-optimization shapes everywhere: the A/B hook for the
+    interleaved measurement protocol and a production kill-switch, the
+    same pattern as ``SPARK_GRAFT_SCAN_FANOUT``.  Read at call time so
+    one session can interleave both variants."""
+    return os.environ.get("SPARK_GRAFT_QOPT", "") != "0"
 
 
 def persist_slot(df: DataFrame, slot: str) -> DataFrame:

@@ -31,6 +31,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from lexam_data_pipeline_spark.catalog import load_table
+from lexam_data_pipeline_spark.operators.caching import qopt_enabled
 from lexam_data_pipeline_spark.operators.guards import collect_bounded
 
 #: Ceiling for driver-side sufficient-statistic cell tables (category ×
@@ -2069,6 +2070,8 @@ def q_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast-able at any corpus size, whereas the kept vocabulary grows
     # with the corpus
     stop = term_n.filter(F.col("tn") > COOCCUR_MAX_DF).select("t")
+    # NOT persisted (r11 A/B: persisting term_n + kept was a wash —
+    # AQE's runtime exchange reuse already shares the vocab aggregate)
     kept = terms.join(F.broadcast(stop), "t", "left_anti")
     pairs = (
         kept.alias("x")
@@ -4210,6 +4213,10 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final top-20 is a TakeOrdered."""
     li = load_table(spark, sf_dir, "lineitem", fan=True)
     baskets = _capped_baskets(li)
+    # NOT persisted (r11 A/B: 3.85 → 5.03 min, clear loss): AQE reuses
+    # the baskets exchange across all three consumers at runtime
+    # (ReusedExchange asserted in tests/test_plans.py), so a persist
+    # only adds a materialization pass.
     n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     items = baskets.select(
         "l_orderkey", F.explode("parts").alias("part")
@@ -4816,6 +4823,9 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions AFTER the semi-join cuts the pair table down."""
     li = load_table(spark, sf_dir, "lineitem", fan=True)
     baskets = _capped_baskets(li)
+    # NOT persisted (r11 A/B: 3.60 → 4.49 min, clear loss — the
+    # q_basket_pairs note applies: AQE reuses the baskets exchange
+    # across consumers at runtime, persists only add materialization).
     items = baskets.select("l_orderkey", F.explode("parts").alias("part"))
     item_n = items.groupBy("part").agg(F.count(F.lit(1)).alias("item_n"))
     hot = item_n.orderBy(
@@ -5535,24 +5545,43 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two value-level rank windows (domain-bounded inputs), one
     broadcast-joinable rank map per axis applied in a single fact scan,
     one moment aggregate.  No fact-sized sort anywhere."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("flag"),
-        (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint").alias("qty"),
-        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
-        .cast("bigint")
-        .alias("price"),
-    )
+    def _li(fan: bool) -> DataFrame:
+        return load_table(spark, sf_dir, "lineitem", fan=fan).select(
+            F.col("l_returnflag").alias("flag"),
+            (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint").alias("qty"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("price"),
+        )
+
+    # Branch-specific fan (guide §2.6 stragglers): the two rank spines
+    # start with their own groupBy exchanges, so their scans stay
+    # unfanned (the round's global-fan A/B measured that as a wash);
+    # the MOMENT pass is different — both rank maps broadcast onto the
+    # fact scan, so its five decimal(37) products per row partial-
+    # aggregate INSIDE the single-row-group scan stage, i.e. on one
+    # core (measured: 5.4 s of the key's 6 s is that stage).  Fanning
+    # just this branch spreads the BigDecimal work across the session's
+    # parallelism.
+    li = _li(False)
     rx = _doubled_avg_ranks(li, ["flag"], "qty").select(
         "flag", "qty", F.col("r2").alias("rx2")
     )
     ry = _doubled_avg_ranks(li, ["flag"], "price").select(
         "flag", "price", F.col("r2").alias("ry2")
     )
-    joined = li.join(rx, ["flag", "qty"]).join(ry, ["flag", "price"])
+    fact = _li(qopt_enabled())
+    joined = fact.join(rx, ["flag", "qty"]).join(ry, ["flag", "price"])
     # operands cast to decimal(18,0) BEFORE multiplying: doubled ranks
     # reach ~4e11 at 100 TB row counts, so a BIGINT product would wrap
     # silently (the q_crosscorr_lagged lesson); precision-37 products
-    # and their sums stay exact
+    # and their sums stay exact.
+    # (r11 A/B note: a value-level moment fold — broadcast the qty rank
+    # map, pre-aggregate the fact to (flag, price) partial sums, join
+    # the price ranks value-level — was measured interleaved and LOST
+    # (6.27 → 6.48 min, 6.5 → 8.3 median): price is near-unique, so the
+    # (flag, price) aggregate builds a fact-sized hash table while the
+    # shipped shape's two rank joins already broadcast at this scale.)
     m = joined.groupBy("flag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(_d18("rx2")).alias("sx"),
@@ -6977,6 +7006,10 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
     per_vs = rows.groupBy("cents", "segment").agg(F.count(F.lit(1)).alias("c"))
+    # NOT persisted (r11 A/B: 2.64 → 3.02 min, loss): the two driver
+    # actions (rank sums + tie term) do re-run the fact scan without a
+    # persist, but the (cents, segment) spine is near fact-sized here,
+    # so materializing it costs more than the recompute.
     per_v = per_vs.groupBy("cents").agg(F.sum("c").alias("tot"))
     w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
     ranked = per_v.select(
@@ -6985,23 +7018,52 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             2 * F.coalesce(F.sum("tot").over(w), F.lit(0)) + F.col("tot") + 1
         ).alias("r2"),
     )
-    groups = collect_bounded(
+    seg_agg = (
         per_vs.join(ranked, "cents")
         .groupBy("segment")
         .agg(
             F.sum("c").alias("ng"),
             F.sum(_d18("c") * _d18("r2")).alias("r2s"),
-        ),
-        _MAX_CELL_ROWS,
-        "q_kruskal_wallis per-segment rank sums",
+        )
     )
     # t³ via decimal(12,0) operands: precision 12·3+2 ≤ 38, exact for
     # tie groups up to 1e12 rows (same ceiling class as the other rank
     # keys; the scale probe owns it)
     d12 = F.col("tot").cast("decimal(12,0)")
-    tie_row = per_v.agg(
-        F.sum(d12 * d12 * d12 - F.col("tot")).alias("t3t")
-    ).collect()[0]
+    tie_agg = per_v.agg(F.sum(d12 * d12 * d12 - F.col("tot")).alias("t3t"))
+    if qopt_enabled():
+        # ONE driver action instead of two: union the per-segment rank
+        # sums with the 1-row tie term (NULL-marked), so both branches
+        # run in a single job where AQE's runtime exchange reuse shares
+        # the per_vs cell subtree — the unfused shape re-ran the fact
+        # scan + cell aggregate once per action (r11 probe: 2 × ~1.7 s
+        # of construct-time actions against ~0.4 s of everything else).
+        unioned = collect_bounded(
+            seg_agg.select(
+                "segment",
+                F.col("ng").cast("bigint").alias("ng"),
+                F.col("r2s").cast("decimal(38,0)").alias("r2s"),
+                F.lit(None).cast("decimal(38,0)").alias("t3t"),
+            ).unionByName(
+                tie_agg.select(
+                    F.lit(None).cast("string").alias("segment"),
+                    F.lit(None).cast("bigint").alias("ng"),
+                    F.lit(None).cast("decimal(38,0)").alias("r2s"),
+                    F.col("t3t").cast("decimal(38,0)").alias("t3t"),
+                )
+            ),
+            _MAX_CELL_ROWS + 1,
+            "q_kruskal_wallis per-segment rank sums",
+        )
+        groups = [r for r in unioned if r["segment"] is not None]
+        tie_row = next(r for r in unioned if r["segment"] is None)
+    else:
+        groups = collect_bounded(
+            seg_agg,
+            _MAX_CELL_ROWS,
+            "q_kruskal_wallis per-segment rank sums",
+        )
+        tie_row = tie_agg.collect()[0]
     if not groups:
         out = spark.createDataFrame(
             [(None, 0, None, None)],
@@ -7828,6 +7890,9 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k_w = Window.partitionBy("month")
     full = cells.withColumn("k_in_block", F.count(F.lit(1)).over(k_w))
+    # NOT persisted (r11 A/B: wash, 1.69/1.74 min — the cell table is
+    # calendar-bounded, so the kcount action's recompute costs about
+    # what the persist materialization does)
     kcount = full.agg(F.max("k_in_block").alias("k")).collect()[0]["k"]
     blocks = full.where(F.col("k_in_block") == F.lit(kcount))
     wp = (

@@ -77,10 +77,25 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # 0e3d59e) has no driver row yet — its newest row (r9) predates the
     # upgrade and was rows-only (round-10 verdict item 1 lead).
     "q_doc_rolling_hash",
-    # Slots 27-50: FRESHNESS — 24 of the 41 remaining keys whose newest
+    # Slots 27-31: the five keys whose plan changed in the SECOND
+    # round-11 optimization batch (interleaved-A/B'd query-shape
+    # changes — shingle-index slot persist, page-base persist lifetime,
+    # kruskal action fusion, spearman branch-fan; OPTIMIZATION_r11.md).
+    # Same rationale as slots 1-25: changed plans earn fresh external
+    # rows.  (q_dedup_ngram_jaccard / q_dedup_clusters_two_phase, also
+    # batch-2-touched, already sit in the freshness slots below.)
+    "q_containment_dedup",
+    "q_dedup_clusters",
+    "q_kruskal_wallis",
+    "q_questions_page",
+    "q_spearman_corr",
+    # Slots 32-50: FRESHNESS — 19 of the 41 remaining keys whose newest
     # driver row is round 6 (round-10 verdict item 1; 9 of the r6
     # cohort are already in slots 1-25).  All green in both self
-    # sweeps; the other 17 r6 keys rotate in round 12.
+    # sweeps; the other r6 keys (incl. the five displaced by the
+    # batch-2 slots: q_cube_orders, q_groupby_salted,
+    # q_hhi_concentration, q_histogram_bins, q_knn_bruteforce) rotate
+    # in round 12.
     "q_ab_sequential",
     "q_abc_classification",
     "q_anti_dedup",
@@ -91,7 +106,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_count_distinct",
     "q_course_summary",
     "q_cramers_v",
-    "q_cube_orders",
     "q_dedup_clusters_two_phase",
     "q_dedup_embedding",
     "q_dedup_embedding_blocked",
@@ -101,10 +115,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_tumbling",
     "q_filter_in",
     "q_groupby_count",
-    "q_groupby_salted",
-    "q_hhi_concentration",
-    "q_histogram_bins",
-    "q_knn_bruteforce",
 )
 
 

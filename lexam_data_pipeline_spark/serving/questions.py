@@ -27,6 +27,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
+from lexam_data_pipeline_spark.operators.caching import persist_slot, qopt_enabled
 from lexam_data_pipeline_spark.operators.filters import (
     VARIANT_LIST_FIELDS,
     apply_question_filters,
@@ -106,8 +107,15 @@ def questions_page(
 
     base = filtered_questions(questions, variants, fc, search)
     # count + page off one cached plan (ref runs the query twice,
-    # main.py:193,198 — we pay the scan once)
-    base = base.persist()
+    # main.py:193,198 — we pay the scan once).  The persist must OUTLIVE
+    # this function: the returned ``rows`` frame is lazy, and the old
+    # unpersist-in-finally shape meant the caller's materialization
+    # re-derived the whole filter pipeline with the cache already gone —
+    # the count was the only job that ever hit it.  ``persist_slot``
+    # keeps the cache alive for the rows job and stays bounded (next
+    # call through the slot, or release_all, frees it).
+    hold = qopt_enabled()
+    base = persist_slot(base, "serving.questions.page_base") if hold else base.persist()
     try:
         total = base.count()
 
@@ -161,7 +169,8 @@ def questions_page(
             rows = rows.drop("__sort")
         return QuestionsPage(total=total, rows=rows)
     finally:
-        base.unpersist()
+        if not hold:
+            base.unpersist()
 
 
 def top_courses_for_search(

@@ -62,9 +62,11 @@ def test_round11_window_registered_first():
 
 
 def test_fan_sites_match_touched_keys():
-    """Every module-level `fan=True` call site lives in a function whose
-    bench key is in FAN_TOUCHED_KEYS (via copurchase_mutual_topk for
-    the four graph keys) — no silent fan-out creep."""
+    """Every module-level fan-enabling call site (`fan=True`, or the
+    batch-2 qopt-gated `fan=fan` inside q_spearman_corr's branch-fan
+    helper) lives in a function whose bench key is fan-touched (via
+    copurchase_mutual_topk for the four graph keys) — no silent fan-out
+    creep."""
     import re
     from pathlib import Path
 
@@ -76,14 +78,16 @@ def test_fan_sites_match_touched_keys():
             (m.start(), m.group(1))
             for m in re.finditer(r"^def (\w+)\(", src, re.M)
         ]
-        for m in re.finditer(r"load_table\([^)]*fan=True\)", src):
+        # any fan= argument other than the default-off literal counts
+        # as a fan site (fan=True, or a parameterized fan=<expr>)
+        for m in re.finditer(r"load_table\([^)]*fan=(?!False)[^)]*\)", src):
             fn = None
             for start, name in defs:
                 if start <= m.start():
                     fn = name
                 else:
                     break
-            assert fn is not None, f"orphan fan=True in {path.name}"
+            assert fn is not None, f"orphan fan site in {path.name}"
             owners.add(fn)
     graph_via_sparsifier = {
         "q_triangle_count",
@@ -91,7 +95,12 @@ def test_fan_sites_match_touched_keys():
         "q_pagerank",
         "q_label_propagation",
     }
-    expected = (set(FAN_TOUCHED_KEYS) - graph_via_sparsifier) | {
-        "copurchase_mutual_topk"
-    }
+    expected = (
+        (set(FAN_TOUCHED_KEYS) - graph_via_sparsifier)
+        | {"copurchase_mutual_topk"}
+        # round-11 batch 2: the moment-pass branch fan (fan=fan, gated
+        # by qopt_enabled) inside q_spearman_corr — see
+        # OPTIMIZATION_r11.md
+        | {"q_spearman_corr"}
+    )
     assert owners == expected, owners ^ expected
