@@ -17,10 +17,23 @@ its own reuse-keyed slot for exactly that reason).
 from __future__ import annotations
 
 import os
+from typing import Callable
 
 from pyspark.sql import DataFrame
 
 _SLOTS: dict[str, DataFrame] = {}
+
+#: extra teardown hooks run by :func:`release_all` — for module-local
+#: caches that cannot live in ``_SLOTS`` (e.g. ``ml/dedup``'s
+#: lineage-cut persist, which is reuse-keyed rather than slot-keyed).
+#: Registering here guarantees no cache outlives a ``release_all()``
+#: boundary, so nothing persists between bench runs.
+_RELEASE_HOOKS: list[Callable[[], None]] = []
+
+
+def register_release_hook(fn: Callable[[], None]) -> None:
+    if fn not in _RELEASE_HOOKS:
+        _RELEASE_HOOKS.append(fn)
 
 
 def qopt_enabled() -> bool:
@@ -47,3 +60,5 @@ def release_all() -> None:
     for df in _SLOTS.values():
         df.unpersist()
     _SLOTS.clear()
+    for fn in _RELEASE_HOOKS:
+        fn()
