@@ -22,7 +22,7 @@ whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from lexam_data_pipeline_spark.catalog import load_table
 from lexam_data_pipeline_spark.functions.text import shingle_set, tokens
@@ -186,16 +186,41 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id_b",
         )
     )
-    n_pairs = qual.groupBy("t10").agg(F.count(F.lit(1)).alias("n_pairs"))
-    n_docs = (
-        qual.select(
-            "t10", F.explode(F.array("doc_id_a", "doc_id_b")).alias("d")
+    if qopt_enabled():
+        # ONE pass over the qualifying pairs (guide §2.4, r11 VERDICT
+        # item 6): both outputs derive from the exploded (t10, doc)
+        # frame.  Each qualifying pair contributes exactly TWO exploded
+        # rows (doc_id_a < doc_id_b), so the sum of per-doc appearance
+        # counts div 2 IS the pair count — exact integer division on
+        # an even bigint — and the distinct-doc count is the group
+        # count of the (t10, d) pre-aggregate.  The two-branch shape
+        # below shares the candidate-join exchange via AQE runtime
+        # reuse but re-runs the pair groupBy + explode per branch and
+        # pays a join of the two 9-row outputs.
+        merged = (
+            qual.select(
+                "t10", F.explode(F.array("doc_id_a", "doc_id_b")).alias("d")
+            )
+            .groupBy("t10", "d")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("t10")
+            .agg(
+                F.expr("sum(c) div 2").alias("n_pairs"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
         )
-        .groupBy("t10")
-        .agg(F.countDistinct("d").alias("n_docs"))
-    )
+    else:
+        n_pairs = qual.groupBy("t10").agg(F.count(F.lit(1)).alias("n_pairs"))
+        n_docs = (
+            qual.select(
+                "t10", F.explode(F.array("doc_id_a", "doc_id_b")).alias("d")
+            )
+            .groupBy("t10")
+            .agg(F.countDistinct("d").alias("n_docs"))
+        )
+        merged = n_pairs.join(n_docs, "t10")
     return (
-        n_pairs.join(n_docs, "t10")
+        merged
         .select(
             F.col("t10").cast("int").alias("t10"),
             (F.col("t10") / F.lit(10.0)).alias("threshold"),
@@ -271,19 +296,41 @@ def cross_source_rate_report(pairs: DataFrame, srcmap: DataFrame) -> DataFrame:
             "doc_id_b",
         )
     )
-    cells = tagged.groupBy("source_a", "source_b").agg(
-        F.count(F.lit(1)).alias("n_pairs")
-    )
-    touched = (
-        tagged.select(
-            "source_a", "source_b", F.explode(F.array("doc_id_a", "doc_id_b")).alias("d")
+    if qopt_enabled():
+        # Same one-pass fold as q_dedup_threshold_sweep (guide §2.4):
+        # each tagged pair explodes to exactly TWO (cell, doc) rows, so
+        # per cell n_pairs = sum(per-doc counts) div 2 (exact — the sum
+        # is even by construction) and n_docs_touched = the group count
+        # of the (cell, d) pre-aggregate.  Replaces two aggregate
+        # branches over `tagged` + a cell-grid join with one pipeline.
+        merged = (
+            tagged.select(
+                "source_a",
+                "source_b",
+                F.explode(F.array("doc_id_a", "doc_id_b")).alias("d"),
+            )
+            .groupBy("source_a", "source_b", "d")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("source_a", "source_b")
+            .agg(
+                F.expr("sum(c) div 2").alias("n_pairs"),
+                F.count(F.lit(1)).alias("n_docs_touched"),
+            )
         )
-        .groupBy("source_a", "source_b")
-        .agg(F.countDistinct("d").alias("n_docs_touched"))
-    )
+    else:
+        cells = tagged.groupBy("source_a", "source_b").agg(
+            F.count(F.lit(1)).alias("n_pairs")
+        )
+        touched = (
+            tagged.select(
+                "source_a", "source_b", F.explode(F.array("doc_id_a", "doc_id_b")).alias("d")
+            )
+            .groupBy("source_a", "source_b")
+            .agg(F.countDistinct("d").alias("n_docs_touched"))
+        )
+        merged = cells.join(touched, ["source_a", "source_b"])
     return (
-        cells
-        .join(touched, ["source_a", "source_b"])
+        merged
         .select(
             "source_a",
             "source_b",
@@ -776,13 +823,25 @@ def _two_phase_cc(
             .unionByName(smalled.select(F.col("h").alias("a"), F.col("m").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint()
         )
-        sig = e_next.agg(
+        sig_exprs = (
             F.count(F.lit(1)).alias("n"),
             # bit_xor: order-independent set signature, can't overflow ANSI
             F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
-        ).collect()[0]
+        )
+        if qopt_enabled():
+            # Fuse the fixpoint probe INTO the checkpoint job (guide §1
+            # action fusion, r12): the Observation computes the same
+            # (n, h) signature over the same rows while localCheckpoint
+            # materializes them — one job per round instead of two.
+            # Observation metrics fire on Dataset.localCheckpoint
+            # because it runs under withAction (verified empirically).
+            obs = Observation()
+            e_next = e_next.observe(obs, *sig_exprs).localCheckpoint()
+            sig = obs.get
+        else:
+            e_next = e_next.localCheckpoint()
+            sig = e_next.agg(*sig_exprs).collect()[0]
         e = e_next
         if prev_sig == (sig["n"], sig["h"]):
             break
@@ -850,13 +909,29 @@ def connected_components(
     # min-labels decrease monotonically, so the exact-decimal label sum
     # is strictly decreasing until the fixpoint — sum equality IS
     # convergence, with no join-back.
-    def _label_sum(df: DataFrame):
-        return df.agg(
-            F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+    _sum_expr = F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
 
-    labels = nodes.withColumn("cluster", F.col("node")).localCheckpoint()
-    prev_sum = _label_sum(labels)
+    def _label_sum(df: DataFrame):
+        return df.agg(_sum_expr).collect()[0]["s"]
+
+    def _checkpoint_with_sum(df: DataFrame):
+        """Materialize one round's labels and return (labels, sum).
+
+        qopt shape (r12): the convergence probe rides the checkpoint
+        job as an Observation over the same rows — one job per round
+        instead of checkpoint + separate agg job (guide §1 action
+        fusion; the sum is the identical exact decimal either way).
+        """
+        if qopt_enabled():
+            obs = Observation()
+            out = df.observe(obs, _sum_expr).localCheckpoint()
+            return out, obs.get["s"]
+        out = df.localCheckpoint()
+        return out, _label_sum(out)
+
+    labels, prev_sum = _checkpoint_with_sum(
+        nodes.withColumn("cluster", F.col("node"))
+    )
     while True:
         # min(own ∪ neighbors' labels) as ONE aggregate: push each label
         # across its edges, union the nodes' own labels, take the group
@@ -867,13 +942,11 @@ def connected_components(
         prop = sym.join(labels, sym.b == labels.node).select(
             F.col("a").alias("node"), "cluster"
         )
-        labels = (
+        labels, new_sum = _checkpoint_with_sum(
             prop.unionByName(labels.select("node", "cluster"))
             .groupBy("node")
             .agg(F.min("cluster").alias("cluster"))
-            .localCheckpoint()
         )
-        new_sum = _label_sum(labels)
         if new_sum == prev_sum:
             return labels
         prev_sum = new_sum

@@ -82,7 +82,13 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (expectation 1 by the lemma).  Top-50 pairs by id.
 
     Fully oracle-checked: identical balanced-tree float sums and literal
-    sign coefficients on both engines (module docstring)."""
+    sign coefficients on both engines (module docstring).
+
+    DRIVER-bound key: ~85% of its cost is Catalyst analysis of the
+    ~4.6k-term literal projection tree (construct/exec split probe:
+    ~4.6 s fresh construct vs ~0.8 s re-executing the same object), so
+    it is in plans/registry.MEMO_SAFE_KEYS — construction is action-free
+    and repeated calls reuse the analyzed plan (r11 VERDICT item 3)."""
     emb = load_table(spark, sf_dir, "embeddings")
     proj = _projected(emb)
     # Deliberately left on the r10 shape after two negative A/Bs (r11):

@@ -46,6 +46,48 @@ def qopt_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_QOPT", "") != "0"
 
 
+#: Analyzed-DataFrame memo for ACTION-FREE query constructions, keyed on
+#: (application id, sf_dir, key name, scan-fanout mode) — the
+#: catalog._TABLE_CACHE pattern lifted to whole queries.  Eligible keys
+#: (plans/registry.MEMO_SAFE_KEYS) run ZERO Spark jobs at construction
+#: (asserted by tests/test_plan_memo.py), so the memo caches a PLAN and
+#: nothing else: no persisted data, no collected values — every
+#: execution still computes from parquet, which is why release_all()
+#: deliberately does NOT clear it.  Motivation (r11 VERDICT item 3):
+#: several keys spend 1-5 s per call on Catalyst analysis of large
+#: deterministic expression trees (q_random_projection ~4.6 s,
+#: q_experiment_stats ~1.8 s); re-planning an identical tree per call is
+#: pure driver waste at any scale.  ``SPARK_GRAFT_QOPT=0`` bypasses the
+#: memo (A/B hook + kill-switch, same as every r11/r12 query-shape
+#: change).
+_PLAN_MEMO: dict[tuple, DataFrame] = {}
+
+
+def memoize_plan(name: str, fn):
+    """Wrap an action-free ``(spark, sf_dir) -> DataFrame`` query
+    builder with the analyzed-plan memo."""
+
+    def wrapped(spark, sf_dir):
+        if not qopt_enabled():
+            return fn(spark, sf_dir)
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir),
+            name,
+            os.environ.get("SPARK_GRAFT_SCAN_FANOUT", ""),
+        )
+        df = _PLAN_MEMO.get(key)
+        if df is None:
+            df = fn(spark, sf_dir)
+            _PLAN_MEMO[key] = df
+        return df
+
+    wrapped.__name__ = getattr(fn, "__name__", name)
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
 def persist_slot(df: DataFrame, slot: str) -> DataFrame:
     prev = _SLOTS.get(slot)
     if prev is not None:

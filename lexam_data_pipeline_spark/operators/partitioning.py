@@ -57,6 +57,31 @@ def fan_out(df: DataFrame, *keys: "Column | str") -> DataFrame:
     n = sc.defaultParallelism
     if n <= 1:
         return df
+    # Production fast path (r11 VERDICT item 5): deciding "already wide
+    # enough" via ``df.rdd.getNumPartitions()`` materializes the full
+    # logical→physical conversion on the driver — on a 100 TB catalog
+    # that includes listing every input file.  The optimizer's size
+    # estimate divided by the scan split size bounds the partition
+    # count from BELOW for a file scan (Spark packs at most
+    # maxPartitionBytes per split), so when the estimate alone already
+    # clears defaultParallelism the exchange is provably a no-op and no
+    # physical planning is needed.  Small/unknown inputs fall through
+    # to the exact check, whose driver cost is bounded by their size.
+    try:
+        est_bytes = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        max_split = int(
+            sc._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                df.sparkSession.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "128m"
+                )
+            )
+        )
+        if max_split > 0 and est_bytes // max_split >= n:
+            return df
+    except Exception:  # noqa: BLE001 — estimate is an optimization only
+        pass
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n, *keys)

@@ -7038,14 +7038,21 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the per_vs cell subtree — the unfused shape re-ran the fact
         # scan + cell aggregate once per action (r11 probe: 2 × ~1.7 s
         # of construct-time actions against ~0.4 s of everything else).
+        # Explicit __tie marker, NOT segment-nullness (r11 ADVICE): a
+        # NULL c_mktsegment group would otherwise be misread as the tie
+        # row and silently dropped from `groups` — latent only (the
+        # fixture has no NULL segments), but the discriminator should
+        # not depend on data values.
         unioned = collect_bounded(
             seg_agg.select(
+                F.lit(False).alias("__tie"),
                 "segment",
                 F.col("ng").cast("bigint").alias("ng"),
                 F.col("r2s").cast("decimal(38,0)").alias("r2s"),
                 F.lit(None).cast("decimal(38,0)").alias("t3t"),
             ).unionByName(
                 tie_agg.select(
+                    F.lit(True).alias("__tie"),
                     F.lit(None).cast("string").alias("segment"),
                     F.lit(None).cast("bigint").alias("ng"),
                     F.lit(None).cast("decimal(38,0)").alias("r2s"),
@@ -7055,8 +7062,8 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             _MAX_CELL_ROWS + 1,
             "q_kruskal_wallis per-segment rank sums",
         )
-        groups = [r for r in unioned if r["segment"] is not None]
-        tie_row = next(r for r in unioned if r["segment"] is None)
+        groups = [r for r in unioned if not r["__tie"]]
+        tie_row = next(r for r in unioned if r["__tie"])
     else:
         groups = collect_bounded(
             seg_agg,

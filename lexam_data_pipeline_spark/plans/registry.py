@@ -41,80 +41,69 @@ EXPECTED_QUERY_COUNT = 249
 #: re-verified in-repo by tools/parity_sweep.py at sf0.01
 #: (CORRECTNESS_SELF.json) and sf0.1 (CORRECTNESS_SELF_SF01.json).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ── round 11 window (exactly 50; asserted by test_bench_contract) ──
-    # Slots 1-25: the 25 keys whose PHYSICAL PLAN changed in the round-11
-    # scan fan-out (per-site opt-in repartition of single-row-group
-    # fixture scans — OPTIMIZATION_r11.md).  A repartition moves rows,
-    # not values, and both full self sweeps re-proved parity at
-    # sf0.01 + sf0.1 — but the changed plans should carry fresh
-    # EXTERNAL driver rows too, so they lead the window.
-    "q_agg_stats",
-    "q_basket_pairs",
-    "q_bloom_decontaminate",
-    "q_boosted_stumps",
-    "q_bootstrap_ci",
-    "q_bpe_tokenize",
-    "q_corr_stats",
-    "q_doc_fingerprint",
-    "q_embedding_quantize",
-    "q_graph_bfs",
-    "q_item_similarity",
-    "q_join_3way_agg",
-    "q_join_5way_region",
-    "q_label_propagation",
-    "q_minhash_lsh_pairs",
-    "q_multimodal_features",
-    "q_nb_classifier",
-    "q_ols_regression",
-    "q_pagerank",
-    "q_pretrain_pipeline",
-    "q_repetition_stats",
-    "q_silhouette_labels",
-    "q_simhash_buckets",
-    "q_text_quality",
-    "q_triangle_count",
-    # Slot 26: q_doc_rolling_hash's md5-seed oracle upgrade (r10 commit
-    # 0e3d59e) has no driver row yet — its newest row (r9) predates the
-    # upgrade and was rows-only (round-10 verdict item 1 lead).
-    "q_doc_rolling_hash",
-    # Slots 27-31: the five keys whose plan changed in the SECOND
-    # round-11 optimization batch (interleaved-A/B'd query-shape
-    # changes — shingle-index slot persist, page-base persist lifetime,
-    # kruskal action fusion, spearman branch-fan; OPTIMIZATION_r11.md).
-    # Same rationale as slots 1-25: changed plans earn fresh external
-    # rows.  (q_dedup_ngram_jaccard / q_dedup_clusters_two_phase, also
-    # batch-2-touched, already sit in the freshness slots below.)
-    "q_containment_dedup",
+    # ── round 12 window (exactly 50; asserted by test_bench_contract) ──
+    # Slots 1-4: the keys whose QUERY SHAPE changed in round 12
+    # (OPTIMIZATION_r12.md): the dedup sweep/rate one-pass aggregate
+    # restructure and the CC convergence-probe observe-fusion.  Changed
+    # plans earn fresh external oracle rows (the r8-r11 pattern).
+    "q_dedup_threshold_sweep",
+    "q_dedup_rate_by_source",
     "q_dedup_clusters",
-    "q_kruskal_wallis",
-    "q_questions_page",
-    "q_spearman_corr",
-    # Slots 32-50: FRESHNESS — 19 of the 41 remaining keys whose newest
-    # driver row is round 6 (round-10 verdict item 1; 9 of the r6
-    # cohort are already in slots 1-25).  All green in both self
-    # sweeps; the other r6 keys (incl. the five displaced by the
-    # batch-2 slots: q_cube_orders, q_groupby_salted,
-    # q_hhi_concentration, q_histogram_bins, q_knn_bruteforce) rotate
-    # in round 12.
-    "q_ab_sequential",
-    "q_abc_classification",
-    "q_anti_dedup",
-    "q_asof_join_orders",
-    "q_burstiness",
-    "q_chi_square",
-    "q_cohort_retention",
-    "q_count_distinct",
-    "q_course_summary",
-    "q_cramers_v",
     "q_dedup_clusters_two_phase",
-    "q_dedup_embedding",
-    "q_dedup_embedding_blocked",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_events_sliding",
-    "q_events_tumbling",
-    "q_filter_in",
-    "q_groupby_count",
+    # Slots 5-26: FRESHNESS — the 22 remaining keys whose newest driver
+    # row is round 6 (r11 VERDICT item 9: "no contract key's newest
+    # driver row older than r7").  All green in both self sweeps.
+    "q_cube_orders",
+    "q_groupby_salted",
+    "q_hhi_concentration",
+    "q_histogram_bins",
+    "q_knn_bruteforce",
+    "q_knn_ivf",
+    "q_knn_lsh",
+    "q_lang_id",
+    "q_mann_kendall",
+    "q_polyfit_quadratic",
+    "q_price_elasticity",
+    "q_quartile_skewness",
+    "q_runs_test",
+    "q_semi_exists",
+    "q_session_window",
+    "q_sessionize",
+    "q_share_of_total",
+    "q_top_n",
+    "q_topic_keywords",
+    "q_tukey_fences",
+    "q_window_rank",
+    "q_wordcount_stats",
+    # Slots 27-50: 24 of the r7-stale cohort (newest driver row r7),
+    # leading with the three that are also MEMO_SAFE_KEYS, then
+    # alphabetical.  (q_dedup_threshold_sweep / q_dedup_rate_by_source,
+    # also r7-stale, sit in slots 1-2.)  The remaining 20 r7 keys
+    # rotate in the next round.
+    "q_cochrans_q",
+    "q_confusion_report",
+    "q_fleiss_kappa",
+    "q_ab_power",
+    "q_brown_forsythe",
+    "q_cliffs_delta",
+    "q_cluster_size_dist",
+    "q_cuped_adjustment",
+    "q_davies_bouldin",
+    "q_dedup_keep_best",
+    "q_distinct_facet",
+    "q_embedding_drift",
+    "q_embedding_outliers",
+    "q_events_json_extract",
+    "q_facets_one_pass",
+    "q_friedman_test",
+    "q_fullouter_merge",
+    "q_groupby_multi",
+    "q_heaps_law",
+    "q_hellinger_distance",
+    "q_join_enrich",
+    "q_letter_extract_roundtrip",
+    "q_mcnemar_test",
+    "q_min_per_group",
 )
 
 
@@ -159,6 +148,36 @@ ROUND10_KEYS: tuple[str, ...] = (
 )
 
 
+#: Keys whose construction is ACTION-FREE (zero Spark jobs — asserted by
+#: tests/test_plan_memo.py) and costs ≥0.4 s of driver-side Catalyst
+#: analysis per call (r12 steady-state construct audit,
+#: plans/r12/construct_audit2.json).  build_queries wraps these with
+#: operators.caching.memoize_plan: repeated construction in one session
+#: returns the already-analyzed DataFrame instead of re-planning an
+#: identical tree.  Plan-only — no data or collected values are cached,
+#: so every execution still computes from parquet; SPARK_GRAFT_QOPT=0
+#: bypasses.  Keys with construct-time driver actions (kruskal, boosted,
+#: the iterative graph/CC keys) are deliberately NOT eligible: memoizing
+#: them would freeze collected aggregates across calls, which is result
+#: caching, not plan caching.
+MEMO_SAFE_KEYS: tuple[str, ...] = (
+    "q_bloom_decontaminate",
+    "q_cochrans_q",
+    "q_compare_judges",
+    "q_confusion_report",
+    "q_dashboard_suite",
+    "q_experiment_stats",
+    "q_experiment_stats_empty",
+    "q_fk_discovery",
+    "q_fleiss_kappa",
+    "q_hybrid_rrf",
+    "q_knn_lsh",
+    "q_minhash_lsh_pairs",
+    "q_random_projection",
+    "q_simhash_buckets",
+)
+
+
 def _ml_module(name: str):
     """Import one symbol from ml.registry, loudly.
 
@@ -188,7 +207,12 @@ def build_queries() -> dict[str, QueryFn]:
     # registered keys), then the remainder in definition order.
     ordered = {k: queries[k] for k in DRIVER_PRIORITY if k in queries}
     ordered.update({k: fn for k, fn in queries.items() if k not in ordered})
-    return ordered
+    from lexam_data_pipeline_spark.operators.caching import memoize_plan
+
+    return {
+        k: (memoize_plan(k, fn) if k in MEMO_SAFE_KEYS else fn)
+        for k, fn in ordered.items()
+    }
 
 
 def build_oracles() -> dict[str, str]:

@@ -114,6 +114,12 @@ def questions_page(
     # the count was the only job that ever hit it.  ``persist_slot``
     # keeps the cache alive for the rows job and stays bounded (next
     # call through the slot, or release_all, frees it).
+    # SINGLE-REQUEST-AT-A-TIME assumption (r11 ADVICE): the one global
+    # slot means a subsequent questions_page call evicts the cache an
+    # earlier page's still-lazy rows frame depends on.  Correctness is
+    # safe (a cache hint recomputes deterministically); only the reuse
+    # vanishes.  Key the slot per request id if concurrent serving
+    # ever enters scope.
     hold = qopt_enabled()
     base = persist_slot(base, "serving.questions.page_base") if hold else base.persist()
     try:

@@ -24,8 +24,10 @@ def test_bench_prints_one_json_line(tmp_path):
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_BENCH_OUT=bench_out,
         # smoke cap: the full ~240-key set outgrew this test's timeout
-        # at sf0.001; the driver's round-end run is uncapped
-        SPARK_GRAFT_BENCH_LIMIT="60",
+        # at sf0.001; the driver's round-end run is uncapped.  40 keys
+        # keep every contract assertion live (n_queries >= 25) at ~2/3
+        # the wall cost of the previous 60 (suite-budget, r12).
+        SPARK_GRAFT_BENCH_LIMIT="40",
     )
     proc = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],

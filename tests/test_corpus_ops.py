@@ -10,6 +10,8 @@ partitions the wide side; bucket width cannot change packing results).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from lexam_data_pipeline_spark.catalog import load_table
@@ -176,6 +178,7 @@ def test_pretrain_pipeline_conservation(spark, sf_small):
         assert 0 < r["tokens_kept"] <= raw[r["source"]]
 
 
+@pytest.mark.slowsuite
 def test_pack_sequences_hypothesis_conservation(spark):
     """Property: packing is a prefix-sum — tok_start values are exactly
     the cumulative sums in id order, for random token counts, any
@@ -207,6 +210,7 @@ def test_pack_sequences_hypothesis_conservation(spark):
     check()
 
 
+@pytest.mark.slowsuite
 def test_segment_dedup_idempotent_on_unique_corpus(spark):
     """Property: with all-distinct segments nothing is dropped, and
     token accounting is conserved (sum seg_tok == word count)."""

@@ -215,6 +215,7 @@ def test_simhash_recall_on_planted_families(spark, planted_sf):
     assert len(got) < 100
 
 
+@pytest.mark.slowsuite
 def test_two_phase_cc_logn_rounds_on_path_graph(spark):
     """Adversarial 1k-node path graph: min-label propagation needs
     O(diameter)=999 rounds; large-star/small-star must converge in

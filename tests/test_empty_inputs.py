@@ -29,6 +29,7 @@ def empty_sf_dir(tmp_path_factory) -> str:
 
 
 @pytest.mark.parametrize("key", sorted(QUERIES))
+@pytest.mark.slowsuite
 def test_query_survives_empty_tables(spark, empty_sf_dir, key):
     # must not raise; row count is query-specific (aggregates may emit a
     # zero row, scans emit none) — surviving with a stable schema is the
@@ -62,6 +63,7 @@ def constant_sf_dir(tmp_path_factory) -> str:
     return str(d)
 
 
+@pytest.mark.slowsuite
 def test_every_query_survives_constant_content(spark, constant_sf_dir):
     """Zero variance, 100% duplicates, one group everywhere — the
     degenerate statistics world (one consolidated pass: per-key

@@ -139,6 +139,7 @@ class TestPageRank:
             assert fast[node] == pytest.approx(general[node], abs=1e-12)
 
 
+@pytest.mark.slowsuite
 class TestLongRuns:
     """Checkpointed iteration: plan depth stays bounded at high n_iter
     (round-3 verdict item 6) and numpy parity is unchanged."""

@@ -174,6 +174,7 @@ class TestMultimodalMalformedPayloads:
         assert len(out) == 1  # degraded to proportional fake, no crash
 
 
+@pytest.mark.slowsuite
 class TestSingleRowFuzz:
     """All queries must survive single-row tables (the n=1 degenerate
     that breaks sample-variance denominators)."""

@@ -28,11 +28,13 @@ REPO = Path(__file__).resolve().parent.parent
 
 def test_round10_window_layout():
     """ROUND10_KEYS froze to a literal when the round-11 window rotated
-    onto the fan-out-touched keys (same pattern as ROUND8/ROUND9_KEYS);
-    q_pagerank keeps a window slot in r11 because its plan changed."""
+    onto the fan-out-touched keys (same pattern as ROUND8/ROUND9_KEYS).
+    q_pagerank held a window slot through r11 (its plan changed that
+    round) and earned fresh driver rows in r10 AND r11; the r12 window
+    (tests/test_round12_window.py) rotates it out for the r6/r7-stale
+    freshness cohort."""
     assert ROUND10_KEYS == ("q_experiment_stats_empty", "q_pagerank")
     assert len(DRIVER_PRIORITY) == 50
-    assert "q_pagerank" in DRIVER_PRIORITY
 
 
 def test_round10_keys_registered_with_oracles():

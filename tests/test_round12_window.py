@@ -1,10 +1,11 @@
-"""Round-11 driver-window rotation (OPTIMIZATION_r11.md).
+"""Round-12 driver-window rotation (OPTIMIZATION_r12.md).
 
-Round 11 changed the physical plan of 25 bench keys (per-site scan
-fan-out); the driver verifies the FIRST 50 registered keys, so those
-25 lead the window to earn fresh external oracle rows on the changed
-plans, followed by q_doc_rolling_hash (its upgraded md5-seed oracle
-has no driver row yet) and 24 of the r6-stale freshness cohort."""
+Round 12 restructured four query shapes (dedup sweep/rate one-pass
+aggregates, CC observe-fusion); the driver verifies the FIRST 50
+registered keys, so those lead the window, followed by the 22 r6-stale
+freshness keys (r11 VERDICT item 9) and 24 of the r7-stale cohort.
+The fan-site creep guard from round 11 is retained unchanged (no fan
+site changed in round 12)."""
 
 from __future__ import annotations
 
@@ -45,16 +46,35 @@ FAN_TOUCHED_KEYS: tuple[str, ...] = (
 )
 
 
-def test_round11_window_layout():
-    assert len(DRIVER_PRIORITY) == 50
-    assert DRIVER_PRIORITY[:25] == FAN_TOUCHED_KEYS
-    assert DRIVER_PRIORITY[25] == "q_doc_rolling_hash"
+R12_CHANGED_KEYS: tuple[str, ...] = (
+    "q_dedup_threshold_sweep",
+    "q_dedup_rate_by_source",
+    "q_dedup_clusters",
+    "q_dedup_clusters_two_phase",
+)
+
+R6_STALE_KEYS: tuple[str, ...] = (
+    "q_cube_orders", "q_groupby_salted", "q_hhi_concentration",
+    "q_histogram_bins", "q_knn_bruteforce", "q_knn_ivf", "q_knn_lsh",
+    "q_lang_id", "q_mann_kendall", "q_polyfit_quadratic",
+    "q_price_elasticity", "q_quartile_skewness", "q_runs_test",
+    "q_semi_exists", "q_session_window", "q_sessionize",
+    "q_share_of_total", "q_top_n", "q_topic_keywords", "q_tukey_fences",
+    "q_window_rank", "q_wordcount_stats",
+)
+
+
+def test_round12_window_layout():
+    assert len(DRIVER_PRIORITY) == len(set(DRIVER_PRIORITY)) == 50
+    assert DRIVER_PRIORITY[:4] == R12_CHANGED_KEYS
+    assert DRIVER_PRIORITY[4:26] == R6_STALE_KEYS
     rest = DRIVER_PRIORITY[26:]
     assert len(rest) == len(set(rest)) == 24
-    assert not set(rest) & set(FAN_TOUCHED_KEYS)
+    assert not (set(rest) & set(R12_CHANGED_KEYS))
+    assert not (set(rest) & set(R6_STALE_KEYS))
 
 
-def test_round11_window_registered_first():
+def test_round12_window_registered_first():
     q = build_queries()
     assert list(q)[:50] == list(DRIVER_PRIORITY)
     missing = [k for k in DRIVER_PRIORITY if k not in q]

@@ -348,6 +348,7 @@ class TestGraphBfs:
         got = {(r["node"], r["hop"]) for r in q_graph_bfs(spark, sf_oracle).collect()}
         assert got == set(dist.items())
 
+    @pytest.mark.slowsuite
     def test_deep_bfs_survives_checkpoint_boundaries(self, spark):
         """A 12-hop path graph crosses two CHECKPOINT_EVERY boundaries
         and must still return exact hop distances (and stop early once

@@ -24,7 +24,20 @@ def test_every_sql_key_has_a_dataframe_twin():
     assert not missing, f"SQL surface keys without DataFrame twin: {missing}"
 
 
-@pytest.mark.parametrize("key", sorted(SQL_QUERIES))
+#: the two O(n²) embedding twins cost ~50 s of the suite by themselves
+#: (codegen of 64-term cosine chains on BOTH engines); their parity is
+#: additionally pinned by the DuckDB oracle sweep, so they ride the
+#: deselected-by-default slow tail.
+_SLOW_TWINS = {"q_dedup_embedding", "q_dedup_embedding_blocked"}
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        pytest.param(k, marks=pytest.mark.slowsuite) if k in _SLOW_TWINS else k
+        for k in sorted(SQL_QUERIES)
+    ],
+)
 def test_sql_matches_dataframe_twin(spark, sf_small, key):
     register_views(spark, sf_small)
     sql_df = spark.sql(SQL_QUERIES[key])

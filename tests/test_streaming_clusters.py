@@ -49,6 +49,7 @@ def _drain_chunks(spark, edges: DataFrame, k: int, order=None) -> _Holder:
 
 
 @pytest.mark.parametrize("k", [1, 3])
+@pytest.mark.slowsuite
 def test_drained_labels_equal_batch_key(spark, sf_small, k):
     edges = q_dedup_ngram_jaccard(spark, sf_small).select(
         "doc_id_a", "doc_id_b"
@@ -59,6 +60,7 @@ def test_drained_labels_equal_batch_key(spark, sf_small, k):
     assert got == want
 
 
+@pytest.mark.slowsuite
 def test_split_order_invariance(spark, sf_small):
     """Reversed chunk order converges to the same cells — the fold is
     not merely append-order-lucky."""

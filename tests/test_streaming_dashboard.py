@@ -45,6 +45,7 @@ def _rows(df: DataFrame) -> list:
 
 
 @pytest.mark.parametrize("k", [1, 3])
+@pytest.mark.slowsuite
 def test_drained_report_equals_batch_key(spark, sf_small, k):
     questions, variants = _lexam_projection(spark, sf_small)
     holder = _Holder(spark)

@@ -55,6 +55,7 @@ def _drain_chunks(spark, docs: DataFrame, k: int) -> _Holder:
 
 
 @pytest.mark.parametrize("k", [1, 3])
+@pytest.mark.slowsuite
 def test_drained_report_equals_batch_key(spark, sf_small, k):
     docs = load_table(spark, sf_small, "documents")
     holder = _drain_chunks(spark, docs, k)
@@ -63,6 +64,7 @@ def test_drained_report_equals_batch_key(spark, sf_small, k):
     assert got == want
 
 
+@pytest.mark.slowsuite
 def test_split_order_invariance(spark, sf_small):
     """Reversed chunk order must converge to the same state cells —
     the fold is not merely append-order-lucky."""

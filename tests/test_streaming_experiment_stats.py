@@ -71,6 +71,7 @@ def proj(spark, sf_small):
 
 
 @pytest.mark.parametrize("k", [1, 3])
+@pytest.mark.slowsuite
 def test_drained_report_equals_batch_key(spark, sf_small, proj, k):
     holder = _drain(spark, proj, k)
     got = _rows(experiment_stats_report(holder.state()))
@@ -78,6 +79,7 @@ def test_drained_report_equals_batch_key(spark, sf_small, proj, k):
     assert got == want
 
 
+@pytest.mark.slowsuite
 def test_split_order_invariance(spark, sf_small, proj):
     holder = _drain(spark, proj, 3, order=(2, 0, 1))
     got = _rows(experiment_stats_report(holder.state()))
@@ -85,6 +87,7 @@ def test_split_order_invariance(spark, sf_small, proj):
     assert got == want
 
 
+@pytest.mark.slowsuite
 def test_judgment_lags_answer_by_a_trigger(spark, sf_small, proj):
     """Judgments folded one trigger AFTER their answers (the other legal
     ordering under the contract) must converge to the same cells."""
@@ -129,6 +132,7 @@ def test_score_cell_quantization_is_identity_in_contract(spark):
     assert out == 0
 
 
+@pytest.mark.slowsuite
 def test_adversarial_scores_state_hard_bounded(spark):
     """Round-9 verdict item 5: a stream of arbitrary-precision float
     scores must NOT grow one cell per distinct float — the quantized key

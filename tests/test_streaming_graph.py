@@ -83,6 +83,7 @@ def _drain_lpa(spark, batches) -> _Holder:
         [[p] for p in CLIQ_A] + [CLIQ_B + CHAIN + BRIDGE],  # one-edge batches
     ],
 )
+@pytest.mark.slowsuite
 def test_lpa_drained_equals_batch(spark, batches):
     holder = _drain_lpa(spark, batches)
     got = _labels_of(holder.read("labels"))
@@ -202,6 +203,7 @@ def _ranks_of(df: DataFrame) -> dict[int, float]:
     return {r["node"]: r["rank"] for r in df.collect()}
 
 
+@pytest.mark.slowsuite
 def test_pagerank_drained_converges_to_batch_fixed_point(spark):
     """Drained warm-started ranks equal the from-scratch converged run:
     the iteration map has ONE fixed point, so any split converges to it."""
@@ -232,6 +234,7 @@ def test_pagerank_drained_converges_to_batch_fixed_point(spark):
     assert _l1(got, want) < 1e-9
 
 
+@pytest.mark.slowsuite
 def test_warm_start_tracks_fixed_point(spark):
     """The maintainer's lever, part 1: after a small new edge, k warm
     rounds from the previous fixed point land measurably closer to the

@@ -69,6 +69,7 @@ def proj(spark, sf_small):
 
 
 @pytest.mark.parametrize("k", [1, 3])
+@pytest.mark.slowsuite
 def test_drained_report_equals_batch_key(spark, sf_small, proj, k):
     holder = _drain(spark, proj, k)
     got = _rows(judge_stats_report(holder.state()))
@@ -76,6 +77,7 @@ def test_drained_report_equals_batch_key(spark, sf_small, proj, k):
     assert got == want
 
 
+@pytest.mark.slowsuite
 def test_split_order_invariance(spark, sf_small, proj):
     holder = _drain(spark, proj, 3, order=(2, 0, 1))
     got = _rows(judge_stats_report(holder.state()))
@@ -136,6 +138,7 @@ def test_cross_batch_first_last_fold(spark):
     assert cells[("by_question", "q1", "answer_count")][0] == 2.0
 
 
+@pytest.mark.slowsuite
 def test_adversarial_scores_judge_cells_hard_bounded(spark):
     """Round-9 verdict item 5 (judge side): arbitrary-precision float
     scores snap onto the 1e-5 cell grid — per-judge cell count is

@@ -44,6 +44,7 @@ def _rows(df: DataFrame) -> list:
 
 
 @pytest.mark.parametrize("k", [1, 3])
+@pytest.mark.slowsuite
 def test_drained_pairs_equal_batch_key(spark, sf_small, k):
     docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
     holder = _Holder(spark)

@@ -28,11 +28,17 @@ from lexam_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    keys = [a for a in sys.argv[1:] if not a.startswith("--")]
     rounds = 3
-    for i, a in enumerate(sys.argv):
-        if a == "--rounds":
-            rounds = int(sys.argv[i + 1])
+    keys = []
+    skip_next = False
+    for a in sys.argv[1:]:
+        if skip_next:  # the VALUE of --rounds is not a bench key (r11 ADVICE)
+            rounds = int(a)
+            skip_next = False
+        elif a == "--rounds":
+            skip_next = True
+        elif not a.startswith("--"):
+            keys.append(a)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="ab-qopt")
     spark.sparkContext.setLogLevel("ERROR")
