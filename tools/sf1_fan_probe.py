@@ -46,11 +46,18 @@ DEFAULT_KEYS = [
 
 
 def main() -> int:
-    keys = [a for a in sys.argv[1:] if not a.startswith("--")] or DEFAULT_KEYS
     rounds = 2
-    for i, a in enumerate(sys.argv):
-        if a == "--rounds":
-            rounds = int(sys.argv[i + 1])
+    keys = []
+    skip_next = False
+    for a in sys.argv[1:]:
+        if skip_next:  # the VALUE of --rounds is not a key
+            rounds = int(a)
+            skip_next = False
+        elif a == "--rounds":
+            skip_next = True
+        elif not a.startswith("--"):
+            keys.append(a)
+    keys = keys or DEFAULT_KEYS
     spark = get_spark(app_name="sf1-fan-probe")
     spark.sparkContext.setLogLevel("ERROR")
     if not os.path.exists(os.path.join(SCALE_DIR, "lineitem.parquet")):
